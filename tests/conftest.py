@@ -1,0 +1,39 @@
+"""Test configuration.
+
+Per SURVEY.md §4, the suite runs on a virtual 8-device CPU mesh by default so
+sharding (`shard_map`) tests work without a TPU pod, and Pallas kernels run in
+interpret mode. Set TPUFEAT_TEST_TPU=1 to run the suite on the real chip
+instead (sharding tests then skip unless 8 devices exist).
+
+These env vars must be set before jax is imported anywhere.
+"""
+
+import os
+
+if os.environ.get("TPUFEAT_TEST_TPU") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_signal(n: int, seed: int = 0, kind: str = "mix") -> np.ndarray:
+    """Deterministic test audio: tones + noise, float32 in [-1, 1]."""
+    r = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float64) / 16000.0
+    sig = (
+        0.5 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 1333.0 * t + 0.3)
+        + 0.1 * r.standard_normal(n)
+    )
+    return (sig / np.abs(sig).max() * 0.9).astype(np.float32)

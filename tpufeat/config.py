@@ -1,0 +1,173 @@
+"""Feature-extraction configuration.
+
+The reference (mankeyboy/ASR-FeatExt-OpenCL, per SURVEY.md §5 "Config/flag
+system") configures its pipeline through CLI args and ``#define`` constants in
+the OpenCL kernel source. The TPU-native equivalent is a frozen (hence
+hashable) dataclass that can be passed to ``jax.jit`` as a static argument, so
+every distinct configuration traces exactly once and the compiled pipeline is
+fully specialized (static shapes, constants folded).
+
+Presets mirror BASELINE.json's five workload configs (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Full specification of one front-end pipeline.
+
+    Mirrors the reference's stage list (SURVEY.md §2, C2-C9 + C15/C16):
+    pre-emphasis -> framing/overlap -> window -> FFT -> power -> mel -> log
+    -> DCT-II (-> lifter -> deltas -> CMVN).
+    """
+
+    # --- sampling / framing (reference C3) ---
+    sample_rate: int = 16000
+    frame_length: int = 400          # 25 ms @ 16 kHz
+    hop_length: int = 160            # 10 ms @ 16 kHz
+    n_fft: int = 512                 # zero-pad 400 -> 512 (reference C5)
+    # center=True: reflect-pad n_fft//2 each side (Whisper/librosa style);
+    # center=False: snip-edges framing, frames = 1 + (N - frame_length)//hop.
+    center: bool = False
+    # Whisper's torch.stft path computes 1 + N//hop centered frames and then
+    # drops the final one, keeping exactly N//hop.
+    drop_last_frame: bool = False
+
+    # --- per-sample / per-frame conditioning (reference C2) ---
+    preemphasis: float = 0.97
+    # kaldi_mode=True processes each gathered frame independently (Kaldi's
+    # order: dither -> DC offset -> per-frame pre-emphasis with x[-1]:=x[0]
+    # -> window); kaldi_mode=False pre-emphasizes the whole signal first
+    # (classic MFCC / python_speech_features order).
+    kaldi_mode: bool = False
+    dc_offset: bool = False          # subtract per-frame mean (kaldi_mode)
+    dither: float = 0.0              # stddev of additive noise; 0 = off
+
+    # --- window (reference C4) ---
+    window: str = "hamming"          # hamming|hann_periodic|povey|rect
+
+    # --- spectrum (reference C5/C6) ---
+    spectrum: str = "power"          # power (|X|^2) | magnitude (|X|)
+
+    # --- mel filterbank (reference C7) ---
+    n_mels: int = 26
+    mel_scale: str = "htk"           # htk (2595*log10(1+f/700)) | slaney
+    mel_norm: Optional[str] = None   # None | "slaney" (area normalization)
+    # "bin": integer FFT-bin triangles, floor((n_fft+1)*f/sr), the classic
+    #   HTK/python_speech_features construction named in SURVEY.md §2 C7.
+    # "continuous": librosa-style triangles evaluated at exact bin
+    #   frequencies k*sr/n_fft (what Whisper's mel_filters uses).
+    mel_bin_style: str = "bin"
+    fmin: float = 0.0
+    fmax: Optional[float] = None     # None -> sample_rate / 2
+
+    # --- log compression (reference C8) ---
+    log: str = "natural"             # natural|log10|whisper|none
+    log_floor: float = 1e-10
+    # "whisper": log10(max(S,1e-10)); L = max(L, L.max()-8); L = (L+4)/4,
+    # with the max taken per-utterance over VALID frames only when batched.
+
+    # --- cepstrum (reference C9) ---
+    n_mfcc: int = 13                 # 0 -> stop at (log-)mel features
+    lifter: int = 0                  # sinusoidal lifter length L; 0 = off
+
+    # --- post (reference C16, config 3) ---
+    deltas: bool = False             # append delta + delta-delta
+    delta_window: int = 2
+    cmvn: str = "none"               # none|mean|meanvar (per-utterance,
+    #                                  masked over valid frames)
+
+    # --- execution ---
+    use_pallas: bool = True          # fused Pallas mel/log/DCT kernel on TPU
+    gemm_dft: bool = False           # GEMM-native DFT (matmul) inside Pallas
+    #                                  instead of XLA rFFT (MelT-style)
+
+    def __post_init__(self):
+        if self.frame_length > self.n_fft:
+            raise ValueError(
+                f"frame_length {self.frame_length} > n_fft {self.n_fft}")
+        if self.window not in ("hamming", "hann_periodic", "povey", "rect"):
+            raise ValueError(f"unknown window {self.window!r}")
+        if self.mel_scale not in ("htk", "slaney"):
+            raise ValueError(f"unknown mel_scale {self.mel_scale!r}")
+        if self.mel_bin_style not in ("bin", "continuous"):
+            raise ValueError(f"unknown mel_bin_style {self.mel_bin_style!r}")
+        if self.log not in ("natural", "log10", "whisper", "none"):
+            raise ValueError(f"unknown log {self.log!r}")
+        if self.cmvn not in ("none", "mean", "meanvar"):
+            raise ValueError(f"unknown cmvn {self.cmvn!r}")
+        if self.spectrum not in ("power", "magnitude"):
+            raise ValueError(f"unknown spectrum {self.spectrum!r}")
+
+    # ---- derived quantities (all static / python ints) ----
+
+    @property
+    def fmax_hz(self) -> float:
+        return self.sample_rate / 2 if self.fmax is None else self.fmax
+
+    @property
+    def n_bins(self) -> int:
+        """Number of rFFT bins."""
+        return self.n_fft // 2 + 1
+
+    @property
+    def feature_dim(self) -> int:
+        base = self.n_mfcc if self.n_mfcc > 0 else self.n_mels
+        return base * 3 if self.deltas else base
+
+    def num_frames(self, n_samples: int) -> int:
+        """Frame count for an utterance of ``n_samples`` (static version)."""
+        if self.center:
+            n = 1 + n_samples // self.hop_length
+            return n - 1 if self.drop_last_frame else n
+        if n_samples < self.frame_length:
+            return 0
+        return 1 + (n_samples - self.frame_length) // self.hop_length
+
+
+# --- presets: BASELINE.json configs[0..3] (SURVEY.md §2.1) ---
+
+#: Config 1 — classic MFCC-13: 25ms/10ms Hamming frames, 512-pt FFT,
+#: 26 HTK mel bins, natural log, DCT-II keep 13.
+MFCC13_HTK = FeatureConfig()
+
+#: Config 2 — Whisper-style 80-bin log-mel: 400-pt FFT, hop 160, periodic
+#: Hann, centered reflect padding, Slaney mel (area-normalized), Whisper
+#: log10/clamp/scale normalization. No pre-emphasis, no cepstrum.
+WHISPER80 = FeatureConfig(
+    frame_length=400,
+    hop_length=160,
+    n_fft=400,
+    center=True,
+    drop_last_frame=True,
+    preemphasis=0.0,
+    window="hann_periodic",
+    n_mels=80,
+    mel_scale="slaney",
+    mel_norm="slaney",
+    mel_bin_style="continuous",
+    log="whisper",
+    n_mfcc=0,
+)
+
+#: Config 3 — Kaldi-style 39-dim: MFCC-13 + deltas + delta-deltas with
+#: per-utterance (masked) cepstral mean normalization.
+KALDI39 = FeatureConfig(
+    deltas=True,
+    cmvn="mean",
+)
+
+#: Config 4 — streaming front-end (used with streaming.StreamingFrontend;
+#: the pipeline itself is the classic MFCC-13 one).
+STREAMING160 = FeatureConfig()
+
+PRESETS = {
+    "mfcc13": MFCC13_HTK,
+    "whisper80": WHISPER80,
+    "kaldi39": KALDI39,
+    "streaming160": STREAMING160,
+}

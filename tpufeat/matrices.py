@@ -1,0 +1,197 @@
+"""Precomputed DSP constant matrices (window, mel filterbank, DCT, lifter).
+
+All constructors are pure NumPy float64 and cached. The TPU pipeline casts
+them to float32/bfloat16 at trace time; the float64 originals feed the golden
+reference (``tpufeat.reference.cpu``), so both paths share one source of
+truth for the constants.
+
+In the OpenCL reference these constants are computed by host C++ code and
+uploaded once as device buffers (SURVEY.md §2 C4/C7/C9); here they are
+closure constants baked into the jitted program, which XLA keeps resident
+in HBM across calls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+__all__ = [
+    "window",
+    "hz_to_mel",
+    "mel_to_hz",
+    "mel_filterbank",
+    "dct_matrix",
+    "lifter_vector",
+    "dft_matrices",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def window(kind: str, length: int) -> np.ndarray:
+    """Analysis window, float64, shape [length].
+
+    - ``hamming``: symmetric, 0.54 - 0.46 cos(2*pi*n/(L-1))  (reference C4)
+    - ``hann_periodic``: 0.5 - 0.5 cos(2*pi*n/L) (torch.hann_window default,
+      what Whisper uses)
+    - ``povey``: Kaldi's (0.5 - 0.5 cos(2*pi*n/(L-1)))**0.85
+    - ``rect``: ones
+    """
+    n = np.arange(length, dtype=np.float64)
+    if kind == "hamming":
+        return 0.54 - 0.46 * np.cos(2.0 * np.pi * n / (length - 1))
+    if kind == "hann_periodic":
+        return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / length)
+    if kind == "povey":
+        return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / (length - 1))) ** 0.85
+    if kind == "rect":
+        return np.ones(length, dtype=np.float64)
+    raise ValueError(f"unknown window kind {kind!r}")
+
+
+def hz_to_mel(f, scale: str = "htk"):
+    """Hz -> mel. ``htk``: 2595*log10(1+f/700). ``slaney``: linear below
+    1 kHz (f / (200/3)), logarithmic above (librosa/Slaney toolbox)."""
+    f = np.asarray(f, dtype=np.float64)
+    if scale == "htk":
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    if scale == "slaney":
+        f_sp = 200.0 / 3.0
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp  # 15.0
+        logstep = np.log(6.4) / 27.0
+        mel = f / f_sp
+        above = f >= min_log_hz
+        mel = np.where(
+            above,
+            min_log_mel + np.log(np.maximum(f, min_log_hz) / min_log_hz) / logstep,
+            mel,
+        )
+        return mel
+    raise ValueError(f"unknown mel scale {scale!r}")
+
+
+def mel_to_hz(m, scale: str = "htk"):
+    m = np.asarray(m, dtype=np.float64)
+    if scale == "htk":
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    if scale == "slaney":
+        f_sp = 200.0 / 3.0
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = np.log(6.4) / 27.0
+        f = m * f_sp
+        above = m >= min_log_mel
+        f = np.where(above, min_log_hz * np.exp(logstep * (m - min_log_mel)), f)
+        return f
+    raise ValueError(f"unknown mel scale {scale!r}")
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float,
+    fmax: float,
+    scale: str = "htk",
+    norm: str | None = None,
+    bin_style: str = "bin",
+) -> np.ndarray:
+    """Triangular mel filterbank, float64, shape [n_fft//2 + 1, n_mels].
+
+    Laid out for right-multiplication: ``mel = power @ W`` with ``power``
+    of shape [frames, n_bins] — the orientation the MXU matmul in the fused
+    Pallas kernel consumes (SURVEY.md §2 C7).
+
+    bin_style:
+      - ``bin``: classic HTK/python_speech_features construction — triangle
+        corners snapped to integer FFT bins ``floor((n_fft+1)*f/sr)``
+        (SURVEY.md §2 C7 names exactly this mapping).
+      - ``continuous``: librosa-style — triangles evaluated at exact bin
+        center frequencies ``k*sr/n_fft`` (Whisper's filterbank).
+    """
+    n_bins = n_fft // 2 + 1
+    mel_pts = np.linspace(
+        hz_to_mel(fmin, scale), hz_to_mel(fmax, scale), n_mels + 2
+    )
+    hz_pts = mel_to_hz(mel_pts, scale)
+    weights = np.zeros((n_bins, n_mels), dtype=np.float64)
+
+    if bin_style == "bin":
+        bins = np.floor((n_fft + 1) * hz_pts / sample_rate).astype(np.int64)
+        for m in range(n_mels):
+            lo, ctr, hi = bins[m], bins[m + 1], bins[m + 2]
+            for k in range(lo, ctr):
+                if ctr > lo:
+                    weights[k, m] = (k - lo) / (ctr - lo)
+            for k in range(ctr, hi):
+                if hi > ctr:
+                    weights[k, m] = (hi - k) / (hi - ctr)
+    else:  # continuous
+        fft_freqs = np.arange(n_bins, dtype=np.float64) * sample_rate / n_fft
+        fdiff = np.diff(hz_pts)
+        ramps = hz_pts.reshape(-1, 1) - fft_freqs.reshape(1, -1)
+        for m in range(n_mels):
+            lower = -ramps[m] / fdiff[m]
+            upper = ramps[m + 2] / fdiff[m + 1]
+            weights[:, m] = np.maximum(0.0, np.minimum(lower, upper))
+
+    if norm == "slaney":
+        enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+        weights *= enorm.reshape(1, -1)
+    elif norm is not None:
+        raise ValueError(f"unknown mel norm {norm!r}")
+    return weights
+
+
+@functools.lru_cache(maxsize=None)
+def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix, float64, shape [n_in, n_out].
+
+    ``mfcc = logmel @ D`` with logmel [frames, n_in]. Matches
+    ``scipy.fft.dct(x, type=2, norm="ortho")`` truncated to n_out
+    coefficients (reference C9: c_i = sum_j x_j cos(pi*i*(2j+1)/(2M)) with
+    ortho scaling sqrt(2/M), c_0 scaled by 1/sqrt(2))."""
+    j = np.arange(n_in, dtype=np.float64).reshape(-1, 1)
+    i = np.arange(n_out, dtype=np.float64).reshape(1, -1)
+    mat = np.cos(np.pi * i * (2.0 * j + 1.0) / (2.0 * n_in))
+    mat *= np.sqrt(2.0 / n_in)
+    mat[:, 0] *= 1.0 / np.sqrt(2.0)
+    return mat
+
+
+@functools.lru_cache(maxsize=None)
+def lifter_vector(n_coeffs: int, lifter: int) -> np.ndarray:
+    """Sinusoidal lifter 1 + (L/2) sin(pi*i/L), float64, shape [n_coeffs]."""
+    if lifter <= 0:
+        return np.ones(n_coeffs, dtype=np.float64)
+    i = np.arange(n_coeffs, dtype=np.float64)
+    return 1.0 + (lifter / 2.0) * np.sin(np.pi * i / lifter)
+
+
+@functools.lru_cache(maxsize=None)
+def dft_matrices(
+    frame_length: int, n_fft: int, window_kind: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT-as-GEMM matrices with the window folded in, float64.
+
+    Returns (C, S), each [frame_length, n_fft//2 + 1], such that for a raw
+    frame x of length ``frame_length`` (implicitly zero-padded to n_fft):
+
+        Re(rfft(w*x, n_fft)) =  x @ C        (C[j,k] = w[j]*cos(2*pi*j*k/n_fft))
+        Im(rfft(w*x, n_fft)) =  x @ S        (S[j,k] = -w[j]*sin(2*pi*j*k/n_fft))
+
+    This is the GEMM-native NDFT formulation: on TPU the DFT becomes two MXU
+    matmuls instead of an FFT, trading ~18x FLOPs for full fusion — and the
+    pipeline is >3000x below the v5e compute roofline (SURVEY.md §6), so the
+    trade is free.
+    """
+    w = window(window_kind, frame_length)
+    j = np.arange(frame_length, dtype=np.float64).reshape(-1, 1)
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64).reshape(1, -1)
+    ang = 2.0 * np.pi * j * k / n_fft
+    c = np.cos(ang) * w.reshape(-1, 1)
+    s = -np.sin(ang) * w.reshape(-1, 1)
+    return c, s

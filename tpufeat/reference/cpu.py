@@ -1,0 +1,220 @@
+"""Serial NumPy float64 golden pipeline.
+
+This module plays the role of the reference's serial CPU implementation
+(SURVEY.md §2 C10): the numerical oracle against which the accelerated path
+is validated with max-abs-error (BASELINE.json:metric "max abs error vs CPU
+ref"). Everything is float64, stage-by-stage, written for auditability rather
+than speed. A second, native C++ golden lives in ``cpp_ref/`` (loaded via
+ctypes by ``tpufeat.cpp_golden``) to preserve the reference's native-golden
+role; both goldens are cross-checked in tests.
+
+The radix-2 FFT here mirrors the reference's centerpiece OpenCL kernel
+(SURVEY.md §2 C5: iterative Cooley-Tukey, bit-reversal + log2(N) butterfly
+passes) in pure NumPy; the pipeline itself uses ``np.fft.rfft`` and the two
+are cross-validated in tests (the radix-2 path only applies to power-of-two
+n_fft).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpufeat import matrices
+from tpufeat.config import FeatureConfig
+
+__all__ = [
+    "radix2_fft",
+    "preemphasis",
+    "frame_signal",
+    "spectrogram",
+    "logmel",
+    "mfcc",
+    "deltas",
+    "cmvn",
+    "extract",
+]
+
+
+# ---------------------------------------------------------------------------
+# Radix-2 iterative FFT (audit twin of the reference's OpenCL kernel, C5)
+# ---------------------------------------------------------------------------
+
+def radix2_fft(x: np.ndarray) -> np.ndarray:
+    """Iterative Cooley-Tukey radix-2 DIT FFT, complex128, length power of 2.
+
+    Bit-reversal permutation followed by log2(N) butterfly passes — the same
+    schedule the reference's OpenCL kernel runs with one work-item per
+    butterfly pair and a barrier between passes (SURVEY.md §3.1).
+    """
+    x = np.asarray(x, dtype=np.complex128).copy()
+    n = x.shape[-1]
+    if n & (n - 1):
+        raise ValueError(f"radix2_fft needs power-of-two length, got {n}")
+    levels = n.bit_length() - 1
+    # bit-reversal permutation
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(levels):
+        rev |= ((idx >> b) & 1) << (levels - 1 - b)
+    x = x[..., rev]
+    # butterfly passes
+    half = 1
+    while half < n:
+        w = np.exp(-2j * np.pi * np.arange(half) / (2 * half))
+        x = x.reshape(x.shape[:-1] + (n // (2 * half), 2 * half))
+        even = x[..., :half]
+        odd = x[..., half:] * w
+        x = np.concatenate([even + odd, even - odd], axis=-1)
+        x = x.reshape(x.shape[:-2] + (n,))
+        half *= 2
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Pipeline stages (all float64)
+# ---------------------------------------------------------------------------
+
+def preemphasis(x: np.ndarray, alpha: float, prev: float = 0.0) -> np.ndarray:
+    """y[t] = x[t] - alpha*x[t-1], with x[-1] := prev (0 for one-shot).
+
+    Reference C2. ``prev`` carries the last raw sample of the previous chunk
+    in streaming mode (config 4)."""
+    x = np.asarray(x, dtype=np.float64)
+    if alpha == 0.0:
+        return x.copy()
+    shifted = np.concatenate([np.array([prev], dtype=np.float64), x[:-1]])
+    return x - alpha * shifted
+
+
+def _reflect_pad(x: np.ndarray, pad: int) -> np.ndarray:
+    """librosa/torch-style reflect padding (no edge repetition)."""
+    return np.pad(x, (pad, pad), mode="reflect")
+
+
+def frame_signal(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Slice into overlapped frames [n_frames, frame_length] (reference C3).
+
+    center=False: snip-edges, frames = 1 + (N - frame_length)//hop.
+    center=True: reflect-pad n_fft//2 each side, frame t starts at
+    t*hop - n_fft//2 in the original signal (Whisper/torch.stft convention),
+    optionally dropping the final frame.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    fl, hop = cfg.frame_length, cfg.hop_length
+    nf = cfg.num_frames(n)
+    if cfg.center:
+        x = _reflect_pad(x, cfg.n_fft // 2)
+    if nf <= 0:
+        return np.zeros((0, fl), dtype=np.float64)
+    idx = np.arange(nf).reshape(-1, 1) * hop + np.arange(fl).reshape(1, -1)
+    return x[idx]
+
+
+def _window_frames(frames: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Per-frame conditioning + window (references C2/C4).
+
+    In kaldi_mode the reference order is applied per frame: DC-offset
+    removal, pre-emphasis within the frame (x[-1] := x[0]), then window.
+    """
+    frames = frames.astype(np.float64)
+    if cfg.kaldi_mode:
+        if cfg.dc_offset:
+            frames = frames - frames.mean(axis=-1, keepdims=True)
+        if cfg.preemphasis:
+            first = frames[..., :1] - cfg.preemphasis * frames[..., :1]
+            rest = frames[..., 1:] - cfg.preemphasis * frames[..., :-1]
+            frames = np.concatenate([first, rest], axis=-1)
+    w = matrices.window(cfg.window, cfg.frame_length)
+    return frames * w
+
+
+def spectrogram(x: np.ndarray, cfg: FeatureConfig,
+                preemph_prev: float = 0.0) -> np.ndarray:
+    """Signal -> power/magnitude spectrogram [n_frames, n_fft//2+1].
+
+    References C2-C6 composed: pre-emphasis (signal-level unless kaldi_mode),
+    framing, window, zero-pad to n_fft, rFFT, |.|^2 (or |.|)."""
+    x = np.asarray(x, dtype=np.float64)
+    if cfg.preemphasis and not cfg.kaldi_mode:
+        x = preemphasis(x, cfg.preemphasis, preemph_prev)
+    frames = frame_signal(x, cfg)
+    frames = _window_frames(frames, cfg)
+    spec = np.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    mag2 = spec.real**2 + spec.imag**2
+    return mag2 if cfg.spectrum == "power" else np.sqrt(mag2)
+
+
+def logmel(x: np.ndarray, cfg: FeatureConfig,
+           preemph_prev: float = 0.0) -> np.ndarray:
+    """Signal -> (log-)mel features [n_frames, n_mels] (references C7+C8)."""
+    spec = spectrogram(x, cfg, preemph_prev)
+    fb = matrices.mel_filterbank(
+        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+    mel = spec @ fb
+    return apply_log(mel, cfg)
+
+
+def apply_log(mel: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Log compression (reference C8). ``whisper`` applies the full Whisper
+    normalization: log10 -> clamp at (per-utterance) max-8 -> (x+4)/4."""
+    if cfg.log == "none":
+        return mel
+    if cfg.log == "natural":
+        return np.log(np.maximum(mel, cfg.log_floor))
+    if cfg.log == "log10":
+        return np.log10(np.maximum(mel, cfg.log_floor))
+    if cfg.log == "whisper":
+        ls = np.log10(np.maximum(mel, cfg.log_floor))
+        ls = np.maximum(ls, ls.max() - 8.0)
+        return (ls + 4.0) / 4.0
+    raise ValueError(cfg.log)
+
+
+def mfcc(x: np.ndarray, cfg: FeatureConfig,
+         preemph_prev: float = 0.0) -> np.ndarray:
+    """Signal -> MFCC [n_frames, n_mfcc] (reference C9)."""
+    lm = logmel(x, cfg, preemph_prev)
+    dct = matrices.dct_matrix(cfg.n_mels, cfg.n_mfcc)
+    out = lm @ dct
+    if cfg.lifter > 0:
+        out = out * matrices.lifter_vector(cfg.n_mfcc, cfg.lifter)
+    return out
+
+
+def deltas(feat: np.ndarray, window: int = 2) -> np.ndarray:
+    """Regression deltas d_t = sum_n n*(c_{t+n}-c_{t-n}) / (2*sum_n n^2)
+    with replicated edge padding (reference C16 / SURVEY.md §2.1 config 3)."""
+    n = window
+    denom = 2.0 * sum(i * i for i in range(1, n + 1))
+    padded = np.pad(feat, ((n, n), (0, 0)), mode="edge")
+    out = np.zeros_like(feat)
+    for i in range(1, n + 1):
+        out += i * (padded[n + i: n + i + feat.shape[0]]
+                    - padded[n - i: n - i + feat.shape[0]])
+    return out / denom
+
+
+def cmvn(feat: np.ndarray, mode: str = "mean") -> np.ndarray:
+    """Per-utterance cepstral mean (and variance) normalization (C16)."""
+    if mode == "none":
+        return feat
+    out = feat - feat.mean(axis=0, keepdims=True)
+    if mode == "meanvar":
+        out = out / np.sqrt(feat.var(axis=0, keepdims=True) + 1e-10)
+    return out
+
+
+def extract(x: np.ndarray, cfg: FeatureConfig,
+            preemph_prev: float = 0.0) -> np.ndarray:
+    """Full golden pipeline: signal -> features [n_frames, feature_dim].
+
+    The float64 oracle for the end-to-end parity tests (SURVEY.md §4)."""
+    base = mfcc(x, cfg, preemph_prev) if cfg.n_mfcc > 0 else \
+        logmel(x, cfg, preemph_prev)
+    if cfg.deltas:
+        d1 = deltas(base, cfg.delta_window)
+        d2 = deltas(d1, cfg.delta_window)
+        base = np.concatenate([base, d1, d2], axis=-1)
+    return cmvn(base, cfg.cmvn)
