@@ -1,0 +1,206 @@
+// Native C++ golden pipeline (SURVEY.md §2 C10) + native WAV decoder (C1).
+//
+// The OpenCL reference validates its GPU kernels against a serial C/C++
+// implementation ("max abs error vs CPU ref", BASELINE.json:metric). This
+// module preserves that native-golden role for the TPU rebuild: a
+// double-precision, stage-by-stage MFCC pipeline — pre-emphasis, overlapped
+// framing, Hamming window, iterative radix-2 FFT, power spectrum, HTK mel
+// filterbank, natural log, orthonormal DCT-II — exported with a C ABI and
+// loaded from Python via ctypes (tpufeat/cpp_golden.py). It is written from
+// first principles; tests cross-check it against the independent NumPy
+// float64 golden and against the TPU path.
+//
+// Build: `make` (g++ -O2 -shared -fPIC) -> libtpufeat_ref.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+
+// ---- iterative radix-2 DIT FFT: bit-reversal + log2(n) butterfly passes ----
+void fft_radix2(std::vector<double>& re, std::vector<double>& im) {
+  const size_t n = re.size();
+  // bit-reversal permutation
+  for (size_t i = 1, j = 0; i < n; ++i) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      std::swap(re[i], re[j]);
+      std::swap(im[i], im[j]);
+    }
+  }
+  // butterfly passes
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const double ang = -2.0 * kPi / static_cast<double>(len);
+    const double wr = std::cos(ang), wi = std::sin(ang);
+    for (size_t i = 0; i < n; i += len) {
+      double cr = 1.0, ci = 0.0;
+      for (size_t k = 0; k < len / 2; ++k) {
+        const size_t a = i + k, b = i + k + len / 2;
+        const double tr = re[b] * cr - im[b] * ci;
+        const double ti = re[b] * ci + im[b] * cr;
+        re[b] = re[a] - tr;
+        im[b] = im[a] - ti;
+        re[a] += tr;
+        im[a] += ti;
+        const double ncr = cr * wr - ci * wi;
+        ci = cr * wi + ci * wr;
+        cr = ncr;
+      }
+    }
+  }
+}
+
+double hz_to_mel(double f) { return 2595.0 * std::log10(1.0 + f / 700.0); }
+double mel_to_hz(double m) { return 700.0 * (std::pow(10.0, m / 2595.0) - 1.0); }
+
+}  // namespace
+
+extern "C" {
+
+// Frame count for snip-edges framing; <=0 when the signal is too short.
+long tpufeat_num_frames(long n, int frame_len, int hop) {
+  if (n < frame_len) return 0;
+  return 1 + (n - frame_len) / hop;
+}
+
+// Full MFCC pipeline (classic config-1 semantics: signal-level pre-emphasis
+// with x[-1]:=0, Hamming window, zero-pad to n_fft, HTK integer-bin mel
+// triangles, natural log with floor, ortho DCT-II, optional lifter).
+// `out` must hold num_frames * n_mfcc doubles. Returns the frame count.
+long tpufeat_mfcc_f64(const double* signal, long n, int sample_rate,
+                      int frame_len, int hop, int n_fft, double preemph,
+                      int n_mels, int n_mfcc, double fmin, double fmax,
+                      double log_floor, int lifter, double* out) {
+  const long n_frames = tpufeat_num_frames(n, frame_len, hop);
+  if (n_frames <= 0) return 0;
+  const int n_bins = n_fft / 2 + 1;
+
+  // pre-emphasis over the whole signal
+  std::vector<double> y(n);
+  y[0] = signal[0];
+  for (long t = 1; t < n; ++t) y[t] = signal[t] - preemph * signal[t - 1];
+
+  // Hamming window
+  std::vector<double> win(frame_len);
+  for (int i = 0; i < frame_len; ++i)
+    win[i] = 0.54 - 0.46 * std::cos(2.0 * kPi * i / (frame_len - 1));
+
+  // HTK mel filterbank, integer-bin triangles: bin = floor((n_fft+1)*f/sr)
+  std::vector<double> fb(static_cast<size_t>(n_bins) * n_mels, 0.0);
+  {
+    const double mlo = hz_to_mel(fmin), mhi = hz_to_mel(fmax);
+    std::vector<long> bins(n_mels + 2);
+    for (int m = 0; m < n_mels + 2; ++m) {
+      const double f = mel_to_hz(mlo + (mhi - mlo) * m / (n_mels + 1));
+      bins[m] = static_cast<long>(std::floor((n_fft + 1) * f / sample_rate));
+    }
+    for (int m = 0; m < n_mels; ++m) {
+      for (long k = bins[m]; k < bins[m + 1]; ++k)
+        if (bins[m + 1] > bins[m])
+          fb[k * n_mels + m] =
+              static_cast<double>(k - bins[m]) / (bins[m + 1] - bins[m]);
+      for (long k = bins[m + 1]; k < bins[m + 2]; ++k)
+        if (bins[m + 2] > bins[m + 1])
+          fb[k * n_mels + m] =
+              static_cast<double>(bins[m + 2] - k) / (bins[m + 2] - bins[m + 1]);
+    }
+  }
+
+  // orthonormal DCT-II matrix [n_mels x n_mfcc]
+  std::vector<double> dct(static_cast<size_t>(n_mels) * n_mfcc);
+  for (int j = 0; j < n_mels; ++j)
+    for (int i = 0; i < n_mfcc; ++i) {
+      double v = std::cos(kPi * i * (2.0 * j + 1.0) / (2.0 * n_mels)) *
+                 std::sqrt(2.0 / n_mels);
+      if (i == 0) v *= 1.0 / std::sqrt(2.0);
+      dct[static_cast<size_t>(j) * n_mfcc + i] = v;
+    }
+
+  std::vector<double> lift(n_mfcc, 1.0);
+  if (lifter > 0)
+    for (int i = 0; i < n_mfcc; ++i)
+      lift[i] = 1.0 + (lifter / 2.0) * std::sin(kPi * i / lifter);
+
+  std::vector<double> re(n_fft), im(n_fft), power(n_bins), mel(n_mels);
+  for (long f = 0; f < n_frames; ++f) {
+    const double* frame = y.data() + f * hop;
+    std::fill(re.begin(), re.end(), 0.0);
+    std::fill(im.begin(), im.end(), 0.0);
+    for (int i = 0; i < frame_len; ++i) re[i] = frame[i] * win[i];
+    fft_radix2(re, im);
+    for (int k = 0; k < n_bins; ++k) power[k] = re[k] * re[k] + im[k] * im[k];
+    for (int m = 0; m < n_mels; ++m) {
+      double acc = 0.0;
+      for (int k = 0; k < n_bins; ++k) acc += power[k] * fb[k * n_mels + m];
+      mel[m] = std::log(acc > log_floor ? acc : log_floor);
+    }
+    for (int i = 0; i < n_mfcc; ++i) {
+      double acc = 0.0;
+      for (int m = 0; m < n_mels; ++m)
+        acc += mel[m] * dct[static_cast<size_t>(m) * n_mfcc + i];
+      out[f * n_mfcc + i] = acc * lift[i];
+    }
+  }
+  return n_frames;
+}
+
+// ---- native WAV (RIFF) decoder: 16-bit PCM, chunk-walking parser ----
+// Pass out=nullptr to query (returns mono sample count, sets *rate).
+// Otherwise fills `out` (capacity `cap` floats) with mono samples in
+// [-1, 1) (multi-channel averaged) and returns the count, or -1 on error.
+long tpufeat_read_wav(const char* path, float* out, long cap, int* rate) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  unsigned char hdr[12];
+  if (std::fread(hdr, 1, 12, fp) != 12 || std::memcmp(hdr, "RIFF", 4) ||
+      std::memcmp(hdr + 8, "WAVE", 4)) {
+    std::fclose(fp);
+    return -1;
+  }
+  int channels = 0, bits = 0;
+  long n_out = -1;
+  while (true) {
+    unsigned char ch[8];
+    if (std::fread(ch, 1, 8, fp) != 8) break;
+    const uint32_t size = ch[4] | (ch[5] << 8) | (ch[6] << 16) |
+                          (static_cast<uint32_t>(ch[7]) << 24);
+    if (!std::memcmp(ch, "fmt ", 4)) {
+      unsigned char fmt[16];
+      if (size < 16 || std::fread(fmt, 1, 16, fp) != 16) break;
+      channels = fmt[2] | (fmt[3] << 8);
+      *rate = fmt[4] | (fmt[5] << 8) | (fmt[6] << 16) | (fmt[7] << 24);
+      bits = fmt[14] | (fmt[15] << 8);
+      if (size > 16) std::fseek(fp, size - 16, SEEK_CUR);
+    } else if (!std::memcmp(ch, "data", 4)) {
+      if (channels <= 0 || bits != 16) break;
+      const long n_samp = size / 2 / channels;
+      if (!out) {
+        n_out = n_samp;
+        break;
+      }
+      if (n_samp > cap) break;
+      std::vector<int16_t> buf(static_cast<size_t>(n_samp) * channels);
+      if (std::fread(buf.data(), 2, buf.size(), fp) != buf.size()) break;
+      for (long i = 0; i < n_samp; ++i) {
+        double acc = 0.0;
+        for (int c = 0; c < channels; ++c) acc += buf[i * channels + c];
+        out[i] = static_cast<float>(acc / channels / 32768.0);
+      }
+      n_out = n_samp;
+      break;
+    } else {
+      std::fseek(fp, (size + 1) & ~1u, SEEK_CUR);  // chunks are word-aligned
+    }
+  }
+  std::fclose(fp);
+  return n_out;
+}
+
+}  // extern "C"

@@ -11,12 +11,17 @@ These env vars must be set before jax is imported anywhere.
 import os
 
 if os.environ.get("TPUFEAT_TEST_TPU") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # This sandbox's sitecustomize force-registers the "axon" TPU plugin and
+    # sets jax.config jax_platforms="axon,cpu" in every process, overriding
+    # the env var — override it back after import, before backend init.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

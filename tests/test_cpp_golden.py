@@ -1,0 +1,80 @@
+"""Three-way golden parity (SURVEY.md §4): C++ native golden vs NumPy
+float64 golden vs the JAX pipeline, and the native vs Python WAV decoders."""
+
+import numpy as np
+import pytest
+
+from tpufeat import cpp_golden, features, io
+from tpufeat.config import MFCC13_HTK, FeatureConfig
+from tpufeat.reference import cpu
+
+from conftest import make_signal
+
+pytestmark = pytest.mark.skipif(
+    not cpp_golden.available(), reason="C++ golden failed to build")
+
+
+class TestThreeWayParity:
+    def test_cpp_vs_numpy_golden(self):
+        """Two independent float64 implementations (C++ radix-2 FFT vs
+        np.fft) must agree to near machine epsilon."""
+        sig = make_signal(16000, seed=60).astype(np.float64)
+        a = cpp_golden.mfcc_native(sig, MFCC13_HTK)
+        b = cpu.mfcc(sig, MFCC13_HTK)
+        assert a.shape == b.shape == (98, 13)
+        assert np.abs(a - b).max() < 1e-9
+
+    def test_cpp_vs_tpu_path(self):
+        sig = make_signal(8000, seed=61)
+        a = cpp_golden.mfcc_native(sig.astype(np.float64), MFCC13_HTK)
+        b = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        assert np.abs(a - b).max() < 1e-3
+
+    def test_lifter(self):
+        cfg = FeatureConfig(lifter=22)
+        sig = make_signal(4000, seed=62).astype(np.float64)
+        a = cpp_golden.mfcc_native(sig, cfg)
+        b = cpu.mfcc(sig, cfg)
+        assert np.abs(a - b).max() < 1e-9
+
+    def test_short_signal(self):
+        out = cpp_golden.mfcc_native(np.zeros(100), MFCC13_HTK)
+        assert out.shape == (0, 13)
+
+    def test_rejects_uncovered_configs(self):
+        from tpufeat.config import WHISPER80
+        with pytest.raises(ValueError):
+            cpp_golden.mfcc_native(np.zeros(1000), WHISPER80)
+
+
+class TestNativeWav:
+    def test_matches_python_reader(self, tmp_path):
+        sig = make_signal(12345, seed=63)
+        path = str(tmp_path / "t.wav")
+        io.write_wav(path, sig, 16000)
+        a, ra = cpp_golden.read_wav_native(path)
+        b, rb = io.read_wav(path, native=False)
+        assert ra == rb == 16000
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_stereo_average(self, tmp_path):
+        import wave
+        sig = make_signal(4000, seed=64)
+        path = str(tmp_path / "s.wav")
+        pcm = np.clip(np.round(np.stack([sig, sig], 1) * 32768),
+                      -32768, 32767).astype("<i2")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        a, _ = cpp_golden.read_wav_native(path)
+        b, _ = io.read_wav(path, native=False)
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_rejects_garbage(self, tmp_path):
+        path = str(tmp_path / "bad.wav")
+        with open(path, "wb") as f:
+            f.write(b"not a wav file at all")
+        with pytest.raises(ValueError):
+            cpp_golden.read_wav_native(path)

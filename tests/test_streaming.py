@@ -1,0 +1,147 @@
+"""Streaming equivalence (config 4, SURVEY.md §4).
+
+Identical chunkings are bit-identical (same compiled program). One-shot vs
+chunked agree to XLA reduction-order noise (reductions tile differently for
+different batch shapes): gated at 1e-5 of feature scale — carry/off-by-one
+bugs would produce O(1) errors."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpufeat import features, streaming
+from tpufeat.config import FeatureConfig, MFCC13_HTK, WHISPER80
+from tpufeat.reference import cpu
+
+from conftest import make_signal
+
+
+def stream_extract(sig, cfg, chunk_sizes):
+    """Feed `sig` through process_chunk with the given chunk sizes and
+    concatenate valid frames."""
+    fe = streaming.StreamingFrontend(cfg, batch_size=1)
+    outs = []
+    pos = 0
+    for c in chunk_sizes:
+        chunk = sig[pos: pos + c]
+        pos += c
+        if len(chunk) == 0:
+            break
+        feats, mask = fe.process(chunk[None] if chunk.ndim == 1 else chunk)
+        feats, mask = np.asarray(feats[0]), np.asarray(mask[0])
+        outs.append(feats[mask])
+    assert pos >= len(sig), "chunk plan must cover the signal"
+    return np.concatenate(outs, axis=0) if outs else np.zeros((0, cfg.feature_dim))
+
+
+def plan(total, size):
+    out = [size] * (total // size)
+    if total % size:
+        out.append(total % size)
+    return out
+
+
+def assert_stream_equal(chunked, one):
+    assert chunked.shape == one.shape
+    scale = max(np.abs(one).max(), 1.0)
+    err = np.abs(chunked - one).max() / scale
+    assert err < 1e-5, f"relative err {err}"
+
+
+class TestEquivalence:
+    @pytest.mark.parametrize("chunk", [160, 480, 1600, 4000])
+    def test_uniform_chunks(self, chunk):
+        sig = make_signal(16000, seed=40)
+        one = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        chunked = stream_extract(sig, MFCC13_HTK, plan(16000, chunk))
+        assert_stream_equal(chunked, one)
+
+    def test_ragged_chunks(self):
+        sig = make_signal(12003, seed=41)
+        sizes = [7, 353, 1600, 159, 160, 161, 2048, 4000, 3515]
+        assert sum(sizes) == 12003
+        one = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        chunked = stream_extract(sig, MFCC13_HTK, sizes)
+        assert_stream_equal(chunked, one)
+
+    def test_gemm_dft_streaming(self):
+        cfg = dataclasses.replace(MFCC13_HTK, gemm_dft=True)
+        sig = make_signal(8000, seed=42)
+        one = np.asarray(features.extract(sig, cfg=cfg).features)
+        chunked = stream_extract(sig, cfg, plan(8000, 480))
+        assert_stream_equal(chunked, one)
+
+    def test_kaldi_mode_streaming(self):
+        cfg = FeatureConfig(kaldi_mode=True, dc_offset=True, window="povey")
+        sig = make_signal(8000, seed=43)
+        one = np.asarray(features.extract(sig, cfg=cfg).features)
+        chunked = stream_extract(sig, cfg, plan(8000, 1600))
+        assert_stream_equal(chunked, one)
+
+
+class TestStreamingMechanics:
+    def test_rejects_global_configs(self):
+        with pytest.raises(ValueError):
+            streaming.StreamingFrontend(WHISPER80)
+        with pytest.raises(ValueError):
+            streaming.StreamingFrontend(FeatureConfig(deltas=True))
+
+    def test_batched_streams(self):
+        sigs = [make_signal(4800, seed=50), make_signal(4800, seed=51)]
+        fe = streaming.StreamingFrontend(MFCC13_HTK, batch_size=2)
+        feats, mask = fe.process(np.stack(sigs))
+        for b, s in enumerate(sigs):
+            one = np.asarray(features.extract(s, cfg=MFCC13_HTK).features)
+            got = np.asarray(feats[b])[np.asarray(mask[b])]
+            assert_stream_equal(got, one)
+
+    def test_scan_driver_matches_oneshot(self):
+        sig = make_signal(16000, seed=52)
+        K, C = 10, 1600
+        chunks = jnp.asarray(sig.reshape(K, 1, C))
+        state = streaming.init_state(1, MFCC13_HTK)
+        _, (feats, mask) = streaming.scan_chunks(state, chunks, MFCC13_HTK)
+        got = np.asarray(feats)[:, 0][np.asarray(mask)[:, 0]]
+        one = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        assert_stream_equal(got, one)
+
+    def test_state_checkpoint_roundtrip(self, tmp_path):
+        sig = make_signal(6400, seed=53)
+        fe = streaming.StreamingFrontend(MFCC13_HTK)
+        f1, m1 = fe.process(sig[None, :3200])
+        path = str(tmp_path / "state.npz")
+        streaming.save_state(path, fe.state)
+        # resume in a fresh frontend
+        fe2 = streaming.StreamingFrontend(MFCC13_HTK)
+        fe2.state = streaming.load_state(path, fe2.state)
+        f2, m2 = fe2.process(sig[None, 3200:])
+        got = np.concatenate([np.asarray(f1[0])[np.asarray(m1[0])],
+                              np.asarray(f2[0])[np.asarray(m2[0])]])
+        one = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        assert_stream_equal(got, one)
+
+    def test_bitwise_identical_chunkings(self):
+        # same chunk shapes -> same compiled program -> bitwise equal, and
+        # scan vs eager loop must match exactly too
+        sig = make_signal(8000, seed=55)
+        a = stream_extract(sig, MFCC13_HTK, plan(8000, 1600))
+        b = stream_extract(sig, MFCC13_HTK, plan(8000, 1600))
+        np.testing.assert_array_equal(a, b)
+        chunks = jnp.asarray(sig.reshape(5, 1, 1600))
+        state = streaming.init_state(1, MFCC13_HTK)
+        _, (feats, mask) = streaming.scan_chunks(state, chunks, MFCC13_HTK)
+        got = np.asarray(feats)[:, 0][np.asarray(mask)[:, 0]]
+        np.testing.assert_array_equal(got, a)
+
+    def test_running_cmvn_converges(self):
+        # after many frames, running mean ~ utterance mean
+        sig = make_signal(32000, seed=54)
+        res = features.extract(sig, cfg=MFCC13_HTK)
+        feats = np.asarray(res.features)[None]
+        stats = streaming.init_cmvn(1, 13)
+        mask = jnp.ones(feats.shape[:2], bool)
+        stats, _ = streaming.streaming_cmvn(stats, jnp.asarray(feats), mask)
+        np.testing.assert_allclose(
+            np.asarray(stats.mean[0]), feats[0].mean(axis=0), atol=1e-4)

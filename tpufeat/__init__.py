@@ -1,0 +1,27 @@
+"""tpufeat — TPU-native ASR feature extraction (JAX/XLA/Pallas).
+
+A brand-new rebuild of the capabilities of the OpenCL ASR front-end
+reference (mankeyboy/ASR-FeatExt-OpenCL): WAV in -> pre-emphasis, overlapped
+framing, windowing, FFT, power spectrum, mel filterbank, log, DCT-II MFCCs
+out — designed TPU-first per SURVEY.md. Public API:
+
+    from tpufeat import extract, read_wav, MFCC13_HTK, WHISPER80
+    samples, rate = read_wav("utt.wav")
+    feats = extract(samples, cfg=WHISPER80).features
+"""
+
+from tpufeat.config import (FeatureConfig, KALDI39, MFCC13_HTK, PRESETS,
+                            STREAMING160, WHISPER80)
+from tpufeat.features import FeatureResult, extract, make_extractor
+from tpufeat.io import read_wav, write_wav
+from tpufeat.streaming import (StreamingFrontend, StreamState, init_state,
+                               process_chunk, scan_chunks)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FeatureConfig", "MFCC13_HTK", "WHISPER80", "KALDI39", "STREAMING160",
+    "PRESETS", "FeatureResult", "extract", "make_extractor", "read_wav",
+    "write_wav", "StreamingFrontend", "StreamState", "init_state",
+    "process_chunk", "scan_chunks", "__version__",
+]

@@ -1,0 +1,143 @@
+"""Command-line front-end (reference L4, SURVEY.md §1).
+
+The reference's ``main()`` reads a WAV, runs the CPU and GPU paths, compares
+them, and prints timings. The rebuild's CLI does the same jobs as subflags:
+
+  python -m tpufeat.cli audio.wav out.npy --preset mfcc13
+  python -m tpufeat.cli a.wav b.wav out.npz --preset whisper80   # batched
+  python -m tpufeat.cli audio.wav out.npy --validate             # vs goldens
+  python -m tpufeat.cli audio.wav out.npy --profile /tmp/trace   # XLA trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+from tpufeat import features, io
+from tpufeat.config import PRESETS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpufeat",
+        description="TPU-native ASR feature extraction (WAV -> features)")
+    p.add_argument("inputs", nargs="+",
+                   help="input WAV file(s) followed by the output path "
+                        "(.npy for one input, .npz for a batch)")
+    p.add_argument("--preset", default="mfcc13", choices=sorted(PRESETS),
+                   help="pipeline preset (default: mfcc13)")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="override a FeatureConfig field, e.g. --set n_mels=40 "
+                        "--set lifter=22 (repeatable)")
+    p.add_argument("--validate", action="store_true",
+                   help="also run the float64 NumPy and C++ goldens and "
+                        "print max-abs-error (the reference's check)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace into DIR")
+    p.add_argument("--time", action="store_true",
+                   help="print wall-clock timings and RTFx")
+    return p
+
+
+def parse_overrides(cfg, pairs):
+    fields = {f.name: f.type for f in dataclasses.fields(cfg)}
+    kw = {}
+    for pair in pairs:
+        k, _, v = pair.partition("=")
+        if k not in fields:
+            raise SystemExit(f"unknown config field {k!r}; valid: "
+                             f"{', '.join(sorted(fields))}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            kw[k] = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            kw[k] = int(v)
+        elif isinstance(cur, float) or cur is None:
+            kw[k] = float(v)
+        else:
+            kw[k] = v
+    return dataclasses.replace(cfg, **kw)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if len(args.inputs) < 2:
+        raise SystemExit("need at least one input WAV and one output path")
+    *wavs, out_path = args.inputs
+    cfg = parse_overrides(PRESETS[args.preset], args.set)
+
+    sigs, rates = zip(*(io.read_wav(w) for w in wavs))
+    for w, r in zip(wavs, rates):
+        if r != cfg.sample_rate:
+            raise SystemExit(f"{w}: sample rate {r} != config "
+                             f"{cfg.sample_rate} (resampling not implied "
+                             f"by the pipeline; resample offline)")
+    lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+    batch = np.zeros((len(sigs), int(lengths.max())), dtype=np.float32)
+    for b, s in enumerate(sigs):
+        batch[b, : len(s)] = s
+
+    def run():
+        res = features.extract(batch, lengths, cfg)
+        res.features.block_until_ready()
+        return res
+
+    t0 = time.perf_counter()
+    res = run()
+    compile_s = time.perf_counter() - t0
+
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            run()
+        print(f"profile trace written to {args.profile}", file=sys.stderr)
+
+    feats = np.asarray(res.features)
+    mask = np.asarray(res.mask)
+    if len(wavs) == 1:
+        np.save(out_path, feats[0][mask[0]])
+    else:
+        np.savez(out_path, features=feats, mask=mask, lengths=lengths)
+    print(f"wrote {out_path}: batch={feats.shape[0]} frames={feats.shape[1]} "
+          f"dim={feats.shape[2]}", file=sys.stderr)
+
+    if args.time:
+        t1 = time.perf_counter()
+        run()
+        steady = time.perf_counter() - t1
+        audio_s = float(lengths.sum()) / cfg.sample_rate
+        print(json.dumps({
+            "compile_plus_run_s": round(compile_s, 4),
+            "steady_state_s": round(steady, 6),
+            "audio_s": round(audio_s, 3),
+            "rtfx": round(audio_s / steady, 1),
+        }))
+
+    if args.validate:
+        from tpufeat.reference import cpu
+        errs = {}
+        for b, s in enumerate(sigs):
+            gold = cpu.extract(s.astype(np.float64), cfg)
+            got = feats[b][mask[b]]
+            errs.setdefault("numpy_f64", 0.0)
+            errs["numpy_f64"] = max(errs["numpy_f64"],
+                                    float(np.abs(got - gold).max()))
+            try:
+                from tpufeat import cpp_golden
+                g2 = cpp_golden.mfcc_native(s.astype(np.float64), cfg)
+                errs["cpp_golden"] = max(errs.get("cpp_golden", 0.0),
+                                         float(np.abs(got - g2).max()))
+            except Exception:
+                pass  # C++ golden covers classic configs only
+        print(json.dumps({"max_abs_err": errs}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -82,7 +82,7 @@ class FeatureConfig:
     #                                  masked over valid frames)
 
     # --- execution ---
-    use_pallas: bool = True          # fused Pallas mel/log/DCT kernel on TPU
+    use_pallas: bool = False         # fused Pallas mel/log/DCT kernel on TPU
     gemm_dft: bool = False           # GEMM-native DFT (matmul) inside Pallas
     #                                  instead of XLA rFFT (MelT-style)
 

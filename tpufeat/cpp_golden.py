@@ -1,0 +1,90 @@
+"""ctypes bindings for the native C++ golden (cpp_ref/, SURVEY.md §2 C10).
+
+Builds ``libtpufeat_ref.so`` lazily with ``make`` on first use (g++ is in
+the image; no pybind11, so plain C ABI + ctypes). Gives the rebuild the same
+native-for-native validation story as the reference's serial C++ oracle, and
+a native WAV decode path (C1)."""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+
+import numpy as np
+
+from tpufeat.config import FeatureConfig
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "cpp_ref")
+_SO = os.path.join(_DIR, "libtpufeat_ref.so")
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    if not os.path.exists(_SO):
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+    lib = ctypes.CDLL(_SO)
+    lib.tpufeat_mfcc_f64.restype = ctypes.c_long
+    lib.tpufeat_mfcc_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+    lib.tpufeat_num_frames.restype = ctypes.c_long
+    lib.tpufeat_num_frames.argtypes = [ctypes.c_long, ctypes.c_int,
+                                       ctypes.c_int]
+    lib.tpufeat_read_wav.restype = ctypes.c_long
+    lib.tpufeat_read_wav.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.c_long,
+                                     ctypes.POINTER(ctypes.c_int)]
+    return lib
+
+
+def available() -> bool:
+    """True when the shared library is built (or buildable)."""
+    try:
+        _lib()
+        return True
+    except Exception:
+        return False
+
+
+def mfcc_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Run the C++ double-precision MFCC pipeline. Classic (config-1 style)
+    semantics only: center=False, Hamming, HTK bin-style mel, natural log."""
+    if cfg.center or cfg.window != "hamming" or cfg.mel_scale != "htk" \
+            or cfg.mel_bin_style != "bin" or cfg.log != "natural" \
+            or cfg.kaldi_mode or cfg.n_mfcc <= 0:
+        raise ValueError("C++ golden covers the classic MFCC configuration")
+    lib = _lib()
+    x = np.ascontiguousarray(signal, dtype=np.float64)
+    nf = lib.tpufeat_num_frames(len(x), cfg.frame_length, cfg.hop_length)
+    out = np.zeros((max(nf, 0), cfg.n_mfcc), dtype=np.float64)
+    if nf > 0:
+        got = lib.tpufeat_mfcc_f64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
+            cfg.sample_rate, cfg.frame_length, cfg.hop_length, cfg.n_fft,
+            cfg.preemphasis, cfg.n_mels, cfg.n_mfcc, cfg.fmin, cfg.fmax_hz,
+            cfg.log_floor, cfg.lifter,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        assert got == nf
+    return out
+
+
+def read_wav_native(path: str) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit PCM WAV with the C++ RIFF parser -> (float32, rate)."""
+    lib = _lib()
+    rate = ctypes.c_int(0)
+    n = lib.tpufeat_read_wav(path.encode(), None, 0, ctypes.byref(rate))
+    if n < 0:
+        raise ValueError(f"not a readable 16-bit PCM WAV: {path}")
+    out = np.zeros(n, dtype=np.float32)
+    got = lib.tpufeat_read_wav(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, ctypes.byref(rate))
+    if got != n:
+        raise IOError(f"short read decoding {path}")
+    return out, rate.value

@@ -1,0 +1,203 @@
+"""Batched one-shot feature extraction — the framework's main entry point.
+
+Composes references C2-C9 + C16 into a single jitted program: exactly one
+device dispatch per batch, versus the reference's 6-10 sequential OpenCL
+kernel launches (SURVEY.md §3.1 vs §3.4). XLA fuses the strided gather,
+windowing, and elementwise stages; the mel/log/DCT tail optionally runs as
+one fused Pallas kernel driving the MXU (pallas/fused.py).
+
+All length handling is masked/static-shape: utterances are padded to a
+common N, every length-dependent reduction (CMVN, Whisper's per-utterance
+max) sees valid frames only, and padding contents provably never leak into
+valid outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufeat import framing, matrices, spectrum
+from tpufeat.config import MFCC13_HTK, FeatureConfig
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class FeatureResult(NamedTuple):
+    """features: [B, F, D] (or [F, D] for unbatched input); mask: [B, F]
+    bool validity; num_frames: [B] int32 valid frame counts."""
+    features: jnp.ndarray
+    mask: jnp.ndarray
+    num_frames: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Stage implementations (traced)
+# ---------------------------------------------------------------------------
+
+def apply_log(mel: jnp.ndarray, mask: jnp.ndarray,
+              cfg: FeatureConfig) -> jnp.ndarray:
+    """Log compression (reference C8), mask-aware for the Whisper variant
+    whose clamp threshold is a per-utterance max over valid frames."""
+    if cfg.log == "none":
+        return mel
+    floored = jnp.maximum(mel, cfg.log_floor)
+    if cfg.log == "natural":
+        return jnp.log(floored)
+    ls = jnp.log10(floored)
+    if cfg.log == "log10":
+        return ls
+    # whisper: clamp at per-utterance max - 8, then (x+4)/4
+    neg_inf = jnp.asarray(-jnp.inf, ls.dtype)
+    valid = jnp.where(mask[..., None], ls, neg_inf)
+    m = jnp.max(valid, axis=(-2, -1), keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # all-masked utterance guard
+    ls = jnp.maximum(ls, m - 8.0)
+    return (ls + 4.0) / 4.0
+
+
+def deltas(feat: jnp.ndarray, num_frames: jnp.ndarray,
+           window: int = 2) -> jnp.ndarray:
+    """Regression deltas with per-utterance edge replication (reference C16).
+
+    Edge replication must happen at each utterance's true last frame, not at
+    the padded end — implemented as a clipped gather so one static program
+    serves every length."""
+    F = feat.shape[-2]
+    t = jnp.arange(F)
+    hi = jnp.maximum(num_frames - 1, 0)[:, None]          # [B, 1]
+    denom = 2.0 * sum(i * i for i in range(1, window + 1))
+    out = jnp.zeros_like(feat)
+    for i in range(1, window + 1):
+        plus = jnp.clip(t[None, :] + i, 0, hi)
+        minus = jnp.clip(t[None, :] - i, 0, hi)
+        out = out + i * (
+            jnp.take_along_axis(feat, plus[..., None], axis=-2)
+            - jnp.take_along_axis(feat, minus[..., None], axis=-2))
+    return out / denom
+
+
+def cmvn(feat: jnp.ndarray, mask: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Per-utterance cepstral mean (and variance) normalization over valid
+    frames only (reference C16 / SURVEY.md §2.1 config 3)."""
+    if mode == "none":
+        return feat
+    m = mask[..., None].astype(feat.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+    mean = jnp.sum(feat * m, axis=-2, keepdims=True) / cnt
+    out = feat - mean
+    if mode == "meanvar":
+        var = jnp.sum((feat - mean) ** 2 * m, axis=-2, keepdims=True) / cnt
+        out = out / jnp.sqrt(var + 1e-10)
+    return out
+
+
+def mel_log_dct_xla(spec: jnp.ndarray, mask: jnp.ndarray,
+                    cfg: FeatureConfig) -> jnp.ndarray:
+    """Unfused XLA tail: mel filterbank matmul -> log -> DCT (+lifter).
+
+    References C7-C9. The Pallas path (pallas/fused.py) computes the same
+    function in one kernel; this is the always-available oracle twin."""
+    dt = spec.dtype
+    fb = jnp.asarray(matrices.mel_filterbank(
+        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style), dt)
+    mel = jnp.dot(spec, fb, precision=HIGHEST)
+    logm = apply_log(mel, mask, cfg)
+    if cfg.n_mfcc <= 0:
+        return logm
+    dct = jnp.asarray(matrices.dct_matrix(cfg.n_mels, cfg.n_mfcc), dt)
+    out = jnp.dot(logm, dct, precision=HIGHEST)
+    if cfg.lifter > 0:
+        out = out * jnp.asarray(
+            matrices.lifter_vector(cfg.n_mfcc, cfg.lifter), dt)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
+                 cfg: FeatureConfig) -> FeatureResult:
+    """Traced pipeline body: padded batch [B, N] -> FeatureResult.
+
+    Call via :func:`extract` (handles jit caching and input promotion) or
+    jit it yourself with ``static_argnames=("cfg",)``.
+    """
+    if cfg.preemphasis and not cfg.kaldi_mode:
+        x = framing.preemphasize(x, cfg.preemphasis)
+    frames, mask = framing.frame_signal(x, lengths, cfg)
+    frames = framing.condition_frames(frames, cfg)
+
+    use_pallas = cfg.use_pallas and frames.shape[-2] > 0
+    if use_pallas:
+        from tpufeat.pallas import fused
+        feat = fused.spectro_features(frames, mask, cfg)
+    else:
+        if cfg.gemm_dft:
+            spec = spectrum.power_spectrum_gemm(frames, cfg)
+        else:
+            w = jnp.asarray(matrices.window(cfg.window, cfg.frame_length),
+                            frames.dtype)
+            spec = spectrum.power_spectrum_rfft(frames * w, cfg)
+        feat = mel_log_dct_xla(spec, mask, cfg)
+
+    nf = framing.num_frames_dynamic(lengths, cfg)
+    if cfg.deltas:
+        d1 = deltas(feat, nf, cfg.delta_window)
+        d2 = deltas(d1, nf, cfg.delta_window)
+        feat = jnp.concatenate([feat, d1, d2], axis=-1)
+    feat = cmvn(feat, mask, cfg.cmvn)
+    return FeatureResult(feat, mask, nf)
+
+
+_extract_jit = jax.jit(extract_impl, static_argnames=("cfg",))
+
+
+def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
+            jit: bool = True) -> FeatureResult:
+    """WAV samples -> features. The public one-shot API (SURVEY.md §3.4).
+
+    Args:
+      signal: [N] or [B, N] float audio (int16 is scaled by 1/32768).
+      lengths: [B] true lengths for padded batches; default = full width.
+      cfg: a :class:`FeatureConfig` (hashable; each distinct config+shape
+        compiles once and is cached by jax).
+      jit: set False to run eagerly (debugging).
+
+    Returns a :class:`FeatureResult`; for 1-D input the batch axis is
+    squeezed away from ``features``/``mask``.
+    """
+    x = jnp.asarray(signal)
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) / 32768.0
+    elif x.dtype != jnp.float64:
+        x = x.astype(jnp.float32)
+    single = x.ndim == 1
+    if single:
+        x = x[None]
+    if lengths is None:
+        lengths = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
+    else:
+        lengths = jnp.asarray(lengths, jnp.int32)
+    fn = _extract_jit if jit else extract_impl
+    res = fn(x, lengths, cfg)
+    if single:
+        res = FeatureResult(res.features[0], res.mask[0], res.num_frames[0])
+    return res
+
+
+@functools.lru_cache(maxsize=None)
+def make_extractor(cfg: FeatureConfig, donate: bool = False):
+    """Build a jitted ``(signal, lengths) -> FeatureResult`` closure for
+    ``cfg``. ``donate=True`` donates the input signal buffer (useful in
+    steady-state serving where the host rewrites it every call)."""
+    return jax.jit(
+        functools.partial(extract_impl, cfg=cfg),
+        donate_argnums=(0,) if donate else (),
+    )
