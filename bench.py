@@ -1,0 +1,124 @@
+"""Headline benchmark: RTFx for 80-bin log-mel + MFCC-13 on batched 16 kHz
+audio, one TPU chip (BASELINE.json:metric; target >10,000x real-time).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 10_000 (the north-star target; the reference publishes
+no numbers — BASELINE.md). Details go to stderr.
+
+Method (SURVEY.md §2 C13): steady-state, one jitted dispatch computing BOTH
+feature sets for the batch, warmup then median-of-k wall-clock around
+block_until_ready. Fidelity gate: max abs error vs the float64 CPU golden is
+checked and reported alongside.
+"""
+
+import dataclasses
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(batch: int = 32, seconds: int = 30, iters: int = 20,
+         use_pallas: bool = True, gemm_dft: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from tpufeat import features
+    from tpufeat.config import MFCC13_HTK, WHISPER80
+
+    backend = jax.default_backend()
+    log(f"backend={backend} devices={jax.devices()}")
+    if backend != "tpu":
+        log("WARNING: not on TPU; numbers will not be representative")
+        use_pallas = use_pallas and False  # interpret mode is not a benchmark
+
+    sr = 16000
+    n = seconds * sr
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal((batch, n)) * 0.1).astype(np.float32)
+    lengths = np.full((batch,), n, dtype=np.int32)
+
+    cfg_mel = dataclasses.replace(WHISPER80, use_pallas=use_pallas,
+                                  gemm_dft=gemm_dft)
+    cfg_mfcc = dataclasses.replace(MFCC13_HTK, use_pallas=use_pallas,
+                                   gemm_dft=gemm_dft)
+
+    @jax.jit
+    def dual(x, l):
+        mel = features.extract_impl(x, l, cfg_mel).features
+        mfcc = features.extract_impl(x, l, cfg_mfcc).features
+        return mel, mfcc
+
+    # Timing forces completion with a SEPARATE tiny checksum dispatch whose
+    # scalar result is fetched to host: (a) block_until_ready is unreliable
+    # on relayed/experimental platforms (returns before execution on axon),
+    # (b) putting the checksum inside the measured jit would let XLA skip
+    # materializing the feature tensors in HBM and overstate throughput.
+    @jax.jit
+    def checksum(mel, mfcc):
+        return mel.sum() + mfcc.sum()
+
+    x = jax.device_put(jnp.asarray(sig))
+    l = jax.device_put(jnp.asarray(lengths))
+
+    t0 = time.perf_counter()
+    mel, mfcc = dual(x, l)
+    float(checksum(mel, mfcc))
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s  "
+        f"mel={mel.shape} mfcc={mfcc.shape}")
+
+    for _ in range(3):  # warmup
+        float(checksum(*dual(x, l)))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(checksum(*dual(x, l)))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    audio_s = batch * seconds
+    rtfx = audio_s / dt
+    frames_per_s = (mel.shape[0] * mel.shape[1] + mfcc.shape[0] * mfcc.shape[1]) / dt
+
+    # fidelity gate vs float64 golden (one utterance is enough for the gate)
+    from tpufeat.reference import cpu
+    gm = cpu.extract(sig[0].astype(np.float64), cfg_mel)
+    gc = cpu.extract(sig[0].astype(np.float64), cfg_mfcc)
+    err_mel = float(np.abs(np.asarray(mel[0]) - gm).max())
+    err_mfcc = float(np.abs(np.asarray(mfcc[0]) - gc).max())
+    log(f"median {dt*1e3:.2f} ms for {audio_s}s audio  "
+        f"rtfx={rtfx:,.0f}  frames/s={frames_per_s:,.0f}  "
+        f"max_abs_err mel={err_mel:.2e} mfcc={err_mfcc:.2e}")
+
+    return {
+        "metric": "rtfx_logmel80_plus_mfcc13_batched_16khz",
+        "value": round(rtfx, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtfx / 10_000.0, 4),
+        "frames_per_sec_per_chip": round(frames_per_s, 0),
+        "max_abs_err_vs_cpu_ref": max(err_mel, err_mfcc),
+        "batch": batch,
+        "audio_seconds_per_call": batch * seconds,
+        "pallas": use_pallas,
+        "gemm_dft": gemm_dft,
+        "backend": backend,
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--seconds", type=int, default=30)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--no-gemm", action="store_true")
+    a = p.parse_args()
+    result = main(a.batch, a.seconds, a.iters,
+                  use_pallas=not a.no_pallas, gemm_dft=not a.no_gemm)
+    print(json.dumps(result))

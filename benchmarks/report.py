@@ -1,0 +1,132 @@
+"""Detailed benchmark harness (reference C13: per-kernel timing table).
+
+Where the OpenCL reference prints per-kernel cl_event times and a CPU-vs-GPU
+speedup table, this harness reports steady-state RTFx, frames/s/chip, and
+fidelity per workload config, as machine-readable JSON (SURVEY.md §5
+"Metrics"). The repo-root ``bench.py`` is the driver-facing single-line
+headline; this file is the engineering view.
+
+  python -m benchmarks.report --batch 32 --seconds 30
+  python -m benchmarks.report --profile /tmp/trace   # adds an XLA trace capture
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, iters=10, warmup=3):
+    """Steady-state median. Completion is forced by a separate jitted
+    checksum dispatch fetched to host — block_until_ready is a no-op on the
+    relayed axon platform, and an in-jit checksum would let XLA dead-code the
+    HBM materialization of the outputs (see bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def checksum(t):
+        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(t))
+
+    def run():
+        return float(checksum(fn(*args)))
+
+    run()  # compile
+    for _ in range(warmup):
+        run()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_config(name, cfg, batch, seconds, iters, golden_check=True):
+    import jax
+    import jax.numpy as jnp
+    from tpufeat import features
+
+    sr = cfg.sample_rate
+    n = seconds * sr
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal((batch, n)) * 0.1).astype(np.float32)
+    x = jax.device_put(jnp.asarray(sig))
+    l = jax.device_put(jnp.full((batch,), n, jnp.int32))
+    fn = features.make_extractor(cfg)
+    dt = time_fn(lambda a, b: fn(a, b).features, x, l, iters=iters)
+    res = fn(x, l)
+    frames = int(np.asarray(res.num_frames).sum())
+    row = {
+        "config": name,
+        "batch": batch,
+        "audio_s": batch * seconds,
+        "median_s": round(dt, 6),
+        "rtfx": round(batch * seconds / dt, 1),
+        "frames_per_s": round(frames / dt, 0),
+        "ms_per_30s_utt": round(dt / batch * 1e3, 3),
+    }
+    if golden_check:
+        from tpufeat.reference import cpu
+        gold = cpu.extract(sig[0].astype(np.float64), cfg)
+        row["max_abs_err"] = float(
+            np.abs(np.asarray(res.features[0])[: gold.shape[0]] - gold).max())
+    return row
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--seconds", type=int, default=30)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--profile", default=None)
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--gemm", action="store_true",
+                   help="use the fully fused GEMM-native DFT kernel")
+    args = p.parse_args(argv)
+
+    import jax
+    from tpufeat.config import KALDI39, MFCC13_HTK, WHISPER80
+    log(f"backend={jax.default_backend()}")
+
+    rows = []
+    for name, cfg in [("mfcc13", MFCC13_HTK), ("whisper80", WHISPER80),
+                      ("kaldi39", KALDI39)]:
+        cfg = dataclasses.replace(cfg, use_pallas=not args.no_pallas,
+                                  gemm_dft=args.gemm)
+        row = bench_config(name, cfg, args.batch, args.seconds, args.iters)
+        log(f"{name:10s} rtfx={row['rtfx']:>12,.0f} "
+            f"frames/s={row['frames_per_s']:>12,.0f} "
+            f"err={row.get('max_abs_err', float('nan')):.2e}")
+        rows.append(row)
+
+    if args.profile:
+        import jax.numpy as jnp
+        from tpufeat import features
+        cfg = dataclasses.replace(WHISPER80, use_pallas=not args.no_pallas,
+                                  gemm_dft=args.gemm)
+        rng = np.random.default_rng(0)
+        sig = (rng.standard_normal((args.batch, args.seconds * 16000)) * 0.1
+               ).astype(np.float32)
+        x = jax.device_put(jnp.asarray(sig))
+        l = jax.device_put(jnp.full((args.batch,), sig.shape[1], jnp.int32))
+        fn = features.make_extractor(cfg)
+        jax.block_until_ready(fn(x, l).features)
+        with jax.profiler.trace(args.profile):
+            jax.block_until_ready(fn(x, l).features)
+        log(f"trace -> {args.profile}")
+
+    print(json.dumps({"backend": jax.default_backend(), "results": rows}))
+
+
+if __name__ == "__main__":
+    main()

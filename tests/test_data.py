@@ -1,0 +1,49 @@
+"""Batching/bucketing utilities (recompile-storm guard, SURVEY.md §7 #4)."""
+
+import numpy as np
+import pytest
+
+from tpufeat import data
+
+
+class TestBucketing:
+    def test_bucket_length_monotone_grid(self):
+        assert data.bucket_length(100) == 16000
+        assert data.bucket_length(16000) == 16000
+        assert data.bucket_length(16001) > 16000
+        # geometric: few distinct buckets over a wide range
+        ls = {data.bucket_length(n) for n in range(16000, 480000, 997)}
+        assert len(ls) <= 11
+        for n in range(16000, 480000, 997):
+            assert data.bucket_length(n) >= n
+
+    def test_batched_buckets_share_shapes(self):
+        rng = np.random.default_rng(0)
+        sigs = [np.zeros(int(n), np.float32)
+                for n in rng.integers(8000, 200000, size=37)]
+        batches = list(data.batched(sigs, 8))
+        # every signal appears exactly once
+        assert sum(b[0].shape[0] for b in batches) == 37
+        shapes = {b[0].shape[1] for b in batches}
+        # lengths 8k..200k span ~4.6 octaves -> <=2 buckets per octave + ends
+        assert len(shapes) <= 10
+        for x, lengths in batches:
+            assert (lengths <= x.shape[1]).all()
+            for row, l in zip(x, lengths):
+                assert (row[l:] == 0).all()
+
+    def test_batched_unbucketed_order(self):
+        sigs = [np.full(100 + i, i, np.float32) for i in range(5)]
+        batches = list(data.batched(sigs, 2, bucket=False))
+        assert [b[0].shape[0] for b in batches] == [2, 2, 1]
+        assert batches[0][0][0][0] == 0.0  # order preserved
+
+    def test_iter_wav_dir(self, tmp_path):
+        from tpufeat import io
+        for i in range(3):
+            io.write_wav(str(tmp_path / f"u{i}.wav"),
+                         np.zeros(1000 + i), 16000)
+        got = list(data.iter_wav_dir(str(tmp_path)))
+        assert len(got) == 3
+        assert [g[1].shape[0] for g in got] == [1000, 1001, 1002]
+        assert all(g[2] == 16000 for g in got)

@@ -1,0 +1,99 @@
+"""Config-5 encoders: shapes, mask invariance, end-to-end CTC training step
+(SURVEY.md §7 step 10)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufeat import features
+from tpufeat.config import WHISPER80
+from tpufeat.models import encoder as enc_lib
+from tpufeat.models import train as train_lib
+
+from conftest import make_signal
+
+
+class TestEncoders:
+    @pytest.mark.parametrize("arch", ["whisper", "conformer"])
+    def test_shapes(self, arch):
+        B, T, D = 2, 100, 80
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+        mask = jnp.ones((B, T), bool)
+        if arch == "whisper":
+            enc = enc_lib.WhisperEncoder(dim=64, layers=2, heads=2)
+        else:
+            enc = enc_lib.ConformerEncoder(dim=64, layers=2, heads=2)
+        params = enc.init(jax.random.PRNGKey(0), mel, mask)
+        out, m2 = enc.apply(params, mel, mask)
+        assert out.shape == (B, 50, 64)
+        assert m2.shape == (B, 50)
+
+    def test_mask_invariance(self):
+        """Padding frames must not change valid encoder outputs."""
+        B, T, D = 1, 64, 80
+        rng = np.random.default_rng(1)
+        mel = rng.standard_normal((B, T, D)).astype(np.float32)
+        mask = np.zeros((B, T), bool)
+        mask[:, :40] = True
+        enc = enc_lib.WhisperEncoder(dim=32, layers=1, heads=2)
+        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(mel),
+                          jnp.asarray(mask))
+        a, _ = enc.apply(params, jnp.asarray(mel), jnp.asarray(mask))
+        mel2 = mel.copy()
+        mel2[:, 40:] = 123.0  # garbage in padding
+        b, _ = enc.apply(params, jnp.asarray(mel2), jnp.asarray(mask))
+        # encoders zero padded frames at the input, so padding contents are
+        # fully inert: outputs identical everywhere
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_sinusoids(self):
+        s = enc_lib.sinusoids(10, 8)
+        assert s.shape == (10, 8)
+        np.testing.assert_allclose(s[0], [0, 0, 0, 0, 1, 1, 1, 1], atol=1e-7)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        import functools
+        import optax
+        cfg = dataclasses.replace(WHISPER80, use_pallas=False)
+        model = train_lib.make_models(dim=32, layers=1, heads=2, vocab=12)
+        tx = optax.adamw(3e-3)
+        rng = np.random.default_rng(2)
+        B, n = 2, 8000
+        audio = jnp.asarray((rng.standard_normal((B, n)) * 0.1)
+                            .astype(np.float32))
+        lengths = jnp.full((B,), n, jnp.int32)
+        labels = jnp.asarray(rng.integers(1, 12, (B, 5)), jnp.int32)
+        label_lengths = jnp.full((B,), 5, jnp.int32)
+
+        res = features.extract_impl(audio, lengths, cfg)
+        params = model.init(jax.random.PRNGKey(0), res.features, res.mask)
+        state = train_lib.TrainState(params, tx.init(params),
+                                     jnp.zeros((), jnp.int32))
+        step = jax.jit(functools.partial(train_lib.ctc_train_step,
+                                         model=model, tx=tx, cfg=cfg))
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, audio, lengths, labels, label_lengths)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+
+    def test_asr_forward_from_audio(self):
+        cfg = dataclasses.replace(WHISPER80, use_pallas=False)
+        model = train_lib.make_models(dim=32, layers=1, heads=2, vocab=12,
+                                      arch="conformer")
+        sig = make_signal(8000, seed=3)
+        audio = jnp.asarray(sig)[None]
+        lengths = jnp.array([8000], jnp.int32)
+        res = features.extract_impl(audio, lengths, cfg)
+        params = model.init(jax.random.PRNGKey(0), res.features, res.mask)
+        logits, mask = train_lib.asr_forward(params, model, audio, lengths,
+                                             cfg)
+        assert logits.shape[0] == 1 and logits.shape[2] == 12
+        assert np.isfinite(np.asarray(logits)).all()

@@ -1,0 +1,108 @@
+"""Multi-chip paths on the virtual 8-device CPU mesh (SURVEY.md §4
+"Multi-chip w/o cluster"): time-sharded halo exchange == one-shot, DP batch
+sharding == local, and 1-device degeneracy."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from tpufeat import features, sharding
+from tpufeat.config import FeatureConfig, KALDI39, MFCC13_HTK, WHISPER80
+
+from conftest import make_signal
+
+N_DEV = len(jax.devices())
+
+pytestmark = pytest.mark.skipif(
+    N_DEV < 2, reason="needs the 8-device CPU mesh (see conftest)")
+
+
+def one_shot(sig, cfg):
+    res = features.extract(sig, cfg=cfg)
+    return np.asarray(res.features)
+
+
+def assert_close(a, b, tol=1e-5):
+    assert a.shape == b.shape, (a.shape, b.shape)
+    scale = max(np.abs(b).max(), 1.0)
+    err = np.abs(a - b).max() / scale
+    assert err < tol, f"relative err {err}"
+
+
+class TestTimeSharded:
+    def test_mfcc13_matches_oneshot(self):
+        n = sharding.shardable_length(8 * 16000, MFCC13_HTK, N_DEV)
+        sig = make_signal(n, seed=90)
+        got = np.asarray(sharding.extract_time_sharded(sig, MFCC13_HTK))
+        assert_close(got, one_shot(sig, MFCC13_HTK))
+
+    def test_whisper_centered_reflect_and_pmax(self):
+        n = sharding.shardable_length(4 * 16000, WHISPER80, N_DEV)
+        sig = make_signal(n, seed=91)
+        got = np.asarray(sharding.extract_time_sharded(sig, WHISPER80))
+        assert_close(got, one_shot(sig, WHISPER80), tol=2e-5)
+
+    def test_kaldi39_deltas_cmvn_collectives(self):
+        n = sharding.shardable_length(6 * 16000, KALDI39, N_DEV)
+        sig = make_signal(n, seed=92)
+        got = np.asarray(sharding.extract_time_sharded(sig, KALDI39))
+        assert_close(got, one_shot(sig, KALDI39))
+
+    def test_padded_tail_masked(self):
+        """Zero-padding up to a shardable length must not distort CMVN or
+        the Whisper max (masked collectives)."""
+        cfg = dataclasses.replace(KALDI39, cmvn="meanvar")
+        raw = make_signal(51203, seed=93)
+        n = sharding.shardable_length(len(raw), cfg, N_DEV)
+        padded = np.zeros(n, np.float32)
+        padded[: len(raw)] = raw
+        got = np.asarray(sharding.extract_time_sharded(
+            padded, cfg, length=len(raw)))
+        # oracle: one-shot on the padded signal with an explicit length mask
+        res = features.extract(padded[None], np.array([len(raw)]), cfg)
+        want = np.asarray(res.features[0])[np.asarray(res.mask[0])]
+        tv = cfg.num_frames(len(raw))
+        assert_close(got[:tv], want)
+
+    def test_rejects_unshardable(self):
+        with pytest.raises(ValueError):
+            sharding.extract_time_sharded(np.zeros(1000 * N_DEV + 7),
+                                          MFCC13_HTK)
+
+    def test_single_device_degenerate(self):
+        mesh = sharding.default_mesh("time", jax.devices()[:1])
+        sig = make_signal(16000, seed=94)
+        got = np.asarray(sharding.extract_time_sharded(
+            sig, MFCC13_HTK, mesh=mesh))
+        assert_close(got, one_shot(sig, MFCC13_HTK))
+
+    def test_gemm_dft_sharded(self):
+        cfg = dataclasses.replace(MFCC13_HTK, gemm_dft=True)
+        n = sharding.shardable_length(3 * 16000, cfg, N_DEV)
+        sig = make_signal(n, seed=95)
+        got = np.asarray(sharding.extract_time_sharded(sig, cfg))
+        assert_close(got, one_shot(sig, cfg))
+
+
+class TestDataParallel:
+    def test_matches_local(self):
+        B = N_DEV * 2
+        sigs = np.stack([make_signal(16000, seed=100 + i) for i in range(B)])
+        lengths = np.full((B,), 16000, np.int32)
+        lengths[1] = 9000  # exercise masking across shards
+        res = sharding.extract_data_parallel(sigs, lengths, MFCC13_HTK)
+        local = features.extract(sigs, lengths, MFCC13_HTK)
+        np.testing.assert_array_equal(np.asarray(res.mask),
+                                      np.asarray(local.mask))
+        assert_close(np.asarray(res.features), np.asarray(local.features))
+
+    def test_sharding_layout(self):
+        B = N_DEV
+        sigs = np.stack([make_signal(4000, seed=110 + i) for i in range(B)])
+        res = sharding.extract_data_parallel(
+            sigs, np.full((B,), 4000, np.int32), MFCC13_HTK)
+        # output stays sharded over the batch axis — no implicit gather
+        shard_shapes = {s.data.shape for s in res.features.addressable_shards}
+        assert all(s[0] == B // N_DEV for s in shard_shapes)

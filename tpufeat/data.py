@@ -1,0 +1,84 @@
+"""Batching utilities: padding, length bucketing, WAV-directory loading.
+
+SURVEY.md §7 "hard parts" #4: variable-length batching must not cause a
+recompile storm — every distinct padded length N is a fresh XLA program.
+The fix is classic length bucketing: round padded lengths up to a coarse
+grid so a handful of programs serve any corpus. Masking guarantees the
+padding is inert (tests/test_extract_parity.py::test_padding_is_inert).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from tpufeat import io
+from tpufeat.config import FeatureConfig, MFCC13_HTK
+
+__all__ = ["pad_batch", "bucket_length", "batched", "iter_wav_dir"]
+
+
+def pad_batch(signals: Sequence[np.ndarray],
+              target_len: int | None = None
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length signals -> (padded [B, N] f32, lengths [B])."""
+    lengths = np.array([len(s) for s in signals], dtype=np.int32)
+    n = int(lengths.max()) if target_len is None else target_len
+    out = np.zeros((len(signals), n), dtype=np.float32)
+    for b, s in enumerate(signals):
+        out[b, : len(s)] = s
+    return out, lengths
+
+
+def bucket_length(n: int, *, grid: float = 2 ** 0.5,
+                  minimum: int = 16000) -> int:
+    """Round ``n`` up to a geometric grid (default sqrt(2) steps from 1 s
+    @16 kHz): bounds the number of compiled programs at ~2 per octave while
+    wasting <=41% padding worst-case, ~17% expected."""
+    if n <= minimum:
+        return minimum
+    import math
+    k = math.ceil(math.log(n / minimum, grid) - 1e-12)
+    return int(round(minimum * grid ** k))
+
+
+def batched(signals: Iterable[np.ndarray], batch_size: int,
+            *, bucket: bool = True,
+            grid: float = 2 ** 0.5) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Group signals into (padded_batch, lengths) tuples. With ``bucket``,
+    signals are grouped by bucketed length so each batch compiles against
+    one of a small set of shapes (sorted-within-stream, stable order)."""
+    if not bucket:
+        chunk: list[np.ndarray] = []
+        for s in signals:
+            chunk.append(np.asarray(s))
+            if len(chunk) == batch_size:
+                yield pad_batch(chunk)
+                chunk = []
+        if chunk:
+            yield pad_batch(chunk)
+        return
+    buckets: dict[int, list[np.ndarray]] = {}
+    for s in signals:
+        s = np.asarray(s)
+        key = bucket_length(len(s), grid=grid)
+        buckets.setdefault(key, []).append(s)
+        if len(buckets[key]) == batch_size:
+            yield pad_batch(buckets.pop(key), target_len=key)
+    for key in sorted(buckets):
+        yield pad_batch(buckets[key], target_len=key)
+
+
+def iter_wav_dir(path: str, *, native: bool | None = None
+                 ) -> Iterator[tuple[str, np.ndarray, int]]:
+    """Yield (filename, samples, rate) for every .wav under ``path`` —
+    the corpus-loading shim in front of :func:`batched`. Uses the native
+    C++ RIFF decoder when built (tpufeat/cpp_golden.py)."""
+    for root, _, names in sorted(os.walk(path)):
+        for name in sorted(names):
+            if name.lower().endswith(".wav"):
+                full = os.path.join(root, name)
+                samples, rate = io.read_wav(full, native=native)
+                yield full, samples, rate

@@ -39,6 +39,17 @@ class FeatureResult(NamedTuple):
 # Stage implementations (traced)
 # ---------------------------------------------------------------------------
 
+def whisper_normalize(ls: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Whisper's log-mel normalization tail: clamp at the per-utterance max
+    (over VALID frames only) minus 8 decades, then map to (x+4)/4."""
+    neg_inf = jnp.asarray(-jnp.inf, ls.dtype)
+    valid = jnp.where(mask[..., None], ls, neg_inf)
+    m = jnp.max(valid, axis=(-2, -1), keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # all-masked utterance guard
+    ls = jnp.maximum(ls, m - 8.0)
+    return (ls + 4.0) / 4.0
+
+
 def apply_log(mel: jnp.ndarray, mask: jnp.ndarray,
               cfg: FeatureConfig) -> jnp.ndarray:
     """Log compression (reference C8), mask-aware for the Whisper variant
@@ -51,13 +62,7 @@ def apply_log(mel: jnp.ndarray, mask: jnp.ndarray,
     ls = jnp.log10(floored)
     if cfg.log == "log10":
         return ls
-    # whisper: clamp at per-utterance max - 8, then (x+4)/4
-    neg_inf = jnp.asarray(-jnp.inf, ls.dtype)
-    valid = jnp.where(mask[..., None], ls, neg_inf)
-    m = jnp.max(valid, axis=(-2, -1), keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)  # all-masked utterance guard
-    ls = jnp.maximum(ls, m - 8.0)
-    return (ls + 4.0) / 4.0
+    return whisper_normalize(ls, mask)
 
 
 def deltas(feat: jnp.ndarray, num_frames: jnp.ndarray,

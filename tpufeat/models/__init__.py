@@ -1,0 +1,1 @@
+from tpufeat.models import encoder, train  # noqa: F401

@@ -1,0 +1,253 @@
+"""Multi-chip execution: data-parallel batches + time-sharded long audio.
+
+The OpenCL reference is single-device; its only parallelism is the NDRange
+over frames/butterflies (SURVEY.md §2.2). The TPU-native scaling story has
+two axes, both over a ``jax.sharding.Mesh``:
+
+- **Data parallel (DP)**: shard the utterance/batch axis. There are no
+  gradients, so DP is a pure sharded map — no collectives at all. One
+  ``NamedSharding`` annotation; XLA partitions the whole pipeline.
+
+- **Sequence parallel (SP)** — the honest audio analog of sequence/context
+  parallelism (SURVEY.md §2.2): shard a long recording's *time* axis. Each
+  device needs a halo from its neighbor because analysis windows overlap
+  shard boundaries:
+
+    * one sample leftward (pre-emphasis x[t-1] continuity),
+    * ``frame_length - hop`` = 240 samples rightward (frames whose window
+      crosses into the next shard),
+
+  exchanged with ``jax.lax.ppermute`` over ICI. Per-utterance reductions
+  then need one collective each: CMVN moments via masked ``psum``, Whisper's
+  log-mel max via ``pmax``. Deltas use a 2-feature-frame halo exchange.
+  The concatenated output equals the single-device result exactly up to
+  XLA reduction-order noise (no frame ever spans more than one halo).
+
+Tested on a virtual 8-device CPU mesh (tests/test_sharding.py) and via
+``__graft_entry__.dryrun_multichip``; degenerates gracefully to 1 device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpufeat import framing, matrices, spectrum
+from tpufeat.config import FeatureConfig, MFCC13_HTK
+from tpufeat.features import (FeatureResult, extract_impl, mel_log_dct_xla,
+                              whisper_normalize)
+
+__all__ = ["default_mesh", "extract_data_parallel", "extract_time_sharded",
+           "shardable_length"]
+
+
+def default_mesh(axis_name: str = "dp", devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.array(devices), (axis_name,))
+
+
+# ---------------------------------------------------------------------------
+# Data parallelism: one annotation, zero collectives
+# ---------------------------------------------------------------------------
+
+def extract_data_parallel(signal, lengths, cfg: FeatureConfig,
+                          mesh: Mesh | None = None,
+                          axis_name: str = "dp") -> FeatureResult:
+    """Batched extraction with the batch axis sharded over the mesh.
+
+    ``signal`` [B, N] with B divisible by the mesh size. The pipeline has no
+    cross-utterance coupling, so XLA compiles a fully local program per
+    device — linear scaling by construction."""
+    mesh = default_mesh(axis_name) if mesh is None else mesh
+    sharding = NamedSharding(mesh, P(axis_name))
+    x = jax.device_put(jnp.asarray(signal, jnp.float32), sharding)
+    l = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
+    fn = jax.jit(functools.partial(extract_impl, cfg=cfg),
+                 in_shardings=(sharding, sharding),
+                 out_shardings=NamedSharding(mesh, P(axis_name)))
+    return fn(x, l)
+
+
+# ---------------------------------------------------------------------------
+# Sequence (time) parallelism with halo exchange
+# ---------------------------------------------------------------------------
+
+def shardable_length(n: int, cfg: FeatureConfig, n_shards: int) -> int:
+    """Smallest padded length >= n divisible by n_shards*hop with a
+    >=frame_length shard. Pad the tail with zeros up to this (padding frames
+    are masked off by the valid-count logic)."""
+    unit = n_shards * cfg.hop_length
+    m = -(-n // unit) * unit
+    while m // n_shards < cfg.frame_length:
+        m += unit
+    return m
+
+
+def _right_halo(x_local: jnp.ndarray, size: int, axis_name: str) -> jnp.ndarray:
+    """First ``size`` samples of the right neighbor (zeros on the last
+    device — matches one-shot zero padding beyond the signal)."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, i - 1) for i in range(1, n)]
+    return jax.lax.ppermute(x_local[:size], axis_name, perm)
+
+
+def _left_edge(x_local: jnp.ndarray, size: int, axis_name: str) -> jnp.ndarray:
+    """Last ``size`` samples of the left neighbor (zeros on device 0)."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    return jax.lax.ppermute(x_local[-size:], axis_name, perm)
+
+
+def _sharded_deltas(feat: jnp.ndarray, total_valid: int, f_loc: int,
+                    window: int, axis_name: str) -> jnp.ndarray:
+    """Regression deltas across shard boundaries: exchange ``window`` feature
+    frames with both neighbors, then gather with globally clipped indices so
+    edge replication happens at the true utterance ends."""
+    d = jax.lax.axis_index(axis_name)
+    left = _left_edge(feat, window, axis_name)      # [w, D] from d-1
+    right = _right_halo(feat, window, axis_name)    # [w, D] from d+1
+    ext = jnp.concatenate([left, feat, right], axis=0)   # [f_loc + 2w, D]
+    g = d * f_loc + jnp.arange(f_loc)                    # global frame ids
+    denom = 2.0 * sum(i * i for i in range(1, window + 1))
+    out = jnp.zeros_like(feat)
+    for i in range(1, window + 1):
+        gp = jnp.clip(g + i, 0, total_valid - 1) - d * f_loc + window
+        gm = jnp.clip(g - i, 0, total_valid - 1) - d * f_loc + window
+        out = out + i * (jnp.take(ext, gp, axis=0) - jnp.take(ext, gm, axis=0))
+    return out / denom
+
+
+def extract_time_sharded(signal, cfg: FeatureConfig = MFCC13_HTK,
+                         mesh: Mesh | None = None,
+                         axis_name: str = "time",
+                         length: int | None = None) -> jnp.ndarray:
+    """Extract features from ONE long recording sharded along time.
+
+    ``len(signal)`` must be divisible by ``mesh_size * hop`` with shards of
+    at least ``frame_length`` samples — zero-pad to
+    :func:`shardable_length` and pass the true ``length`` (center=False
+    configs only: valid snip-edges frames never read past ``length``, so the
+    padding is provably inert; masked collectives exclude padding frames).
+    Returns features [T_valid, D] — identical to the one-shot single-device
+    output.
+
+    Supports the full config space: centered/Whisper framing reflects at the
+    *global* edges only, Whisper's max rides ``pmax``, CMVN moments ride
+    ``psum``, deltas exchange 2-frame halos.
+    """
+    mesh = default_mesh(axis_name) if mesh is None else mesh
+    n_dev = mesh.devices.size
+    x = jnp.asarray(signal, jnp.float32)
+    n = x.shape[0]
+    fl, hop = cfg.frame_length, cfg.hop_length
+    if n % (n_dev * hop) or n // n_dev < fl:
+        raise ValueError(
+            f"length {n} not shardable over {n_dev} devices; pad to "
+            f"{shardable_length(n, cfg, n_dev)} (shardable_length)")
+    if length is None:
+        length = n
+    elif length != n and cfg.center:
+        raise ValueError("centered configs reflect at the true signal end; "
+                         "shard exact-length audio (length == len(signal))")
+    total_valid = cfg.num_frames(length)
+    fn = _make_time_sharded_fn(cfg, n, int(total_valid), mesh, axis_name)
+    return fn(x)[:total_valid]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_time_sharded_fn(cfg: FeatureConfig, n: int, total_valid: int,
+                          mesh: Mesh, axis_name: str):
+    n_dev = mesh.devices.size
+    s_loc = n // n_dev
+    fn = shard_map(
+        functools.partial(_time_shard_body, cfg=cfg, s_loc=s_loc,
+                          f_loc=s_loc // cfg.hop_length,
+                          total_valid=total_valid, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+    )
+    return jax.jit(fn)
+
+
+def _time_shard_body(x_local: jnp.ndarray, *, cfg: FeatureConfig, s_loc: int,
+                     f_loc: int, total_valid: int, axis_name: str):
+    """Per-device body under shard_map. x_local: [s_loc]."""
+    fl, hop = cfg.frame_length, cfg.hop_length
+    d = jax.lax.axis_index(axis_name)
+    n_dev = jax.lax.axis_size(axis_name)
+    mask = (d * f_loc + jnp.arange(f_loc)) < total_valid    # [f_loc]
+
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        halo_r = fl - hop - pad                              # e.g. 40
+        left = _left_edge(x_local, pad, axis_name)           # [pad]
+        right = _right_halo(x_local, max(halo_r, 0), axis_name)
+        # reflect at the GLOBAL edges only (device 0 left, last device right)
+        refl_l = x_local[1: pad + 1][::-1]
+        left = jnp.where(d == 0, refl_l, left)
+        if halo_r > 0:
+            refl_r = x_local[-halo_r - 1: -1][::-1]
+            right = jnp.where(d == n_dev - 1, refl_r, right)
+            ext = jnp.concatenate([left, x_local, right])
+        else:
+            ext = jnp.concatenate([left, x_local])
+        # frame j starts at local j*hop (ext already includes the pad offset)
+    else:
+        prev = _left_edge(x_local, 1, axis_name)             # [1]
+        halo = _right_halo(x_local, fl - hop, axis_name)     # [240]
+        ext = jnp.concatenate([prev, x_local, halo])
+        if cfg.preemphasis and not cfg.kaldi_mode:
+            ext = (ext - cfg.preemphasis *
+                   jnp.concatenate([jnp.zeros_like(ext[:1]), ext[:-1]]))
+            # device 0: one-shot convention y[0] = x[0] (x[-1] := 0) —
+            # ppermute already delivered zeros for the missing left halo,
+            # so ext[1] is exact on every device.
+        ext = ext[1:]                                        # drop carry slot
+
+    idx = (jnp.arange(f_loc)[:, None] * hop + jnp.arange(fl)[None, :])
+    frames = ext[idx]                                        # [f_loc, fl]
+    frames = framing.condition_frames(frames, cfg)
+
+    if cfg.gemm_dft:
+        spec = spectrum.power_spectrum_gemm(frames, cfg)
+    else:
+        w = jnp.asarray(matrices.window(cfg.window, fl), frames.dtype)
+        spec = spectrum.power_spectrum_rfft(frames * w, cfg)
+
+    # mel/log/dct — whisper normalization handled here with a global pmax
+    if cfg.log == "whisper":
+        import dataclasses
+        pre_cfg = dataclasses.replace(cfg, log="log10")
+        ls = mel_log_dct_xla(spec, mask, pre_cfg)            # log10 mel
+        neg_inf = jnp.asarray(-jnp.inf, ls.dtype)
+        local_max = jnp.max(jnp.where(mask[:, None], ls, neg_inf))
+        gmax = jax.lax.pmax(local_max, axis_name)
+        gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+        feat = (jnp.maximum(ls, gmax - 8.0) + 4.0) / 4.0
+    else:
+        feat = mel_log_dct_xla(spec, mask, cfg)
+
+    if cfg.deltas:
+        d1 = _sharded_deltas(feat, total_valid, f_loc, cfg.delta_window,
+                             axis_name)
+        d2 = _sharded_deltas(d1, total_valid, f_loc, cfg.delta_window,
+                             axis_name)
+        feat = jnp.concatenate([feat, d1, d2], axis=-1)
+
+    if cfg.cmvn != "none":
+        m = mask[:, None].astype(feat.dtype)
+        cnt = jax.lax.psum(jnp.sum(m), axis_name)
+        mean = jax.lax.psum(jnp.sum(feat * m, axis=0), axis_name) / \
+            jnp.maximum(cnt, 1.0)
+        feat = feat - mean
+        if cfg.cmvn == "meanvar":
+            var = jax.lax.psum(jnp.sum((feat * m) ** 2, axis=0), axis_name) \
+                / jnp.maximum(cnt, 1.0)
+            feat = feat / jnp.sqrt(var + 1e-10)
+    return feat
