@@ -7,9 +7,10 @@ vs_baseline is value / 10_000 (the north-star target; the reference publishes
 no numbers — BASELINE.md). Details go to stderr.
 
 Method (SURVEY.md §2 C13): steady-state, one jitted dispatch computing BOTH
-feature sets for the batch, warmup then median-of-k wall-clock around
-block_until_ready. Fidelity gate: max abs error vs the float64 CPU golden is
-checked and reported alongside.
+feature sets for the batch; per-iteration timing chains `chain` dispatches
+and forces completion with a separate checksum dispatch (see inline notes —
+block_until_ready is a no-op on this relayed platform). Fidelity gate: max
+abs error vs the float64 CPU golden is checked and reported alongside.
 """
 
 import dataclasses
@@ -26,7 +27,8 @@ def log(*a):
 
 
 def main(batch: int = 32, seconds: int = 30, iters: int = 20,
-         use_pallas: bool = True, gemm_dft: bool = True) -> dict:
+         use_pallas: bool = True, gemm_dft: bool = True,
+         chain: int = 8) -> dict:
     import jax
     import jax.numpy as jnp
     from tpufeat import features
@@ -73,14 +75,23 @@ def main(batch: int = 32, seconds: int = 30, iters: int = 20,
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s  "
         f"mel={mel.shape} mfcc={mfcc.shape}")
 
-    for _ in range(3):  # warmup
-        float(checksum(*dual(x, l)))
+    # Steady-state: chain `chain` dispatches back-to-back (device executes
+    # the queue in order) and sync once per chain — amortizes the host/relay
+    # round-trip the same way a production ingest loop does.
+    def run_chain():
+        out = None
+        for _ in range(chain):
+            out = dual(x, l)
+        return float(checksum(*out))
+
+    for _ in range(2):  # warmup
+        run_chain()
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(checksum(*dual(x, l)))
+        run_chain()
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / chain
     audio_s = batch * seconds
     rtfx = audio_s / dt
     frames_per_s = (mel.shape[0] * mel.shape[1] + mfcc.shape[0] * mfcc.shape[1]) / dt
@@ -107,6 +118,7 @@ def main(batch: int = 32, seconds: int = 30, iters: int = 20,
         "pallas": use_pallas,
         "gemm_dft": gemm_dft,
         "backend": backend,
+        "chain": chain,
     }
 
 
@@ -118,7 +130,9 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--no-gemm", action="store_true")
+    p.add_argument("--chain", type=int, default=8)
     a = p.parse_args()
     result = main(a.batch, a.seconds, a.iters,
-                  use_pallas=not a.no_pallas, gemm_dft=not a.no_gemm)
+                  use_pallas=not a.no_pallas, gemm_dft=not a.no_gemm,
+                  chain=a.chain)
     print(json.dumps(result))

@@ -45,9 +45,37 @@ def num_frames_dynamic(lengths: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     return jnp.maximum(0, 1 + (lengths - cfg.frame_length) // cfg.hop_length)
 
 
+def frames_from_buffer(buf: jnp.ndarray, n_frames: int, frame_length: int,
+                       hop: int) -> jnp.ndarray:
+    """Overlapped framing WITHOUT a gather: frame t covers
+    ``buf[t*hop : t*hop + frame_length]``.
+
+    Frame starts are always hop-aligned, so after ``reshape(B, R, hop)``
+    frame t is the concatenation of rows t..t+k-1 plus the first r columns
+    of row t+k (frame_length = k*hop + r). That makes framing a handful of
+    shifted *slices* — plain vectorized copies XLA streams at HBM bandwidth —
+    instead of a dynamic gather, which measured ~30x slower on v5e (the
+    gather unit was the whole pipeline's bottleneck; see benchmarks/).
+    """
+    B, M = buf.shape
+    k, r = divmod(frame_length, hop)
+    rows = n_frames + k + (1 if r else 0)
+    need = rows * hop
+    if M < need:
+        buf = jnp.pad(buf, ((0, 0), (0, need - M)))
+    elif M > need:
+        buf = buf[:, :need]
+    x2d = buf.reshape(B, rows, hop)
+    parts = [x2d[:, j: j + n_frames] for j in range(k)]
+    if r:
+        parts.append(x2d[:, k: k + n_frames, :r])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def frame_signal(x: jnp.ndarray, lengths: jnp.ndarray,
                  cfg: FeatureConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather overlapped frames from a padded batch.
+    """Slice overlapped frames from a padded batch (no gathers — see
+    :func:`frames_from_buffer`).
 
     Args:
       x: [B, N] padded signals (already pre-emphasized unless kaldi_mode).
@@ -57,10 +85,12 @@ def frame_signal(x: jnp.ndarray, lengths: jnp.ndarray,
       frame_mask: [B, F_max] bool, True for valid frames.
 
     center=False: snip-edges, frame t reads samples [t*hop, t*hop+fl).
-    center=True: Whisper/torch.stft convention — frame t starts at
-    t*hop - n_fft//2 with reflect padding resolved *per utterance length*
-    via index arithmetic (|p| below 0; 2L-2-p above L-1), so one static
-    gather serves every length in the batch.
+    center=True (Whisper/torch.stft): frame t starts at t*hop - n_fft//2
+    with reflect padding at each utterance's true edges. The left reflect is
+    length-independent (position 0), so it is one static slice; the right
+    reflect only ever influences the ``fl - pad - hop`` samples past the
+    true end that the last valid frame reads, so it is a per-row
+    dynamic_update_slice of that tiny window at position ``length``.
     """
     B, N = x.shape
     fl, hop = cfg.frame_length, cfg.hop_length
@@ -70,21 +100,27 @@ def frame_signal(x: jnp.ndarray, lengths: jnp.ndarray,
     if F == 0:
         return jnp.zeros((B, 0, fl), x.dtype), mask
 
-    pos = (np.arange(F).reshape(-1, 1) * hop
-           + np.arange(fl).reshape(1, -1))          # [F, fl] static
     if cfg.center:
-        pos = pos - cfg.n_fft // 2                   # may be negative
-        p = jnp.asarray(pos)[None]                   # [1, F, fl]
-        L = lengths[:, None, None]
-        p = jnp.abs(p)                               # left reflect
-        p = jnp.where(p > L - 1, 2 * (L - 1) - p, p)  # right reflect
-        idx = jnp.clip(p, 0, N - 1)                  # guard degenerate L
-        frames = jnp.take_along_axis(
-            x[:, None, :], idx.reshape(B, F * fl)[:, None, :], axis=-1
-        ).reshape(B, F, fl)
+        pad = cfg.n_fft // 2
+        if N <= pad:
+            raise ValueError(f"centered framing needs > n_fft/2 = {pad} "
+                             f"samples, got {N}")
+        left = x[:, 1: pad + 1][:, ::-1]              # reflect at position 0
+        # overrun: how far past `length` the last VALID frame can read
+        over = fl - pad - (hop if cfg.drop_last_frame else 0)
+        buf = jnp.concatenate(
+            [left, x] + ([jnp.zeros((B, over), x.dtype)] if over > 0 else []),
+            axis=-1)
+        if over > 0:
+            def fix_row(row, xrow, ln):
+                src = jax.lax.dynamic_slice(xrow, (ln - over - 1,), (over,))
+                fixed = jax.lax.dynamic_update_slice(row, src[::-1],
+                                                     (pad + ln,))
+                return jnp.where(ln > over, fixed, row)
+            buf = jax.vmap(fix_row)(buf, x, lengths)
     else:
-        frames = jnp.take(x, jnp.asarray(pos), axis=-1)  # [B, F, fl]
-    return frames, mask
+        buf = x
+    return frames_from_buffer(buf, F, fl, hop), mask
 
 
 def condition_frames(frames: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:

@@ -210,8 +210,7 @@ def _time_shard_body(x_local: jnp.ndarray, *, cfg: FeatureConfig, s_loc: int,
             # so ext[1] is exact on every device.
         ext = ext[1:]                                        # drop carry slot
 
-    idx = (jnp.arange(f_loc)[:, None] * hop + jnp.arange(fl)[None, :])
-    frames = ext[idx]                                        # [f_loc, fl]
+    frames = framing.frames_from_buffer(ext[None], f_loc, fl, hop)[0]
     frames = framing.condition_frames(frames, cfg)
 
     if cfg.gemm_dft:
