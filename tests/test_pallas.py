@@ -79,6 +79,34 @@ class TestFullGemmKernel:
         pallas_vs_xla(cfg, [make_signal(7000, seed=79)], atol=2e-5)
 
 
+class TestFusedFraming:
+    """Signal-level kernel (framing inside the kernel) vs staged paths."""
+
+    @pytest.mark.parametrize("preset", [MFCC13_HTK, WHISPER80])
+    def test_matches_staged(self, preset):
+        cfg_f = dataclasses.replace(preset, use_pallas=True, gemm_dft=True,
+                                    fused_framing=True)
+        cfg_s = dataclasses.replace(preset, use_pallas=True, gemm_dft=True)
+        sigs = [make_signal(12000, seed=85), make_signal(7003, seed=86)]
+        x, lengths = pad_batch(sigs)
+        a = features.extract(x, lengths, cfg_f)
+        b = features.extract(x, lengths, cfg_s)
+        m = np.asarray(a.mask)
+        err = np.abs(np.asarray(a.features)[m]
+                     - np.asarray(b.features)[m]).max()
+        assert err < 2e-5, err
+
+    def test_matches_golden(self):
+        cfg = dataclasses.replace(MFCC13_HTK, use_pallas=True, gemm_dft=True,
+                                  fused_framing=True)
+        sigs = [make_signal(9000, seed=87)]
+        x, lengths = pad_batch(sigs)
+        res = features.extract(x, lengths, cfg)
+        gfeat, gmask = golden_batch(sigs, cfg)
+        err = np.abs(np.asarray(res.features)[gmask] - gfeat[gmask]).max()
+        assert err < 2e-3, err
+
+
 class TestBlocking:
     @pytest.mark.parametrize("n", [560, 4000, 83000])
     def test_row_padding_inert(self, n):

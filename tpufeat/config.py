@@ -85,6 +85,10 @@ class FeatureConfig:
     use_pallas: bool = False         # fused Pallas mel/log/DCT kernel on TPU
     gemm_dft: bool = False           # GEMM-native DFT (matmul) inside Pallas
     #                                  instead of XLA rFFT (MelT-style)
+    fused_framing: bool = False      # experimental: frame inside the Pallas
+    #                                  kernel (signal_features); currently
+    #                                  deadlocks the Mosaic runtime on v5e --
+    #                                  keep off until root-caused
 
     def __post_init__(self):
         if self.frame_length > self.n_fft:

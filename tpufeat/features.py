@@ -136,21 +136,32 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
     """
     if cfg.preemphasis and not cfg.kaldi_mode:
         x = framing.preemphasize(x, cfg.preemphasis)
-    frames, mask = framing.frame_signal(x, lengths, cfg)
-    frames = framing.condition_frames(frames, cfg)
-
-    use_pallas = cfg.use_pallas and frames.shape[-2] > 0
-    if use_pallas:
+    F = cfg.num_frames(x.shape[-1])
+    use_pallas = cfg.use_pallas and F > 0
+    if use_pallas and cfg.gemm_dft and cfg.fused_framing \
+            and not cfg.kaldi_mode:
+        # fully fused path: framing happens inside the kernel, so the
+        # [B, F, frame_length] tensor never exists in HBM (kaldi_mode's
+        # per-frame conditioning needs materialized frames -> staged path)
         from tpufeat.pallas import fused
-        feat = fused.spectro_features(frames, mask, cfg)
+        buf, mask = framing.framing_buffer(x, lengths, cfg)
+        feat = fused.signal_features(buf, F, cfg)
+        if cfg.log == "whisper":
+            feat = whisper_normalize(feat, mask)
     else:
-        if cfg.gemm_dft:
+        frames, mask = framing.frame_signal(x, lengths, cfg)
+        frames = framing.condition_frames(frames, cfg)
+        if use_pallas:
+            from tpufeat.pallas import fused
+            feat = fused.spectro_features(frames, mask, cfg)
+        elif cfg.gemm_dft:
             spec = spectrum.power_spectrum_gemm(frames, cfg)
+            feat = mel_log_dct_xla(spec, mask, cfg)
         else:
             w = jnp.asarray(matrices.window(cfg.window, cfg.frame_length),
                             frames.dtype)
             spec = spectrum.power_spectrum_rfft(frames * w, cfg)
-        feat = mel_log_dct_xla(spec, mask, cfg)
+            feat = mel_log_dct_xla(spec, mask, cfg)
 
     nf = framing.num_frames_dynamic(lengths, cfg)
     if cfg.deltas:

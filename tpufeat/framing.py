@@ -72,25 +72,19 @@ def frames_from_buffer(buf: jnp.ndarray, n_frames: int, frame_length: int,
     return jnp.concatenate(parts, axis=-1)
 
 
-def frame_signal(x: jnp.ndarray, lengths: jnp.ndarray,
-                 cfg: FeatureConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Slice overlapped frames from a padded batch (no gathers — see
-    :func:`frames_from_buffer`).
+def framing_buffer(x: jnp.ndarray, lengths: jnp.ndarray,
+                   cfg: FeatureConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the framing buffer: frame t covers buf[t*hop : t*hop+fl].
 
-    Args:
-      x: [B, N] padded signals (already pre-emphasized unless kaldi_mode).
-      lengths: [B] true lengths.
-    Returns:
-      frames: [B, F_max, frame_length]
-      frame_mask: [B, F_max] bool, True for valid frames.
-
-    center=False: snip-edges, frame t reads samples [t*hop, t*hop+fl).
+    center=False: the buffer IS the (pre-emphasized) signal.
     center=True (Whisper/torch.stft): frame t starts at t*hop - n_fft//2
     with reflect padding at each utterance's true edges. The left reflect is
     length-independent (position 0), so it is one static slice; the right
     reflect only ever influences the ``fl - pad - hop`` samples past the
     true end that the last valid frame reads, so it is a per-row
     dynamic_update_slice of that tiny window at position ``length``.
+
+    Returns (buf [B, M], frame_mask [B, F_max]).
     """
     B, N = x.shape
     fl, hop = cfg.frame_length, cfg.hop_length
@@ -98,7 +92,7 @@ def frame_signal(x: jnp.ndarray, lengths: jnp.ndarray,
     nf = num_frames_dynamic(lengths, cfg)
     mask = jnp.arange(F)[None, :] < nf[:, None]
     if F == 0:
-        return jnp.zeros((B, 0, fl), x.dtype), mask
+        return x, mask
 
     if cfg.center:
         pad = cfg.n_fft // 2
@@ -120,7 +114,18 @@ def frame_signal(x: jnp.ndarray, lengths: jnp.ndarray,
             buf = jax.vmap(fix_row)(buf, x, lengths)
     else:
         buf = x
-    return frames_from_buffer(buf, F, fl, hop), mask
+    return buf, mask
+
+
+def frame_signal(x: jnp.ndarray, lengths: jnp.ndarray,
+                 cfg: FeatureConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Slice overlapped frames from a padded batch (no gathers): [B, N] ->
+    (frames [B, F_max, frame_length], frame_mask [B, F_max])."""
+    buf, mask = framing_buffer(x, lengths, cfg)
+    F = cfg.num_frames(x.shape[1])
+    if F == 0:
+        return jnp.zeros((x.shape[0], 0, cfg.frame_length), x.dtype), mask
+    return frames_from_buffer(buf, F, cfg.frame_length, cfg.hop_length), mask
 
 
 def condition_frames(frames: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:

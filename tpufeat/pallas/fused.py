@@ -243,3 +243,128 @@ def spectro_features(frames: jnp.ndarray, mask: jnp.ndarray,
         from tpufeat.features import whisper_normalize
         out = whisper_normalize(out, mask)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Signal-level fully fused kernel: framing happens INSIDE the kernel
+# ---------------------------------------------------------------------------
+
+def _signal_kernel(*refs, cfg, n_blocks, hop_pad, kernel_dct):
+    """Grid (B, nblocks). Inputs: n_blocks row-shifted views of the signal
+    (view j holding rows [j : j+fp] of the [B, R, hop_pad] row matrix) plus
+    the constant matrices. Framing never materializes: frames@C distributes
+    over the hop-aligned row decomposition,
+
+        re = sum_j  x2d[i*tf + t + j]  @  C[j*hop : (j+1)*hop]
+
+    so block t of view j IS the j-th hop-row of every frame in the block.
+    The DFT matrices are zero-padded past frame_length and past each hop
+    (lane padding), so all padding multiplies exact zeros. Everything uses
+    regular BlockSpec pipelining — Mosaic double-buffers the DMAs.
+
+    HBM traffic per frame: n_blocks*hop_pad*4 bytes in + feature_dim*4 out
+    (~2 KB) versus ~3.3 KB for the staged path, with no frames/spectra
+    round-trips and one kernel for references C3-C9."""
+    sig_refs = refs[:n_blocks]
+    c_ref, s_ref, fb_ref = refs[n_blocks: n_blocks + 3]
+    dct_ref = refs[n_blocks + 3] if kernel_dct else None
+    out_ref = refs[n_blocks + 3 + (1 if kernel_dct else 0)]
+
+    re = _dot(sig_refs[0][0], c_ref[0:hop_pad])
+    im = _dot(sig_refs[0][0], s_ref[0:hop_pad])
+    for j in range(1, n_blocks):
+        sl = sig_refs[j][0]
+        re = re + _dot(sl, c_ref[j * hop_pad: (j + 1) * hop_pad])
+        im = im + _dot(sl, s_ref[j * hop_pad: (j + 1) * hop_pad])
+    p = re * re + im * im
+    if cfg.spectrum == "magnitude":
+        p = jnp.sqrt(p)
+    mel = _dot(p, fb_ref[:])
+    kind = _log_kind(cfg)
+    if kind == "natural":
+        mel = jnp.log(jnp.maximum(mel, cfg.log_floor))
+    elif kind == "log10":
+        mel = jnp.log10(jnp.maximum(mel, cfg.log_floor))
+    if dct_ref is not None:
+        mel = _dot(mel, dct_ref[:])
+    out_ref[0] = mel
+
+
+def signal_features(buf: jnp.ndarray, n_frames: int,
+                    cfg: FeatureConfig) -> jnp.ndarray:
+    """Fused signal -> features: ``buf`` [B, M] is the framing buffer
+    (pre-emphasized signal, reflect-padded for centered configs; frame t
+    covers buf[t*hop : t*hop+frame_length]). Returns [B, n_frames, D]
+    (log10-mel for whisper — caller normalizes; MFCCs otherwise).
+
+    One kernel for references C3-C9: the OpenCL reference's whole device
+    pipeline (6-10 launches) in a single Mosaic program. kaldi_mode's
+    per-frame conditioning needs materialized frames — use the staged path.
+    """
+    if cfg.kaldi_mode:
+        raise ValueError("kaldi_mode uses the staged pallas path")
+    B, M = buf.shape
+    fl, hop = cfg.frame_length, cfg.hop_length
+    k, r = divmod(fl, hop)
+    n_blocks = k + (1 if r else 0)
+    hop_pad = _round_up(hop, LANE)
+    c, s = _dft_constants(cfg)
+    fb, dct = _tail_constants(cfg)
+    d_model = cfg.n_mfcc if dct is not None else cfg.n_mels
+
+    # DFT matrices rearranged into n_blocks row-blocks of hop_pad rows:
+    # block j rows [0:hop] = C[j*hop:(j+1)*hop] (clipped at frame_length),
+    # remaining rows zero -> lane padding and beyond-frame samples multiply
+    # exact zeros.
+    cz = np.zeros((n_blocks * hop_pad, c.shape[1]), np.float32)
+    sz = np.zeros((n_blocks * hop_pad, s.shape[1]), np.float32)
+    for j in range(n_blocks):
+        take = min(hop, fl - j * hop)
+        cz[j * hop_pad: j * hop_pad + take] = c[j * hop: j * hop + take]
+        sz[j * hop_pad: j * hop_pad + take] = s[j * hop: j * hop + take]
+
+    tf = _block_rows(n_frames)
+    fp = _round_up(max(n_frames, 1), tf)
+    rows_needed = fp + n_blocks - 1
+    need = rows_needed * hop
+    if M < need:
+        buf = jnp.pad(buf, ((0, 0), (0, need - M)))
+    elif M > need:
+        buf = buf[:, :need]
+    x2d = buf.reshape(B, rows_needed, hop).astype(jnp.float32)
+    if hop_pad != hop:
+        x2d = jnp.pad(x2d, ((0, 0), (0, 0), (0, hop_pad - hop)))
+    # n_blocks row-shifted views; XLA materializes each as a contiguous
+    # [B, fp, hop_pad] slice the pipeline can block-DMA
+    views = [jax.lax.slice_in_dim(x2d, j, j + fp, axis=1)
+             for j in range(n_blocks)]
+
+    consts = [jnp.asarray(cz), jnp.asarray(sz), jnp.asarray(fb)]
+    kernel_dct = dct is not None
+    if kernel_dct:
+        consts.append(jnp.asarray(dct))
+    out_cols = consts[-1].shape[1]
+
+    in_specs = [pl.BlockSpec((1, tf, hop_pad), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_blocks)]
+    for cmat in consts:
+        in_specs.append(pl.BlockSpec(cmat.shape, lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    nbp = c.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_signal_kernel, cfg=cfg, n_blocks=n_blocks,
+                          hop_pad=hop_pad, kernel_dct=kernel_dct),
+        grid=(B, fp // tf),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tf, out_cols), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, fp, out_cols), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * fp * 2 * sum(cm.shape[0] * cm.shape[1] for cm in consts),
+            bytes_accessed=B * fp * (n_blocks * hop_pad + out_cols) * 4,
+            transcendentals=B * fp * nbp,
+        ),
+        interpret=_interpret(),
+    )(*views, *consts)
+    return out[:, :n_frames, :d_model]
