@@ -36,6 +36,28 @@ def main(batch: int = 32, seconds: int = 30, iters: int = 20,
 
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")
+
+    # Health check with a timeout: a hung device session (e.g. a wedged
+    # relay) must produce a failure record, not an eternal hang.
+    import threading
+    ok = threading.Event()
+
+    def _probe():
+        try:
+            float(jnp.sum(jnp.ones((128, 128)) @ jnp.ones((128, 128))))
+            ok.set()
+        except Exception as e:  # pragma: no cover
+            log(f"health probe error: {e}")
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ok.wait(timeout=240):
+        log("device unresponsive after 240s; emitting failure record")
+        return {
+            "metric": "rtfx_logmel80_plus_mfcc13_batched_16khz",
+            "value": 0.0, "unit": "x_realtime_per_chip",
+            "vs_baseline": 0.0, "error": "device unresponsive",
+            "backend": backend,
+        }
     if backend != "tpu":
         log("WARNING: not on TPU; numbers will not be representative")
         use_pallas = use_pallas and False  # interpret mode is not a benchmark

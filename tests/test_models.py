@@ -84,6 +84,24 @@ class TestTrainStep:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
 
+    def test_checkpoint_roundtrip(self, tmp_path):
+        import optax
+        cfg = dataclasses.replace(WHISPER80, use_pallas=False)
+        model = train_lib.make_models(dim=16, layers=1, heads=2, vocab=8)
+        tx = optax.adamw(1e-4)
+        sig = make_signal(4000, seed=5)
+        res = features.extract_impl(jnp.asarray(sig)[None],
+                                    jnp.array([4000]), cfg)
+        params = model.init(jax.random.PRNGKey(0), res.features, res.mask)
+        state = train_lib.TrainState(params, tx.init(params),
+                                     jnp.zeros((), jnp.int32))
+        path = str(tmp_path / "ckpt")
+        train_lib.save_train_state(path, state)
+        restored = train_lib.load_train_state(path, state)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_asr_forward_from_audio(self):
         cfg = dataclasses.replace(WHISPER80, use_pallas=False)
         model = train_lib.make_models(dim=32, layers=1, heads=2, vocab=12,

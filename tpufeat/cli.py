@@ -72,7 +72,10 @@ def main(argv=None) -> int:
     *wavs, out_path = args.inputs
     cfg = parse_overrides(PRESETS[args.preset], args.set)
 
-    sigs, rates = zip(*(io.read_wav(w) for w in wavs))
+    try:
+        sigs, rates = zip(*(io.read_wav(w) for w in wavs))
+    except FileNotFoundError as e:
+        raise SystemExit(f"input not found: {e.filename}")
     for w, r in zip(wavs, rates):
         if r != cfg.sample_rate:
             raise SystemExit(f"{w}: sample rate {r} != config "

@@ -1,15 +1,17 @@
-"""Pre-emphasis + overlapped framing as strided gathers (references C2/C3).
+"""Pre-emphasis + overlapped framing (references C2/C3).
 
 The OpenCL reference runs one work-item per output sample for pre-emphasis
 and one per (frame, sample) for framing (SURVEY.md §3.1). The TPU-native
-formulation is a single strided gather — ``idx = t*hop + j`` — which XLA
-fuses with the surrounding elementwise stages into one kernel
-(BASELINE.json:north_star: "strided-gather + elementwise stage").
+formulation evolved past the north_star's "strided gather": frame starts are
+hop-aligned, so framing is expressible as a handful of row-shifted *slices*
+of the hop-reshaped signal (:func:`frames_from_buffer`) — pure vectorized
+copies. On v5e the dynamic-gather formulation measured ~30x slower than this
+(it was the whole pipeline's bottleneck; see BASELINE.md).
 
 Everything here is shape-static and mask-aware: batches are padded to a
 common length ``N`` and carry a per-utterance ``lengths`` vector; valid
 frames never read padding, so padding contents cannot affect the output
-(property-tested in tests/test_extract_parity.py).
+(property-tested in tests/test_properties.py).
 """
 
 from __future__ import annotations

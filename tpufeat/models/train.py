@@ -112,3 +112,20 @@ def dryrun_train_step(mesh: Mesh, arch: str = "whisper") -> float:
     assert np.isfinite(loss), loss
     print(f"dryrun train step ({arch}, {n_dev} devices): ctc loss {loss:.3f}")
     return loss
+
+
+# --- checkpoint/resume for training state (SURVEY.md §5) ---
+
+def save_train_state(path: str, state: TrainState) -> None:
+    """Persist a TrainState with orbax (async-capable, TPU-native)."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(path, state, force=True)
+
+
+def load_train_state(path: str, like: TrainState) -> TrainState:
+    """Restore a TrainState saved by :func:`save_train_state`; ``like``
+    supplies the pytree structure/shapes (e.g. a freshly-initialized state)."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckpt:
+        return ckpt.restore(path, like)

@@ -111,14 +111,20 @@ def frame_signal(x: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     return x[idx]
 
 
-def _window_frames(frames: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+def _window_frames(frames: np.ndarray, cfg: FeatureConfig,
+                   rng: np.random.Generator | None = None) -> np.ndarray:
     """Per-frame conditioning + window (references C2/C4).
 
-    In kaldi_mode the reference order is applied per frame: DC-offset
-    removal, pre-emphasis within the frame (x[-1] := x[0]), then window.
-    """
+    In kaldi_mode the reference order is applied per frame: dither,
+    DC-offset removal, pre-emphasis within the frame (x[-1] := x[0]), then
+    window. Dither (cfg.dither > 0) lives only in this golden/CPU path: it
+    is a randomized fidelity knob (Kaldi-style), so the accelerator path
+    never applies it — parity tests always run with dither = 0."""
     frames = frames.astype(np.float64)
     if cfg.kaldi_mode:
+        if cfg.dither > 0:
+            rng = rng or np.random.default_rng(0)
+            frames = frames + cfg.dither * rng.standard_normal(frames.shape)
         if cfg.dc_offset:
             frames = frames - frames.mean(axis=-1, keepdims=True)
         if cfg.preemphasis:
