@@ -28,7 +28,7 @@ def log(*a):
 
 def main(batch: int = 32, seconds: int = 30, iters: int = 20,
          use_pallas: bool = True, gemm_dft: bool = True,
-         chain: int = 8) -> dict:
+         chain: int = 8, fused_framing: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     from tpufeat import features
@@ -49,9 +49,12 @@ def main(batch: int = 32, seconds: int = 30, iters: int = 20,
         except Exception as e:  # pragma: no cover
             log(f"health probe error: {e}")
 
+    # 420s: long enough to ride out the relay's claim-release latency after
+    # a previous client process exits (~2-4 min observed), short enough to
+    # fail fast on a genuinely wedged session.
     threading.Thread(target=_probe, daemon=True).start()
-    if not ok.wait(timeout=240):
-        log("device unresponsive after 240s; emitting failure record")
+    if not ok.wait(timeout=420):
+        log("device unresponsive after 420s; emitting failure record")
         return {
             "metric": "rtfx_logmel80_plus_mfcc13_batched_16khz",
             "value": 0.0, "unit": "x_realtime_per_chip",
@@ -69,9 +72,11 @@ def main(batch: int = 32, seconds: int = 30, iters: int = 20,
     lengths = np.full((batch,), n, dtype=np.int32)
 
     cfg_mel = dataclasses.replace(WHISPER80, use_pallas=use_pallas,
-                                  gemm_dft=gemm_dft)
+                                  gemm_dft=gemm_dft,
+                                  fused_framing=fused_framing)
     cfg_mfcc = dataclasses.replace(MFCC13_HTK, use_pallas=use_pallas,
-                                   gemm_dft=gemm_dft)
+                                   gemm_dft=gemm_dft,
+                                   fused_framing=fused_framing)
 
     @jax.jit
     def dual(x, l):
@@ -139,6 +144,7 @@ def main(batch: int = 32, seconds: int = 30, iters: int = 20,
         "audio_seconds_per_call": batch * seconds,
         "pallas": use_pallas,
         "gemm_dft": gemm_dft,
+        "fused_framing": fused_framing,
         "backend": backend,
         "chain": chain,
     }
@@ -153,8 +159,9 @@ if __name__ == "__main__":
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--no-gemm", action="store_true")
     p.add_argument("--chain", type=int, default=8)
+    p.add_argument("--no-fused-framing", action="store_true")
     a = p.parse_args()
     result = main(a.batch, a.seconds, a.iters,
                   use_pallas=not a.no_pallas, gemm_dft=not a.no_gemm,
-                  chain=a.chain)
+                  chain=a.chain, fused_framing=not a.no_fused_framing)
     print(json.dumps(result))

@@ -83,6 +83,47 @@ def bench_config(name, cfg, batch, seconds, iters, golden_check=True):
     return row
 
 
+def bench_encoder_share(batch, seconds, iters, use_pallas=True, gemm=True):
+    """North-star check: 'feature extraction must never be the bottleneck in
+    front of an ASR encoder'. Measures a Whisper-tiny-shaped encoder forward
+    with and without the front-end; the difference is the front-end's cost
+    share."""
+    import jax
+    import jax.numpy as jnp
+    from tpufeat import features
+    from tpufeat.config import WHISPER80
+    from tpufeat.models import train as train_lib
+
+    cfg = dataclasses.replace(WHISPER80, use_pallas=use_pallas,
+                              gemm_dft=gemm)
+    model = train_lib.make_models(dim=384, layers=4, heads=6, vocab=64)
+    n = seconds * 16000
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal((batch, n)) * 0.1).astype(np.float32)
+    x = jax.device_put(jnp.asarray(sig))
+    l = jax.device_put(jnp.full((batch,), n, jnp.int32))
+    res = features.extract_impl(x[:1], l[:1], cfg)
+    params = model.init(jax.random.PRNGKey(0), res.features, res.mask)
+
+    def frontend(a, b):
+        return features.extract_impl(a, b, cfg).features
+
+    def full(a, b):
+        r = features.extract_impl(a, b, cfg)
+        return model.apply(params, r.features, r.mask)[0]
+
+    t_fe = time_fn(jax.jit(frontend), x, l, iters=iters)
+    t_full = time_fn(jax.jit(full), x, l, iters=iters)
+    share = max(0.0, min(1.0, t_fe / t_full))
+    return {
+        "config": "frontend_share_of_whisper_tiny_forward",
+        "frontend_s": round(t_fe, 6),
+        "frontend_plus_encoder_s": round(t_full, 6),
+        "frontend_share": round(share, 4),
+        "rtfx_end_to_end": round(batch * seconds / t_full, 1),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
@@ -92,6 +133,9 @@ def main(argv=None):
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--gemm", action="store_true",
                    help="use the fully fused GEMM-native DFT kernel")
+    p.add_argument("--encoder", action="store_true",
+                   help="also measure the front-end's share of a full "
+                        "front-end+encoder forward pass (north-star claim)")
     args = p.parse_args(argv)
 
     import jax
@@ -108,6 +152,11 @@ def main(argv=None):
             f"frames/s={row['frames_per_s']:>12,.0f} "
             f"err={row.get('max_abs_err', float('nan')):.2e}")
         rows.append(row)
+
+    if args.encoder:
+        rows.append(bench_encoder_share(args.batch, args.seconds, args.iters,
+                                        use_pallas=not args.no_pallas,
+                                        gemm=args.gemm))
 
     if args.profile:
         import jax.numpy as jnp

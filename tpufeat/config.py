@@ -85,10 +85,14 @@ class FeatureConfig:
     use_pallas: bool = False         # fused Pallas mel/log/DCT kernel on TPU
     gemm_dft: bool = False           # GEMM-native DFT (matmul) inside Pallas
     #                                  instead of XLA rFFT (MelT-style)
-    fused_framing: bool = False      # experimental: frame inside the Pallas
-    #                                  kernel (signal_features); currently
-    #                                  deadlocks the Mosaic runtime on v5e --
-    #                                  keep off until root-caused
+    fused_framing: bool = False      # frame inside the Pallas kernel
+    #                                  (signal_features): frames never touch
+    #                                  HBM. Hardware-validated on v5e
+    #                                  (BASELINE.md: RTFx 66k); off by
+    #                                  default so CPU/interpret users keep
+    #                                  fast compiles -- production TPU
+    #                                  configs should enable use_pallas +
+    #                                  gemm_dft + fused_framing
 
     def __post_init__(self):
         if self.frame_length > self.n_fft:
