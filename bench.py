@@ -14,7 +14,6 @@ abs error vs the float64 CPU golden is checked and reported alongside.
 """
 
 import dataclasses
-import functools
 import json
 import sys
 import time

@@ -25,11 +25,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, iters=10, warmup=3):
-    """Steady-state median. Completion is forced by a separate jitted
-    checksum dispatch fetched to host — block_until_ready is a no-op on the
-    relayed axon platform, and an in-jit checksum would let XLA dead-code the
-    HBM materialization of the outputs (see bench.py)."""
+def time_fn(fn, *args, iters=10, warmup=2, chain=8):
+    """Steady-state median time per call. Completion is forced by a separate
+    jitted checksum dispatch fetched to host — block_until_ready is a no-op
+    on the relayed axon platform, and an in-jit checksum would let XLA
+    dead-code the HBM materialization of the outputs (see bench.py). Each
+    timed iteration chains ``chain`` dispatches before the sync so the
+    ~30 ms relay round-trip amortizes like a production ingest loop."""
     import jax
     import jax.numpy as jnp
 
@@ -38,9 +40,12 @@ def time_fn(fn, *args, iters=10, warmup=3):
         return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(t))
 
     def run():
-        return float(checksum(fn(*args)))
+        out = None
+        for _ in range(chain):
+            out = fn(*args)
+        return float(checksum(out))
 
-    run()  # compile
+    float(checksum(fn(*args)))  # compile
     for _ in range(warmup):
         run()
     times = []
@@ -48,7 +53,7 @@ def time_fn(fn, *args, iters=10, warmup=3):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)) / chain
 
 
 def bench_config(name, cfg, batch, seconds, iters, golden_check=True):

@@ -204,3 +204,45 @@ long tpufeat_read_wav(const char* path, float* out, long cap, int* rate) {
 }
 
 }  // extern "C"
+
+// ---- multithreaded batch WAV loader (native data-loading path) ----
+// Decodes `count` WAV files concurrently into a caller-provided arena of
+// `cap` floats per row (shorter files zero-padded, longer ones rejected).
+// lengths[i] receives the decoded sample count, or -1 on error. Returns the
+// number of successfully decoded files. The reference's loader is serial C;
+// feeding a >10,000x real-time accelerator needs the host side parallel.
+#include <atomic>
+#include <thread>
+
+extern "C" long tpufeat_read_wav_batch(const char* const* paths, long count,
+                                       float* arena, long cap,
+                                       long* lengths, int* rates,
+                                       int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  std::atomic<long> next(0), ok(0);
+  auto worker = [&]() {
+    while (true) {
+      const long i = next.fetch_add(1);
+      if (i >= count) return;
+      float* row = arena + i * cap;
+      int rate = 0;
+      long n = tpufeat_read_wav(paths[i], row, cap, &rate);
+      if (n >= 0) {
+        for (long j = n; j < cap; ++j) row[j] = 0.0f;
+        ok.fetch_add(1);
+      }
+      lengths[i] = n;
+      rates[i] = rate;
+    }
+  };
+  std::vector<std::thread> pool;
+  const int n_pool = static_cast<int>(
+      count < n_threads ? count : n_threads);
+  pool.reserve(n_pool);
+  for (int t = 0; t < n_pool; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok.load();
+}

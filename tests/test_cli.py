@@ -6,7 +6,7 @@ import pytest
 
 from tpufeat import cli, io
 from tpufeat.reference import cpu
-from tpufeat.config import MFCC13_HTK, WHISPER80
+from tpufeat.config import MFCC13_HTK
 
 from conftest import make_signal
 

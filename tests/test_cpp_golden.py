@@ -72,6 +72,25 @@ class TestNativeWav:
         b, _ = io.read_wav(path, native=False)
         np.testing.assert_allclose(a, b, atol=1e-7)
 
+    def test_batch_loader(self, tmp_path):
+        sigs = [make_signal(4000 + 100 * i, seed=130 + i) for i in range(6)]
+        paths = []
+        for i, s in enumerate(sigs):
+            p = str(tmp_path / f"b{i}.wav")
+            io.write_wav(p, s, 16000)
+            paths.append(p)
+        paths.append(str(tmp_path / "missing.wav"))
+        batch, lengths, rates = cpp_golden.read_wav_batch(paths, 8000,
+                                                          n_threads=3)
+        assert batch.shape == (7, 8000)
+        assert lengths[-1] == -1  # missing file reported, not fatal
+        for i, s in enumerate(sigs):
+            assert lengths[i] == len(s)
+            assert rates[i] == 16000
+            ref, _ = io.read_wav(paths[i], native=False)
+            np.testing.assert_allclose(batch[i, : len(s)], ref, atol=1e-7)
+            assert (batch[i, len(s):] == 0).all()
+
     def test_rejects_garbage(self, tmp_path):
         path = str(tmp_path / "bad.wav")
         with open(path, "wb") as f:

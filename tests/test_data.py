@@ -1,7 +1,6 @@
 """Batching/bucketing utilities (recompile-storm guard, SURVEY.md §7 #4)."""
 
 import numpy as np
-import pytest
 
 from tpufeat import data
 

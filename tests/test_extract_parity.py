@@ -5,7 +5,6 @@ float64 oracle — per-stage ~1e-5 relative, end-to-end MFCC ~1e-3 absolute
 (log amplifies small spectrum errors near the floor)."""
 
 import numpy as np
-import pytest
 
 from tpufeat import features
 from tpufeat.config import (FeatureConfig, KALDI39, MFCC13_HTK, WHISPER80)

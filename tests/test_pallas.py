@@ -8,7 +8,6 @@ import pytest
 
 from tpufeat import features
 from tpufeat.config import FeatureConfig, KALDI39, MFCC13_HTK, WHISPER80
-from tpufeat.reference import cpu
 
 from conftest import make_signal
 

@@ -1,8 +1,6 @@
 """Property-based tests (SURVEY.md §4 "Property"): random lengths and
 amplitudes through the jitted pipeline."""
 
-import dataclasses
-
 import numpy as np
 from hypothesis import given, settings, strategies as st
 

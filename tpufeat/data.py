@@ -15,7 +15,6 @@ from typing import Iterable, Iterator, Sequence
 import numpy as np
 
 from tpufeat import io
-from tpufeat.config import FeatureConfig, MFCC13_HTK
 
 __all__ = ["pad_batch", "bucket_length", "batched", "iter_wav_dir"]
 

@@ -39,8 +39,8 @@ from jax import shard_map
 
 from tpufeat import framing, matrices, spectrum
 from tpufeat.config import FeatureConfig, MFCC13_HTK
-from tpufeat.features import (FeatureResult, extract_impl, mel_log_dct_xla,
-                              whisper_normalize)
+from tpufeat.features import (FeatureResult, extract_impl,
+                              mel_log_dct_xla)
 
 __all__ = ["default_mesh", "extract_data_parallel", "extract_time_sharded",
            "shardable_length"]
