@@ -12,7 +12,9 @@ out — designed TPU-first per SURVEY.md. Public API:
 
 from tpufeat.config import (FeatureConfig, KALDI39, MFCC13_HTK, PRESETS,
                             STREAMING160, WHISPER80)
-from tpufeat.features import FeatureResult, extract, make_extractor
+from tpufeat.features import (FeatureResult, extract, frames, logmel,
+                              make_extractor, mel_spectrogram, mfcc,
+                              spectrogram)
 from tpufeat.io import read_wav, write_wav
 from tpufeat.streaming import (StreamingFrontend, StreamState, init_state,
                                process_chunk, scan_chunks)
@@ -21,7 +23,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "FeatureConfig", "MFCC13_HTK", "WHISPER80", "KALDI39", "STREAMING160",
-    "PRESETS", "FeatureResult", "extract", "make_extractor", "read_wav",
+    "PRESETS", "FeatureResult", "extract", "frames", "spectrogram",
+    "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
     "process_chunk", "scan_chunks", "__version__",
 ]

@@ -189,6 +189,20 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
     Returns a :class:`FeatureResult`; for 1-D input the batch axis is
     squeezed away from ``features``/``mask``.
     """
+    x, lengths, single = _prep(signal, lengths)
+    fn = _extract_jit if jit else extract_impl
+    res = fn(x, lengths, cfg)
+    if single:
+        res = FeatureResult(res.features[0], res.mask[0], res.num_frames[0])
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Stage-level public API (reference parity: wav in -> frames / spectra /
+# mel / MFCC out, BASELINE.json:north_star). Each returns (values, mask).
+# ---------------------------------------------------------------------------
+
+def _prep(signal, lengths):
     x = jnp.asarray(signal)
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) / 32768.0
@@ -201,11 +215,67 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
         lengths = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
     else:
         lengths = jnp.asarray(lengths, jnp.int32)
-    fn = _extract_jit if jit else extract_impl
-    res = fn(x, lengths, cfg)
-    if single:
-        res = FeatureResult(res.features[0], res.mask[0], res.num_frames[0])
-    return res
+    return x, lengths, single
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stage"))
+def _stage_impl(x, lengths, cfg: FeatureConfig, stage: str):
+    if cfg.preemphasis and not cfg.kaldi_mode:
+        x = framing.preemphasize(x, cfg.preemphasis)
+    frames_, mask = framing.frame_signal(x, lengths, cfg)
+    frames_ = framing.condition_frames(frames_, cfg)
+    w = jnp.asarray(matrices.window(cfg.window, cfg.frame_length),
+                    frames_.dtype)
+    if stage == "frames":
+        return frames_ * w, mask
+    spec = spectrum.power_spectrum_rfft(frames_ * w, cfg)
+    if stage == "spectrogram":
+        return spec, mask
+    fb = jnp.asarray(matrices.mel_filterbank(
+        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style), spec.dtype)
+    mel = jnp.dot(spec, fb, precision=HIGHEST)
+    if stage == "mel":
+        return mel, mask
+    logm = apply_log(mel, mask, cfg)
+    if stage == "logmel":
+        return logm, mask
+    raise ValueError(stage)
+
+
+def _stage(signal, lengths, cfg, stage):
+    x, lengths, single = _prep(signal, lengths)
+    out, mask = _stage_impl(x, lengths, cfg, stage)
+    return (out[0], mask[0]) if single else (out, mask)
+
+
+def frames(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK):
+    """Windowed analysis frames [(B,) F, frame_length] + mask (C2-C4)."""
+    return _stage(signal, lengths, cfg, "frames")
+
+
+def spectrogram(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK):
+    """Power (or magnitude) spectrogram [(B,) F, n_fft//2+1] + mask (C5-C6)."""
+    return _stage(signal, lengths, cfg, "spectrogram")
+
+
+def mel_spectrogram(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK):
+    """Linear mel-filterbank energies [(B,) F, n_mels] + mask (C7)."""
+    return _stage(signal, lengths, cfg, "mel")
+
+
+def logmel(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK):
+    """Log-compressed mel features [(B,) F, n_mels] + mask (C7-C8)."""
+    return _stage(signal, lengths, cfg, "logmel")
+
+
+def mfcc(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK):
+    """MFCCs [(B,) F, n_mfcc] + mask (C2-C9; no deltas/CMVN — use
+    :func:`extract` for the full configured pipeline)."""
+    import dataclasses
+    base = dataclasses.replace(cfg, deltas=False, cmvn="none")
+    res = extract(signal, lengths, base)
+    return res.features, res.mask
 
 
 @functools.lru_cache(maxsize=None)
