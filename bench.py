@@ -25,9 +25,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main(batch: int = 32, seconds: int = 30, iters: int = 20,
+def main(batch: int = 128, seconds: int = 30, iters: int = 10,
          use_pallas: bool = True, gemm_dft: bool = True,
-         chain: int = 8, fused_framing: bool = True) -> dict:
+         chain: int = 16, fused_framing: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     from tpufeat import features
@@ -152,12 +152,12 @@ def main(batch: int = 32, seconds: int = 30, iters: int = 20,
 if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seconds", type=int, default=30)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=10)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--no-gemm", action="store_true")
-    p.add_argument("--chain", type=int, default=8)
+    p.add_argument("--chain", type=int, default=16)
     p.add_argument("--no-fused-framing", action="store_true")
     a = p.parse_args()
     result = main(a.batch, a.seconds, a.iters,
