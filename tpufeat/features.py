@@ -123,6 +123,26 @@ def mel_log_dct_xla(spec: jnp.ndarray, mask: jnp.ndarray,
     return out
 
 
+def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
+                     cfg: FeatureConfig, use_pallas: bool | None = None
+                     ) -> jnp.ndarray:
+    """Conditioned (unwindowed) frames -> features: the staged spectro path
+    shared by one-shot extraction and streaming. Routes to the fused Pallas
+    kernels when enabled, else the XLA composition."""
+    if use_pallas is None:
+        use_pallas = cfg.use_pallas and frames.shape[-2] > 0
+    if use_pallas:
+        from tpufeat.pallas import fused
+        return fused.spectro_features(frames, mask, cfg)
+    if cfg.gemm_dft:
+        spec = spectrum.power_spectrum_gemm(frames, cfg)
+    else:
+        w = jnp.asarray(matrices.window(cfg.window, cfg.frame_length),
+                        frames.dtype)
+        spec = spectrum.power_spectrum_rfft(frames * w, cfg)
+    return mel_log_dct_xla(spec, mask, cfg)
+
+
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
@@ -151,17 +171,7 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
     else:
         frames, mask = framing.frame_signal(x, lengths, cfg)
         frames = framing.condition_frames(frames, cfg)
-        if use_pallas:
-            from tpufeat.pallas import fused
-            feat = fused.spectro_features(frames, mask, cfg)
-        elif cfg.gemm_dft:
-            spec = spectrum.power_spectrum_gemm(frames, cfg)
-            feat = mel_log_dct_xla(spec, mask, cfg)
-        else:
-            w = jnp.asarray(matrices.window(cfg.window, cfg.frame_length),
-                            frames.dtype)
-            spec = spectrum.power_spectrum_rfft(frames * w, cfg)
-            feat = mel_log_dct_xla(spec, mask, cfg)
+        feat = spectro_pipeline(frames, mask, cfg, use_pallas=use_pallas)
 
     nf = framing.num_frames_dynamic(lengths, cfg)
     if cfg.deltas:

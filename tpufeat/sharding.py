@@ -37,10 +37,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from tpufeat import framing, matrices, spectrum
+from tpufeat import framing
 from tpufeat.config import FeatureConfig, MFCC13_HTK
-from tpufeat.features import (FeatureResult, extract_impl,
-                              mel_log_dct_xla)
+from tpufeat.features import (FeatureResult, extract_impl, mel_log_dct_xla,
+                              spectro_pipeline)
 
 __all__ = ["default_mesh", "extract_data_parallel", "extract_time_sharded",
            "shardable_length"]
@@ -213,24 +213,18 @@ def _time_shard_body(x_local: jnp.ndarray, *, cfg: FeatureConfig, s_loc: int,
     frames = framing.frames_from_buffer(ext[None], f_loc, fl, hop)[0]
     frames = framing.condition_frames(frames, cfg)
 
-    if cfg.gemm_dft:
-        spec = spectrum.power_spectrum_gemm(frames, cfg)
-    else:
-        w = jnp.asarray(matrices.window(cfg.window, fl), frames.dtype)
-        spec = spectrum.power_spectrum_rfft(frames * w, cfg)
-
     # mel/log/dct — whisper normalization handled here with a global pmax
     if cfg.log == "whisper":
         import dataclasses
         pre_cfg = dataclasses.replace(cfg, log="log10")
-        ls = mel_log_dct_xla(spec, mask, pre_cfg)            # log10 mel
+        ls = spectro_pipeline(frames, mask, pre_cfg)         # log10 mel
         neg_inf = jnp.asarray(-jnp.inf, ls.dtype)
         local_max = jnp.max(jnp.where(mask[:, None], ls, neg_inf))
         gmax = jax.lax.pmax(local_max, axis_name)
         gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
         feat = (jnp.maximum(ls, gmax - 8.0) + 4.0) / 4.0
     else:
-        feat = mel_log_dct_xla(spec, mask, cfg)
+        feat = spectro_pipeline(frames, mask, cfg)
 
     if cfg.deltas:
         d1 = _sharded_deltas(feat, total_valid, f_loc, cfg.delta_window,

@@ -45,9 +45,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpufeat import framing, matrices, spectrum
+from tpufeat import framing
 from tpufeat.config import MFCC13_HTK, FeatureConfig
-from tpufeat.features import mel_log_dct_xla
+from tpufeat.features import spectro_pipeline
 
 
 class StreamState(NamedTuple):
@@ -114,12 +114,7 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
     mask = jnp.arange(F)[None, :] < n_new[:, None]
 
     frames = framing.condition_frames(frames, cfg)
-    if cfg.gemm_dft:
-        spec = spectrum.power_spectrum_gemm(frames, cfg)
-    else:
-        w = jnp.asarray(matrices.window(cfg.window, fl), frames.dtype)
-        spec = spectrum.power_spectrum_rfft(frames * w, cfg)
-    feats = mel_log_dct_xla(spec, mask, cfg)
+    feats = spectro_pipeline(frames, mask, cfg)
 
     new_state = StreamState(
         buf=data[:, C:],                                  # leftover is the tail
