@@ -37,6 +37,8 @@ def main(argv=None):
     from tpufeat import streaming
     from tpufeat.config import MFCC13_HTK
 
+    # the scan is bound by sequential step latency, not compute — the plain
+    # XLA path measured slightly faster than the pallas kernel per tiny chunk
     cfg = MFCC13_HTK
     sr = cfg.sample_rate
     chunk = int(args.chunk_seconds * sr) // cfg.hop_length * cfg.hop_length

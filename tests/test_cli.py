@@ -53,6 +53,16 @@ class TestCLI:
                          "--set", "lifter=22"]) == 0
         assert np.load(out).shape[1] == 13
 
+    def test_streaming_mode(self, wav, tmp_path):
+        path, _ = wav
+        out1 = str(tmp_path / "s.npy")
+        out2 = str(tmp_path / "o.npy")
+        assert cli.main([path, out1, "--stream", "1600"]) == 0
+        assert cli.main([path, out2]) == 0
+        a, b = np.load(out1), np.load(out2)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 1e-4
+
     def test_bad_override_rejected(self, wav, tmp_path):
         path, _ = wav
         with pytest.raises(SystemExit):

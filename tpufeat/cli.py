@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--time", action="store_true",
                    help="print wall-clock timings and RTFx")
+    p.add_argument("--stream", type=int, metavar="CHUNK", default=0,
+                   help="process through the streaming front-end in CHUNK-"
+                        "sample chunks (config 4) instead of one-shot")
     return p
 
 
@@ -87,6 +90,27 @@ def main(argv=None) -> int:
         batch[b, : len(s)] = s
 
     def run():
+        if args.stream > 0:
+            from tpufeat import streaming
+            fe = streaming.StreamingFrontend(cfg, batch_size=len(sigs))
+            outs = []
+            n = batch.shape[1]
+            pad = (-n) % args.stream
+            padded = np.pad(batch, ((0, 0), (0, pad)))
+            for pos in range(0, padded.shape[1], args.stream):
+                feats, mask = fe.process(padded[:, pos: pos + args.stream])
+                outs.append((np.asarray(feats), np.asarray(mask)))
+            feats = np.concatenate([o[0] for o in outs], axis=1)
+            mask = np.concatenate([o[1] for o in outs], axis=1)
+            # chunk masks are per-chunk valid flags; rebuild global validity
+            nf = mask.sum(axis=1)
+            f = np.zeros((len(sigs), int(nf.max()), feats.shape[-1]),
+                         np.float32)
+            m = np.zeros(f.shape[:2], bool)
+            for b in range(len(sigs)):
+                f[b, : int(nf[b])] = feats[b][mask[b]]
+                m[b, : int(nf[b])] = True
+            return features.FeatureResult(f, m, nf.astype(np.int32))
         res = features.extract(batch, lengths, cfg)
         res.features.block_until_ready()
         return res
