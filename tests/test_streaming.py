@@ -8,6 +8,7 @@ bugs would produce O(1) errors."""
 import dataclasses
 
 import numpy as np
+from hypothesis import given, settings, strategies as st
 import jax.numpy as jnp
 import pytest
 
@@ -70,6 +71,24 @@ class TestEquivalence:
         sig = make_signal(8000, seed=42)
         one = np.asarray(features.extract(sig, cfg=cfg).features)
         chunked = stream_extract(sig, cfg, plan(8000, 480))
+        assert_stream_equal(chunked, one)
+
+    @given(seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=12, deadline=None)
+    def test_fuzzed_chunk_plans(self, seed):
+        """Random chunk plans (any sizes, any order) must reproduce the
+        one-shot output."""
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(500, 12000))
+        sig = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        sizes = []
+        left = n
+        while left > 0:
+            c = int(rng.integers(1, min(left, 4000) + 1))
+            sizes.append(c)
+            left -= c
+        one = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        chunked = stream_extract(sig, MFCC13_HTK, sizes)
         assert_stream_equal(chunked, one)
 
     def test_kaldi_mode_streaming(self):
