@@ -46,3 +46,20 @@ class TestBucketing:
         assert len(got) == 3
         assert [g[1].shape[0] for g in got] == [1000, 1001, 1002]
         assert all(g[2] == 16000 for g in got)
+
+
+class TestSplicing:
+    def test_splice_shapes_and_edges(self):
+        import jax.numpy as jnp
+        from tpufeat.data import splice_frames
+        rng = np.random.default_rng(5)
+        feat = rng.standard_normal((2, 6, 3)).astype(np.float32)
+        nf = np.array([6, 4])
+        out = np.asarray(splice_frames(jnp.asarray(feat), nf, 1, 1))
+        assert out.shape == (2, 6, 9)
+        # middle frame: [prev, cur, next]
+        np.testing.assert_allclose(out[0, 2], feat[0, 1:4].reshape(-1))
+        # first frame: left context replicated
+        np.testing.assert_allclose(out[0, 0, :3], feat[0, 0])
+        # utterance 1 ends at frame 3: right context clipped there
+        np.testing.assert_allclose(out[1, 3, 6:], feat[1, 3])

@@ -108,6 +108,24 @@ class TestConfig2Whisper:
         assert_parity(cfg, sigs, atol=5e-5)
 
 
+class TestUseEnergy:
+    def test_energy_replaces_c0(self):
+        import dataclasses
+        cfg = dataclasses.replace(MFCC13_HTK, use_energy=True)
+        sigs = [make_signal(6000, seed=150), make_signal(4100, seed=151)]
+        assert_parity(cfg, sigs, atol=1e-3)
+
+    def test_energy_kaldi_mode_and_pallas(self):
+        import dataclasses
+        for extra in (dict(kaldi_mode=True, dc_offset=True, window="povey"),
+                      dict(use_pallas=True),
+                      dict(use_pallas=True, gemm_dft=True,
+                           fused_framing=True)):
+            cfg = dataclasses.replace(MFCC13_HTK, use_energy=True, **extra)
+            sigs = [make_signal(5000, seed=152)]
+            assert_parity(cfg, sigs, atol=1e-3)
+
+
 class TestConfig3Kaldi39:
     def test_batched(self):
         sigs = [make_signal(n, seed=20 + i) for i, n in

@@ -74,6 +74,9 @@ class FeatureConfig:
     # --- cepstrum (reference C9) ---
     n_mfcc: int = 13                 # 0 -> stop at (log-)mel features
     lifter: int = 0                  # sinusoidal lifter length L; 0 = off
+    use_energy: bool = False         # Kaldi-style: replace c0 with the log
+    #                                  frame energy log(max(sum x^2, floor)),
+    #                                  computed on the conditioned frame
 
     # --- post (reference C16, config 3) ---
     deltas: bool = False             # append delta + delta-delta

@@ -16,7 +16,8 @@ import numpy as np
 
 from tpufeat import io
 
-__all__ = ["pad_batch", "bucket_length", "batched", "iter_wav_dir"]
+__all__ = ["pad_batch", "bucket_length", "batched", "iter_wav_dir",
+           "splice_frames"]
 
 
 def pad_batch(signals: Sequence[np.ndarray],
@@ -81,3 +82,18 @@ def iter_wav_dir(path: str, *, native: bool | None = None
                 full = os.path.join(root, name)
                 samples, rate = io.read_wav(full, native=native)
                 yield full, samples, rate
+
+
+def splice_frames(feat, num_frames, left: int = 3, right: int = 3):
+    """Kaldi-style frame splicing: stack each frame with its +-context,
+    [B, F, D] -> [B, F, (left+1+right)*D], replicating at each utterance's
+    true edges (clipped gather, same trick as features.deltas)."""
+    import jax.numpy as jnp
+    F = feat.shape[-2]
+    t = jnp.arange(F)
+    hi = jnp.maximum(jnp.asarray(num_frames) - 1, 0)[:, None]
+    parts = []
+    for off in range(-left, right + 1):
+        idx = jnp.clip(t[None, :] + off, 0, hi)
+        parts.append(jnp.take_along_axis(feat, idx[..., None], axis=-2))
+    return jnp.concatenate(parts, axis=-1)

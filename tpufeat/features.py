@@ -123,6 +123,16 @@ def mel_log_dct_xla(spec: jnp.ndarray, mask: jnp.ndarray,
     return out
 
 
+def _replace_c0_with_energy(feat: jnp.ndarray,
+                            frames: jnp.ndarray,
+                            cfg: FeatureConfig) -> jnp.ndarray:
+    """Kaldi use_energy: c0 := log(max(sum x^2, floor)) over the conditioned
+    (unwindowed) frame."""
+    e = jnp.log(jnp.maximum(jnp.sum(frames * frames, axis=-1),
+                            cfg.log_floor))
+    return jnp.concatenate([e[..., None], feat[..., 1:]], axis=-1)
+
+
 def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
                      cfg: FeatureConfig, use_pallas: bool | None = None
                      ) -> jnp.ndarray:
@@ -133,14 +143,18 @@ def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
         use_pallas = cfg.use_pallas and frames.shape[-2] > 0
     if use_pallas:
         from tpufeat.pallas import fused
-        return fused.spectro_features(frames, mask, cfg)
-    if cfg.gemm_dft:
+        feat = fused.spectro_features(frames, mask, cfg)
+    elif cfg.gemm_dft:
         spec = spectrum.power_spectrum_gemm(frames, cfg)
+        feat = mel_log_dct_xla(spec, mask, cfg)
     else:
         w = jnp.asarray(matrices.window(cfg.window, cfg.frame_length),
                         frames.dtype)
         spec = spectrum.power_spectrum_rfft(frames * w, cfg)
-    return mel_log_dct_xla(spec, mask, cfg)
+        feat = mel_log_dct_xla(spec, mask, cfg)
+    if cfg.use_energy and cfg.n_mfcc > 0:
+        feat = _replace_c0_with_energy(feat, frames, cfg)
+    return feat
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +182,10 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
         feat = fused.signal_features(buf, F, cfg)
         if cfg.log == "whisper":
             feat = whisper_normalize(feat, mask)
+        if cfg.use_energy and cfg.n_mfcc > 0:
+            frames = framing.frames_from_buffer(
+                buf, F, cfg.frame_length, cfg.hop_length)
+            feat = _replace_c0_with_energy(feat, frames, cfg)
     else:
         frames, mask = framing.frame_signal(x, lengths, cfg)
         frames = framing.condition_frames(frames, cfg)

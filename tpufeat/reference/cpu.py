@@ -31,6 +31,7 @@ __all__ = [
     "mfcc",
     "deltas",
     "cmvn",
+    "frame_energy",
     "extract",
 ]
 
@@ -178,6 +179,25 @@ def apply_log(mel: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     raise ValueError(cfg.log)
 
 
+def frame_energy(x: np.ndarray, cfg: FeatureConfig,
+                 preemph_prev: float = 0.0) -> np.ndarray:
+    """Kaldi-style log frame energy: log(max(sum x^2, floor)) over the
+    conditioned (pre-emphasized, unwindowed) frame."""
+    x = np.asarray(x, dtype=np.float64)
+    if cfg.preemphasis and not cfg.kaldi_mode:
+        x = preemphasis(x, cfg.preemphasis, preemph_prev)
+    frames = frame_signal(x, cfg)
+    if cfg.kaldi_mode:
+        if cfg.dc_offset:
+            frames = frames - frames.mean(axis=-1, keepdims=True)
+        if cfg.preemphasis:
+            first = frames[..., :1] - cfg.preemphasis * frames[..., :1]
+            rest = frames[..., 1:] - cfg.preemphasis * frames[..., :-1]
+            frames = np.concatenate([first, rest], axis=-1)
+    e = (frames ** 2).sum(axis=-1)
+    return np.log(np.maximum(e, cfg.log_floor))
+
+
 def mfcc(x: np.ndarray, cfg: FeatureConfig,
          preemph_prev: float = 0.0) -> np.ndarray:
     """Signal -> MFCC [n_frames, n_mfcc] (reference C9)."""
@@ -186,6 +206,9 @@ def mfcc(x: np.ndarray, cfg: FeatureConfig,
     out = lm @ dct
     if cfg.lifter > 0:
         out = out * matrices.lifter_vector(cfg.n_mfcc, cfg.lifter)
+    if cfg.use_energy:
+        out = out.copy()
+        out[:, 0] = frame_energy(x, cfg, preemph_prev)
     return out
 
 
