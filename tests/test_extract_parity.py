@@ -126,6 +126,24 @@ class TestUseEnergy:
             assert_parity(cfg, sigs, atol=1e-3)
 
 
+class TestDither:
+    def test_requires_key_and_perturbs(self):
+        import dataclasses
+        import jax
+        import pytest as _pytest
+        cfg = dataclasses.replace(MFCC13_HTK, dither=1e-3)
+        sig = make_signal(4000, seed=155)
+        with _pytest.raises(ValueError):
+            features.extract(sig, cfg=cfg)
+        a = features.extract(sig, cfg=cfg, rng=jax.random.key(0))
+        b = features.extract(sig, cfg=cfg, rng=jax.random.key(1))
+        base = features.extract(sig, cfg=MFCC13_HTK)
+        da = np.abs(np.asarray(a.features) - np.asarray(base.features)).max()
+        dab = np.abs(np.asarray(a.features) - np.asarray(b.features)).max()
+        assert 0 < da < 1.0      # small perturbation, not garbage
+        assert dab > 0           # key-dependent
+
+
 class TestConfig3Kaldi39:
     def test_batched(self):
         sigs = [make_signal(n, seed=20 + i) for i, n in

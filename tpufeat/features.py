@@ -162,12 +162,23 @@ def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
-                 cfg: FeatureConfig) -> FeatureResult:
+                 cfg: FeatureConfig,
+                 rng: jnp.ndarray | None = None) -> FeatureResult:
     """Traced pipeline body: padded batch [B, N] -> FeatureResult.
 
     Call via :func:`extract` (handles jit caching and input promotion) or
     jit it yourself with ``static_argnames=("cfg",)``.
+
+    ``rng``: PRNG key, required iff ``cfg.dither > 0`` — dither is additive
+    noise on the raw samples (a training-time augmentation knob; Kaldi
+    applies it per frame copy, this pipeline per sample — equivalent in
+    distribution, and always OFF for golden-parity runs).
     """
+    if cfg.dither > 0:
+        if rng is None:
+            raise ValueError("cfg.dither > 0 requires a PRNG key: "
+                             "extract(..., rng=jax.random.key(seed))")
+        x = x + cfg.dither * jax.random.normal(rng, x.shape, x.dtype)
     if cfg.preemphasis and not cfg.kaldi_mode:
         x = framing.preemphasize(x, cfg.preemphasis)
     F = cfg.num_frames(x.shape[-1])
@@ -204,7 +215,7 @@ _extract_jit = jax.jit(extract_impl, static_argnames=("cfg",))
 
 
 def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
-            jit: bool = True) -> FeatureResult:
+            jit: bool = True, rng=None) -> FeatureResult:
     """WAV samples -> features. The public one-shot API (SURVEY.md §3.4).
 
     Args:
@@ -219,7 +230,7 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
     """
     x, lengths, single = _prep(signal, lengths)
     fn = _extract_jit if jit else extract_impl
-    res = fn(x, lengths, cfg)
+    res = fn(x, lengths, cfg, rng) if rng is not None else fn(x, lengths, cfg)
     if single:
         res = FeatureResult(res.features[0], res.mask[0], res.num_frames[0])
     return res
