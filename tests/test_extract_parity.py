@@ -126,6 +126,27 @@ class TestUseEnergy:
             assert_parity(cfg, sigs, atol=1e-3)
 
 
+class TestOutDtype:
+    def test_bfloat16_output(self):
+        import dataclasses
+        import jax.numpy as jnp
+        cfg = dataclasses.replace(MFCC13_HTK, out_dtype="bfloat16")
+        sig = make_signal(4000, seed=156)
+        res = features.extract(sig, cfg=cfg)
+        assert res.features.dtype == jnp.bfloat16
+        base = features.extract(sig, cfg=MFCC13_HTK)
+        err = np.abs(np.asarray(res.features, np.float32)
+                     - np.asarray(base.features)).max()
+        scale = np.abs(np.asarray(base.features)).max()
+        assert err / scale < 0.01  # bf16 rounding only
+
+    def test_rejects_bad_dtype(self):
+        import dataclasses
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            dataclasses.replace(MFCC13_HTK, out_dtype="float8")
+
+
 class TestDither:
     def test_requires_key_and_perturbs(self):
         import dataclasses

@@ -85,6 +85,10 @@ class FeatureConfig:
     #                                  masked over valid frames)
 
     # --- execution ---
+    out_dtype: str = "float32"       # feature output dtype: float32|bfloat16
+    #                                  (bf16 halves feature bandwidth when
+    #                                  feeding a bf16 encoder; compute stays
+    #                                  f32 internally)
     use_pallas: bool = False         # fused Pallas mel/log/DCT kernel on TPU
     gemm_dft: bool = False           # GEMM-native DFT (matmul) inside Pallas
     #                                  instead of XLA rFFT (MelT-style)
@@ -113,6 +117,8 @@ class FeatureConfig:
             raise ValueError(f"unknown cmvn {self.cmvn!r}")
         if self.spectrum not in ("power", "magnitude"):
             raise ValueError(f"unknown spectrum {self.spectrum!r}")
+        if self.out_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown out_dtype {self.out_dtype!r}")
 
     # ---- derived quantities (all static / python ints) ----
 

@@ -208,6 +208,8 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
         d2 = deltas(d1, nf, cfg.delta_window)
         feat = jnp.concatenate([feat, d1, d2], axis=-1)
     feat = cmvn(feat, mask, cfg.cmvn)
+    if cfg.out_dtype != "float32":
+        feat = feat.astype(jnp.dtype(cfg.out_dtype))
     return FeatureResult(feat, mask, nf)
 
 
