@@ -249,33 +249,40 @@ def spectro_features(frames: jnp.ndarray, mask: jnp.ndarray,
 # Signal-level fully fused kernel: framing happens INSIDE the kernel
 # ---------------------------------------------------------------------------
 
-def _signal_kernel(*refs, cfg, n_blocks, hop_pad, kernel_dct):
-    """Grid (B, nblocks). Inputs: n_blocks row-shifted views of the signal
-    (view j holding rows [j : j+fp] of the [B, R, hop_pad] row matrix) plus
-    the constant matrices. Framing never materializes: frames@C distributes
-    over the hop-aligned row decomposition,
+def _signal_kernel(*refs, cfg, n_blocks, hop_pad, tf, kernel_dct):
+    """Grid (B, nblocks). Inputs: the [B, fp, hop_pad] signal-row matrix
+    (blocked on the frame axis) plus a tiny per-block boundary-row tensor
+    holding the first rows of the NEXT block, plus the constant matrices.
+    Framing never materializes: frames@C distributes over the hop-aligned
+    row decomposition,
 
-        re = sum_j  x2d[i*tf + t + j]  @  C[j*hop : (j+1)*hop]
+        re[t] = sum_j  rows[t + j] @ C[j*hop : (j+1)*hop]
+              = sum_j  dot(ext_rows, C_j)[t + j]
 
-    so block t of view j IS the j-th hop-row of every frame in the block.
-    The DFT matrices are zero-padded past frame_length and past each hop
-    (lane padding), so all padding multiplies exact zeros. Everything uses
-    regular BlockSpec pipelining — Mosaic double-buffers the DMAs.
+    computed as one matmul per hop-block over the extended rows (block +
+    boundary, a sublane concat of 8-aligned pieces) followed by a sublane
+    roll — no row-shifted HBM copies at all. The DFT matrices are zero-
+    padded past frame_length and past each hop (lane padding), so all
+    padding multiplies exact zeros. Regular BlockSpec pipelining
+    double-buffers the DMAs.
 
-    HBM traffic per frame: n_blocks*hop_pad*4 bytes in + feature_dim*4 out
-    (~2 KB) versus ~3.3 KB for the staged path, with no frames/spectra
-    round-trips and one kernel for references C3-C9."""
-    sig_refs = refs[:n_blocks]
-    c_ref, s_ref, fb_ref = refs[n_blocks: n_blocks + 3]
-    dct_ref = refs[n_blocks + 3] if kernel_dct else None
-    out_ref = refs[n_blocks + 3 + (1 if kernel_dct else 0)]
+    HBM traffic per frame: hop_pad*4 bytes in + feature_dim*4 out (~1.1 KB)
+    versus ~3.3 KB for the staged path (and 3x less than the previous
+    shifted-views variant), one kernel for references C3-C9."""
+    sig_ref, bnd_ref = refs[0], refs[1]
+    c_ref, s_ref, fb_ref = refs[2:5]
+    dct_ref = refs[5] if kernel_dct else None
+    out_ref = refs[5 + (1 if kernel_dct else 0)]
 
-    re = _dot(sig_refs[0][0], c_ref[0:hop_pad])
-    im = _dot(sig_refs[0][0], s_ref[0:hop_pad])
+    ext = jnp.concatenate([sig_ref[0], bnd_ref[0, 0]], axis=0)  # [tf+8, hp]
+    re = _dot(ext, c_ref[0:hop_pad])[:tf]
+    im = _dot(ext, s_ref[0:hop_pad])[:tf]
     for j in range(1, n_blocks):
-        sl = sig_refs[j][0]
-        re = re + _dot(sl, c_ref[j * hop_pad: (j + 1) * hop_pad])
-        im = im + _dot(sl, s_ref[j * hop_pad: (j + 1) * hop_pad])
+        dj_re = _dot(ext, c_ref[j * hop_pad: (j + 1) * hop_pad])
+        dj_im = _dot(ext, s_ref[j * hop_pad: (j + 1) * hop_pad])
+        # roll requires a non-negative shift: -j mod (tf+8)
+        re = re + pltpu.roll(dj_re, tf + 8 - j, axis=0)[:tf]
+        im = im + pltpu.roll(dj_im, tf + 8 - j, axis=0)[:tf]
     p = re * re + im * im
     if cfg.spectrum == "magnitude":
         p = jnp.sqrt(p)
@@ -334,10 +341,18 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
     x2d = buf.reshape(B, rows_needed, hop).astype(jnp.float32)
     if hop_pad != hop:
         x2d = jnp.pad(x2d, ((0, 0), (0, 0), (0, hop_pad - hop)))
-    # n_blocks row-shifted views; XLA materializes each as a contiguous
-    # [B, fp, hop_pad] slice the pipeline can block-DMA
-    views = [jax.lax.slice_in_dim(x2d, j, j + fp, axis=1)
-             for j in range(n_blocks)]
+    # main blocks read x2d in place; each grid block also needs the first
+    # n_blocks-1 rows of the NEXT block — gathered once into a tiny
+    # [B, nblk, 8, hop_pad] boundary tensor (8-row padded so the in-kernel
+    # sublane concat stays tile-aligned). The zero padding rows only feed
+    # rolled-off output rows, so they never reach the result.
+    nblk = fp // tf
+    main = x2d[:, :fp]
+    bnd_rows = [jax.lax.slice_in_dim(x2d, tf + d, tf + d + (nblk - 1) * tf + 1,
+                                     stride=tf, axis=1)
+                for d in range(n_blocks - 1)]          # each [B, nblk, hp]
+    zeros = jnp.zeros_like(bnd_rows[0]) if bnd_rows else None
+    bnd = jnp.stack(bnd_rows + [zeros] * (8 - len(bnd_rows)), axis=2)         if bnd_rows else jnp.zeros((B, nblk, 8, x2d.shape[-1]), jnp.float32)
 
     consts = [jnp.asarray(cz), jnp.asarray(sz), jnp.asarray(fb)]
     kernel_dct = dct is not None
@@ -345,26 +360,29 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
         consts.append(jnp.asarray(dct))
     out_cols = consts[-1].shape[1]
 
-    in_specs = [pl.BlockSpec((1, tf, hop_pad), lambda b, i: (b, i, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in range(n_blocks)]
+    in_specs = [
+        pl.BlockSpec((1, tf, hop_pad), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8, hop_pad), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     for cmat in consts:
         in_specs.append(pl.BlockSpec(cmat.shape, lambda b, i: (0, 0),
                                      memory_space=pltpu.VMEM))
     nbp = c.shape[1]
     out = pl.pallas_call(
         functools.partial(_signal_kernel, cfg=cfg, n_blocks=n_blocks,
-                          hop_pad=hop_pad, kernel_dct=kernel_dct),
-        grid=(B, fp // tf),
+                          hop_pad=hop_pad, tf=tf, kernel_dct=kernel_dct),
+        grid=(B, nblk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tf, out_cols), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, fp, out_cols), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=B * fp * 2 * sum(cm.shape[0] * cm.shape[1] for cm in consts),
-            bytes_accessed=B * fp * (n_blocks * hop_pad + out_cols) * 4,
+            bytes_accessed=B * fp * (hop_pad + out_cols) * 4,
             transcendentals=B * fp * nbp,
         ),
         interpret=_interpret(),
-    )(*views, *consts)
+    )(main, bnd, *consts)
     return out[:, :n_frames, :d_model]
