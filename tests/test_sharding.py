@@ -86,6 +86,45 @@ class TestTimeSharded:
         assert_close(got, one_shot(sig, cfg))
 
 
+class TestDpTimeMesh:
+    @pytest.mark.skipif(N_DEV < 4, reason="needs >=4 devices")
+    def test_batch_of_long_recordings(self):
+        import jax
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[: (N_DEV // 2) * 2]).reshape(2, -1)
+        mesh = Mesh(devs, ("dp", "time"))
+        n_time = devs.shape[1]
+        cfg = KALDI39
+        n = sharding.shardable_length(4 * 16000, cfg, n_time)
+        sigs, lens = [], []
+        for b in range(4):  # B=4 over dp=2
+            raw = make_signal(n - 531 * b, seed=170 + b)
+            lens.append(len(raw))
+            sigs.append(np.pad(raw, (0, n - len(raw))))
+        x = np.stack(sigs)
+        res = sharding.extract_batch_time_sharded(x, np.array(lens), cfg,
+                                                  mesh)
+        for b in range(4):
+            one = features.extract(x[b][: lens[b]], cfg=cfg)
+            got = np.asarray(res.features[b])[np.asarray(res.mask[b])]
+            assert_close(got, np.asarray(one.features))
+
+    @pytest.mark.skipif(N_DEV < 4, reason="needs >=4 devices")
+    def test_whisper_2d(self):
+        import jax
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[:4]).reshape(2, 2)
+        mesh = Mesh(devs, ("dp", "time"))
+        n = sharding.shardable_length(2 * 16000, WHISPER80, 2)
+        x = np.stack([make_signal(n, seed=180), make_signal(n, seed=181)])
+        res = sharding.extract_batch_time_sharded(
+            x, np.full((2,), n), WHISPER80, mesh)
+        for b in range(2):
+            one = features.extract(x[b], cfg=WHISPER80)
+            got = np.asarray(res.features[b])[np.asarray(res.mask[b])]
+            assert_close(got, np.asarray(one.features), tol=2e-5)
+
+
 class TestDataParallel:
     def test_matches_local(self):
         B = N_DEV * 2

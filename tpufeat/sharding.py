@@ -43,7 +43,7 @@ from tpufeat.features import (FeatureResult, extract_impl, mel_log_dct_xla,
                               spectro_pipeline)
 
 __all__ = ["default_mesh", "extract_data_parallel", "extract_time_sharded",
-           "shardable_length"]
+           "extract_batch_time_sharded", "shardable_length"]
 
 
 def default_mesh(axis_name: str = "dp", devices=None) -> Mesh:
@@ -155,29 +155,73 @@ def extract_time_sharded(signal, cfg: FeatureConfig = MFCC13_HTK,
         raise ValueError("centered configs reflect at the true signal end; "
                          "shard exact-length audio (length == len(signal))")
     total_valid = cfg.num_frames(length)
-    fn = _make_time_sharded_fn(cfg, n, int(total_valid), mesh, axis_name)
-    return fn(x)[:total_valid]
+    fn = _make_time_sharded_fn(cfg, n, mesh, axis_name)
+    return fn(x, jnp.asarray(total_valid, jnp.int32))[:total_valid]
+
+
+def extract_batch_time_sharded(signals, lengths, cfg: FeatureConfig,
+                               mesh: Mesh, dp_axis: str = "dp",
+                               time_axis: str = "time") -> FeatureResult:
+    """2-D mesh: a BATCH of long recordings sharded over (dp, time) at once.
+
+    ``signals`` [B, N] with B divisible by the dp mesh size and N by
+    ``time_size * hop`` (shards >= frame_length; zero-pad and pass true
+    ``lengths`` — center=False configs only, as in
+    :func:`extract_time_sharded`). Each utterance lives on one dp row and is
+    split along time across that row's devices; halos/psum/pmax ride the
+    time axis only. Returns a FeatureResult with [B, F_total, D] features.
+    """
+    mesh_axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    x = jnp.asarray(signals, jnp.float32)
+    B, n = x.shape
+    fl, hop = cfg.frame_length, cfg.hop_length
+    n_time = mesh_axes[time_axis]
+    if B % mesh_axes[dp_axis] or n % (n_time * hop) or n // n_time < fl:
+        raise ValueError(
+            f"[B={B}, N={n}] not shardable over mesh {mesh_axes}; pad N to "
+            f"{shardable_length(n, cfg, n_time)} and B to a multiple of "
+            f"{mesh_axes[dp_axis]}")
+    if cfg.center and bool(np.any(np.asarray(lengths) != n)):
+        raise ValueError("centered configs reflect at the true signal end; "
+                         "shard exact-length audio")
+    lengths = jnp.asarray(lengths, jnp.int32)
+    s_loc = n // n_time
+    body = functools.partial(_time_shard_body, cfg=cfg, s_loc=s_loc,
+                             f_loc=s_loc // hop, axis_name=time_axis)
+    fn = shard_map(
+        jax.vmap(body),                      # vmap over the local batch rows
+        mesh=mesh,
+        in_specs=(P(dp_axis, time_axis), P(dp_axis)),
+        out_specs=P(dp_axis, time_axis),
+    )
+    nf = framing.num_frames_dynamic(lengths, cfg)
+    feats = jax.jit(fn)(x, nf)
+    mask = jnp.arange(feats.shape[1])[None, :] < nf[:, None]
+    return FeatureResult(feats, mask, nf)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_time_sharded_fn(cfg: FeatureConfig, n: int, total_valid: int,
-                          mesh: Mesh, axis_name: str):
+def _make_time_sharded_fn(cfg: FeatureConfig, n: int, mesh: Mesh,
+                          axis_name: str):
     n_dev = mesh.devices.size
     s_loc = n // n_dev
     fn = shard_map(
         functools.partial(_time_shard_body, cfg=cfg, s_loc=s_loc,
                           f_loc=s_loc // cfg.hop_length,
-                          total_valid=total_valid, axis_name=axis_name),
+                          axis_name=axis_name),
         mesh=mesh,
-        in_specs=P(axis_name),
+        in_specs=(P(axis_name), P()),
         out_specs=P(axis_name),
     )
     return jax.jit(fn)
 
 
-def _time_shard_body(x_local: jnp.ndarray, *, cfg: FeatureConfig, s_loc: int,
-                     f_loc: int, total_valid: int, axis_name: str):
-    """Per-device body under shard_map. x_local: [s_loc]."""
+def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
+                     cfg: FeatureConfig, s_loc: int,
+                     f_loc: int, axis_name: str):
+    """Per-device body under shard_map. x_local: [s_loc]; total_valid: the
+    utterance's true frame count (traced scalar, so one program serves every
+    length and the body vmaps over batch rows for the 2-D dp x time mesh)."""
     fl, hop = cfg.frame_length, cfg.hop_length
     d = jax.lax.axis_index(axis_name)
     n_dev = jax.lax.axis_size(axis_name)
