@@ -10,8 +10,8 @@ out — designed TPU-first per SURVEY.md. Public API:
     feats = extract(samples, cfg=WHISPER80).features
 """
 
-from tpufeat.config import (FeatureConfig, KALDI39, MFCC13_HTK, PRESETS,
-                            STREAMING160, WHISPER80)
+from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
+                            PRESETS, STREAMING160, WHISPER80)
 from tpufeat.features import (FeatureResult, extract, frames, logmel,
                               make_extractor, mel_spectrogram, mfcc,
                               spectrogram)
@@ -23,6 +23,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "FeatureConfig", "MFCC13_HTK", "WHISPER80", "KALDI39", "STREAMING160",
+    "FBANK80",
     "PRESETS", "FeatureResult", "extract", "frames", "spectrogram",
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",
     "write_wav", "StreamingFrontend", "StreamState", "init_state",

@@ -182,9 +182,14 @@ KALDI39 = FeatureConfig(
 #: the pipeline itself is the classic MFCC-13 one).
 STREAMING160 = FeatureConfig()
 
+#: Kaldi-fbank-style 80-bin log-mel (natural log, HTK mel, no cepstrum) —
+#: the common neural-ASR input when not using the Whisper normalization.
+FBANK80 = FeatureConfig(n_mels=80, n_mfcc=0)
+
 PRESETS = {
     "mfcc13": MFCC13_HTK,
     "whisper80": WHISPER80,
     "kaldi39": KALDI39,
     "streaming160": STREAMING160,
+    "fbank80": FBANK80,
 }
