@@ -158,6 +158,16 @@ def main(argv=None):
             f"err={row.get('max_abs_err', float('nan')):.2e}")
         rows.append(row)
 
+    # single-utterance latency (B=1): what an online user waits for one
+    # 30 s transcript request; dominated by dispatch latency, not compute
+    lat_cfg = dataclasses.replace(WHISPER80, use_pallas=not args.no_pallas,
+                                  gemm_dft=args.gemm)
+    lat = bench_config("whisper80_single_utt_latency", lat_cfg, 1,
+                       args.seconds, args.iters)
+    lat["latency_ms"] = round(lat.pop("median_s") * 1e3, 3)
+    log(f"single-utterance latency: {lat['latency_ms']} ms")
+    rows.append(lat)
+
     if args.encoder:
         rows.append(bench_encoder_share(args.batch, args.seconds, args.iters,
                                         use_pallas=not args.no_pallas,
