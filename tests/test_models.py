@@ -115,3 +115,26 @@ class TestTrainStep:
                                              cfg)
         assert logits.shape[0] == 1 and logits.shape[2] == 12
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestDecode:
+    def test_greedy_ctc_collapse(self):
+        # logits argmax sequence: [1, 1, 0, 2, 2, 3] -> [1, 2, 3]
+        V = 4
+        path = [1, 1, 0, 2, 2, 3]
+        logits = np.full((1, len(path), V), -10.0, np.float32)
+        for t, k in enumerate(path):
+            logits[0, t, k] = 10.0
+        mask = np.ones((1, len(path)), bool)
+        out = train_lib.greedy_ctc_decode(jnp.asarray(logits),
+                                          jnp.asarray(mask))
+        assert out == [[1, 2, 3]]
+
+    def test_greedy_respects_mask(self):
+        V = 4
+        logits = np.full((1, 4, V), -10.0, np.float32)
+        logits[0, :, 1] = 10.0
+        mask = np.array([[True, True, False, False]])
+        out = train_lib.greedy_ctc_decode(jnp.asarray(logits),
+                                          jnp.asarray(mask))
+        assert out == [[1]]

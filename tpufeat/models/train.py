@@ -129,3 +129,23 @@ def load_train_state(path: str, like: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckpt:
         return ckpt.restore(path, like)
+
+
+def greedy_ctc_decode(logits: jnp.ndarray, mask: jnp.ndarray,
+                      blank: int = 0) -> list[list[int]]:
+    """Greedy CTC decoding: argmax per frame, collapse repeats, drop blanks.
+    Completes the serving story: audio -> asr_forward -> token ids."""
+    ids = np.asarray(jnp.argmax(logits, axis=-1))
+    valid = np.asarray(mask)
+    out = []
+    for b in range(ids.shape[0]):
+        seq, prev = [], -1
+        for t in range(ids.shape[1]):
+            if not valid[b, t]:
+                break
+            tok = int(ids[b, t])
+            if tok != prev and tok != blank:
+                seq.append(tok)
+            prev = tok
+        out.append(seq)
+    return out
