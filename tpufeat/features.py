@@ -70,19 +70,28 @@ def deltas(feat: jnp.ndarray, num_frames: jnp.ndarray,
     """Regression deltas with per-utterance edge replication (reference C16).
 
     Edge replication must happen at each utterance's true last frame, not at
-    the padded end — implemented as a clipped gather so one static program
-    serves every length."""
+    the padded end. Gather-free formulation (gathers are slow on TPU — see
+    framing.py): the +-i shifts are static slices with edge padding; the only
+    dynamic part is each utterance's last VALID frame, fetched once as a
+    [B, 1, D] gather and substituted where t + i would cross it."""
     F = feat.shape[-2]
-    t = jnp.arange(F)
-    hi = jnp.maximum(num_frames - 1, 0)[:, None]          # [B, 1]
+    t = jnp.arange(F)[None, :, None]
+    hi = jnp.maximum(num_frames - 1, 0)[:, None, None]     # [B, 1, 1]
+    last_valid = jnp.take_along_axis(
+        feat, jnp.broadcast_to(hi, (feat.shape[0], 1, 1)), axis=-2)
     denom = 2.0 * sum(i * i for i in range(1, window + 1))
     out = jnp.zeros_like(feat)
     for i in range(1, window + 1):
-        plus = jnp.clip(t[None, :] + i, 0, hi)
-        minus = jnp.clip(t[None, :] - i, 0, hi)
-        out = out + i * (
-            jnp.take_along_axis(feat, plus[..., None], axis=-2)
-            - jnp.take_along_axis(feat, minus[..., None], axis=-2))
+        # t+i, clipped at the true end: static shift + last-valid substitute
+        plus = jnp.concatenate(
+            [feat[:, i:], jnp.repeat(feat[:, -1:], i, axis=-2)], axis=-2)
+        plus = jnp.where(t + i > hi, last_valid, plus)
+        # t-i, clipped at 0: static shift with replicated first frame (the
+        # left edge is at index 0 for every utterance; for valid rows t < nf
+        # the upper clip can never trigger on t-i)
+        minus = jnp.concatenate(
+            [jnp.repeat(feat[:, :1], i, axis=-2), feat[:, :-i]], axis=-2)
+        out = out + i * (plus - minus)
     return out / denom
 
 
