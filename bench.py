@@ -122,6 +122,33 @@ def main(batch: int = 128, seconds: int = 30, iters: int = 10,
     rtfx = audio_s / dt
     frames_per_s = (mel.shape[0] * mel.shape[1] + mfcc.shape[0] * mfcc.shape[1]) / dt
 
+    # per-config numbers for the record (the headline metric covers both)
+    def time_single(cfg):
+        fn = jax.jit(lambda a, b: features.extract_impl(a, b, cfg).features)
+
+        @jax.jit
+        def cks1(t):
+            return t.sum()
+
+        float(cks1(fn(x, l)))
+        def run():
+            out = None
+            for _ in range(chain):
+                out = fn(x, l)
+            return float(cks1(out))
+        run()
+        ts = [0.0] * 5
+        for i in range(5):
+            t0 = time.perf_counter()
+            run()
+            ts[i] = time.perf_counter() - t0
+        return audio_s / (float(np.median(ts)) / chain)
+
+    rtfx_mel_only = round(time_single(cfg_mel), 1)
+    rtfx_mfcc_only = round(time_single(cfg_mfcc), 1)
+    log(f"single-config rtfx: whisper80={rtfx_mel_only:,.0f} "
+        f"mfcc13={rtfx_mfcc_only:,.0f}")
+
     # fidelity gate vs float64 golden (one utterance is enough for the gate)
     from tpufeat.reference import cpu
     gm = cpu.extract(sig[0].astype(np.float64), cfg_mel)
@@ -144,6 +171,8 @@ def main(batch: int = 128, seconds: int = 30, iters: int = 10,
         "pallas": use_pallas,
         "gemm_dft": gemm_dft,
         "fused_framing": fused_framing,
+        "rtfx_whisper80_only": rtfx_mel_only,
+        "rtfx_mfcc13_only": rtfx_mfcc_only,
         "backend": backend,
         "chain": chain,
     }
