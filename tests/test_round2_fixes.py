@@ -1,0 +1,157 @@
+"""Regression tests for the round-2 correctness fixes (ADVICE.md round 1).
+
+Covers: short-utterance centered reflect (multi-fold, no padding leak),
+whisper log with n_mfcc>0 path agreement, centered time-sharding guards,
+streaming dither rejection, CLI --stream per-utterance trimming, and the
+extract_data_parallel retrace fix.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpufeat import features, framing, sharding, streaming
+from tpufeat.config import FeatureConfig, MFCC13_HTK, WHISPER80
+from tpufeat.reference import cpu
+
+from conftest import make_signal
+
+
+class TestShortUtteranceReflect:
+    """framing.py multi-fold reflect: utterances shorter than n_fft//2 must
+    get np.pad(mode='reflect') semantics and never read batch padding."""
+
+    @pytest.mark.parametrize("short_len", [180, 350, 201])
+    def test_short_centered_matches_golden(self, short_len):
+        long = make_signal(4000, seed=1)
+        short = make_signal(short_len, seed=2)
+        N = 4000
+        x = np.zeros((2, N), np.float32)
+        x[0, :] = long
+        x[1, : short_len] = short
+        # garbage in the padding: must not leak into valid frames
+        x[1, short_len:] = 9.9
+        lengths = np.array([N, short_len], np.int32)
+        res = features.extract(x, lengths, WHISPER80)
+        for b, sig in enumerate([long, short]):
+            gold = cpu.extract(sig.astype(np.float64), WHISPER80)
+            nf = gold.shape[0]
+            assert int(res.num_frames[b]) == nf
+            if nf:
+                got = np.asarray(res.features)[b, :nf]
+                assert np.abs(got - gold).max() < 1e-4
+
+    def test_reflect_index_matches_numpy_pad(self):
+        for L in (2, 3, 5, 150, 399):
+            x = np.arange(L, dtype=np.float64)
+            pad = 200
+            ref = np.pad(x, (pad, pad), mode="reflect")
+            import jax.numpy as jnp
+            pos_left = pad - jnp.arange(pad)          # distances 200..1
+            idx_l = framing._reflect_index(pos_left, jnp.asarray(L))
+            np.testing.assert_array_equal(np.asarray(idx_l),
+                                          ref[: pad].astype(int))
+            pos_right = L + jnp.arange(pad)
+            idx_r = framing._reflect_index(pos_right, jnp.asarray(L))
+            np.testing.assert_array_equal(np.asarray(idx_r),
+                                          ref[pad + L:].astype(int))
+
+
+class TestWhisperWithDCT:
+    """log='whisper' + n_mfcc>0: XLA, Pallas-tail, and fully fused paths must
+    all produce DCT'd output (log -> normalize -> DCT), like the golden."""
+
+    CFG = dataclasses.replace(WHISPER80, n_mfcc=13, lifter=22)
+
+    def test_xla_path_matches_golden(self):
+        sig = make_signal(8000, seed=3)
+        res = features.extract(sig, cfg=self.CFG)
+        gold = cpu.extract(sig.astype(np.float64), self.CFG)
+        assert res.features.shape == gold.shape == (gold.shape[0], 13)
+        assert np.abs(np.asarray(res.features) - gold).max() < 1e-3
+
+    @pytest.mark.parametrize("flags", [
+        dict(use_pallas=True),
+        dict(use_pallas=True, gemm_dft=True),
+        dict(use_pallas=True, gemm_dft=True, fused_framing=True),
+    ])
+    def test_fused_paths_agree(self, flags):
+        cfg = dataclasses.replace(self.CFG, **flags)
+        sig = make_signal(8000, seed=3)
+        res = features.extract(sig, cfg=cfg)
+        gold = cpu.extract(sig.astype(np.float64), self.CFG)
+        assert res.features.shape[-1] == cfg.feature_dim == 13
+        assert np.abs(np.asarray(res.features) - gold).max() < 1e-3
+
+
+class TestShardingGuards:
+    def test_centered_preemphasis_rejected(self):
+        cfg = dataclasses.replace(WHISPER80, preemphasis=0.97)
+        sig = make_signal(16000)
+        with pytest.raises(ValueError, match="preemphasis"):
+            sharding.extract_time_sharded(sig, cfg)
+
+    def test_centered_keep_last_frame_rejected(self):
+        cfg = dataclasses.replace(WHISPER80, drop_last_frame=False)
+        sig = make_signal(16000)
+        with pytest.raises(ValueError, match="drop_last_frame"):
+            sharding.extract_time_sharded(sig, cfg)
+
+    def test_whisper_mfcc_sharded_matches_oneshot(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        cfg = dataclasses.replace(WHISPER80, n_mfcc=13)
+        n = sharding.shardable_length(32000, cfg, len(jax.devices()))
+        sig = make_signal(n, seed=5)
+        got = np.asarray(sharding.extract_time_sharded(sig, cfg))
+        want = np.asarray(features.extract(sig, cfg=cfg).features)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 2e-5
+
+
+class TestStreamingDitherGuard:
+    def test_rejected(self):
+        cfg = dataclasses.replace(MFCC13_HTK, dither=1e-5)
+        with pytest.raises(ValueError, match="dither"):
+            streaming.StreamingFrontend(cfg)
+
+
+class TestCliStreamTrim:
+    def test_unequal_lengths_trimmed_and_validated(self, tmp_path, capsys):
+        from tpufeat import cli, io
+        paths = []
+        for i, n in enumerate((12000, 7000)):
+            p = tmp_path / f"in{i}.wav"
+            io.write_wav(str(p), make_signal(n, seed=i), 16000)
+            paths.append(str(p))
+        out = tmp_path / "out.npz"
+        rc = cli.main(paths + [str(out), "--stream", "1600", "--validate"])
+        assert rc == 0
+        data = np.load(out)
+        nf = [MFCC13_HTK.num_frames(n) for n in (12000, 7000)]
+        assert data["features"].shape[1] == max(nf)
+        assert list(data["mask"].sum(axis=1)) == nf
+        # validate printed max-abs-err within float32 tolerance
+        import json
+        line = [ln for ln in capsys.readouterr().out.splitlines()
+                if "max_abs_err" in ln][-1]
+        errs = json.loads(line)["max_abs_err"]
+        assert errs["numpy_f64"] < 1e-3
+
+
+class TestDataParallelNoRetrace:
+    def test_second_call_hits_cache(self):
+        cfg = MFCC13_HTK
+        mesh = sharding.default_mesh()
+        B = mesh.devices.size * 2
+        x = np.stack([make_signal(4000, seed=i) for i in range(B)])
+        lens = np.full((B,), 4000, np.int32)
+        sharding.extract_data_parallel(x, lens, cfg, mesh)
+        fn = sharding._make_dp_fn(cfg, mesh, "dp")
+        before = fn._cache_size()
+        sharding.extract_data_parallel(x, lens, cfg, mesh)
+        assert sharding._make_dp_fn(cfg, mesh, "dp") is fn
+        assert fn._cache_size() == before == 1

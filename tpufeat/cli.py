@@ -103,14 +103,19 @@ def main(argv=None) -> int:
             feats = np.concatenate([o[0] for o in outs], axis=1)
             mask = np.concatenate([o[1] for o in outs], axis=1)
             # chunk masks are per-chunk valid flags; rebuild global validity
-            nf = mask.sum(axis=1)
-            f = np.zeros((len(sigs), int(nf.max()), feats.shape[-1]),
+            # and TRIM to each utterance's true frame count — the batch was
+            # zero-padded (to the longest utterance and to a chunk multiple)
+            # and the streaming front-end sees that padding as real audio,
+            # so frames past num_frames(length) are padding-derived.
+            nf = np.array([cfg.num_frames(int(l)) for l in lengths],
+                          dtype=np.int32)
+            f = np.zeros((len(sigs), max(int(nf.max()), 1), feats.shape[-1]),
                          np.float32)
             m = np.zeros(f.shape[:2], bool)
             for b in range(len(sigs)):
-                f[b, : int(nf[b])] = feats[b][mask[b]]
-                m[b, : int(nf[b])] = True
-            return features.FeatureResult(f, m, nf.astype(np.int32))
+                f[b, : nf[b]] = feats[b][mask[b]][: nf[b]]
+                m[b, : nf[b]] = True
+            return features.FeatureResult(f, m, nf)
         res = features.extract(batch, lengths, cfg)
         res.features.block_until_ready()
         return res

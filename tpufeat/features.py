@@ -110,6 +110,22 @@ def cmvn(feat: jnp.ndarray, mask: jnp.ndarray, mode: str) -> jnp.ndarray:
     return out
 
 
+def dct_lifter(logm: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """DCT-II + optional lifter (reference C9): [..., n_mels] -> [..., n_mfcc].
+
+    Also the post-normalization step for ``log == "whisper"`` configs with
+    ``n_mfcc > 0``: Whisper's clamp/scale needs the utterance-global max, so
+    the fused kernels emit log10-mel and the DCT runs here afterwards —
+    matching the golden's order (log -> normalize -> DCT)."""
+    dt = logm.dtype
+    dct = jnp.asarray(matrices.dct_matrix(cfg.n_mels, cfg.n_mfcc), dt)
+    out = jnp.dot(logm, dct, precision=HIGHEST)
+    if cfg.lifter > 0:
+        out = out * jnp.asarray(
+            matrices.lifter_vector(cfg.n_mfcc, cfg.lifter), dt)
+    return out
+
+
 def mel_log_dct_xla(spec: jnp.ndarray, mask: jnp.ndarray,
                     cfg: FeatureConfig) -> jnp.ndarray:
     """Unfused XLA tail: mel filterbank matmul -> log -> DCT (+lifter).
@@ -124,12 +140,7 @@ def mel_log_dct_xla(spec: jnp.ndarray, mask: jnp.ndarray,
     logm = apply_log(mel, mask, cfg)
     if cfg.n_mfcc <= 0:
         return logm
-    dct = jnp.asarray(matrices.dct_matrix(cfg.n_mels, cfg.n_mfcc), dt)
-    out = jnp.dot(logm, dct, precision=HIGHEST)
-    if cfg.lifter > 0:
-        out = out * jnp.asarray(
-            matrices.lifter_vector(cfg.n_mfcc, cfg.lifter), dt)
-    return out
+    return dct_lifter(logm, cfg)
 
 
 def _replace_c0_with_energy(feat: jnp.ndarray,
@@ -202,6 +213,8 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
         feat = fused.signal_features(buf, F, cfg)
         if cfg.log == "whisper":
             feat = whisper_normalize(feat, mask)
+            if cfg.n_mfcc > 0:
+                feat = dct_lifter(feat, cfg)
         if cfg.use_energy and cfg.n_mfcc > 0:
             frames = framing.frames_from_buffer(
                 buf, F, cfg.frame_length, cfg.hop_length)
@@ -250,6 +263,13 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
 # ---------------------------------------------------------------------------
 # Stage-level public API (reference parity: wav in -> frames / spectra /
 # mel / MFCC out, BASELINE.json:north_star). Each returns (values, mask).
+#
+# Semantics note: these stage functions ALWAYS run the unfused XLA rfft
+# oracle path, regardless of cfg.use_pallas/gemm_dft — the fused kernels
+# never materialize the intermediate frames/spectra these functions exist
+# to expose. Stage outputs therefore agree with extract() under any
+# execution flags to the paths' parity tolerance (~1e-5, tested), not
+# bitwise. mfcc()/extract() honor the flags.
 # ---------------------------------------------------------------------------
 
 def _prep(signal, lengths):

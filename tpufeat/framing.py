@@ -74,17 +74,33 @@ def frames_from_buffer(buf: jnp.ndarray, n_frames: int, frame_length: int,
     return jnp.concatenate(parts, axis=-1)
 
 
+def _reflect_index(pos: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """np.pad(mode="reflect") index math, per utterance.
+
+    Maps a (possibly negative or past-the-end) sample position to the index
+    actually read under reflect padding of an utterance of length ``L``:
+    period m = 2(L-1), r = |pos| mod m, index = r if r < L else m - r.
+    Exact for multi-fold reflection (utterances shorter than the pad), and
+    reduces to the single-fold ``|pos|`` / ``2L-2-pos`` for long ones.
+    L == 1 degenerates to index 0."""
+    m = jnp.maximum(2 * (lengths - 1), 1)
+    r = jnp.abs(pos) % m
+    return jnp.where(r < lengths, r, m - r)
+
+
 def framing_buffer(x: jnp.ndarray, lengths: jnp.ndarray,
                    cfg: FeatureConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Build the framing buffer: frame t covers buf[t*hop : t*hop+fl].
 
     center=False: the buffer IS the (pre-emphasized) signal.
     center=True (Whisper/torch.stft): frame t starts at t*hop - n_fft//2
-    with reflect padding at each utterance's true edges. The left reflect is
-    length-independent (position 0), so it is one static slice; the right
-    reflect only ever influences the ``fl - pad - hop`` samples past the
-    true end that the last valid frame reads, so it is a per-row
-    dynamic_update_slice of that tiny window at position ``length``.
+    with reflect padding at each utterance's TRUE edges (multi-fold reflect
+    indices, so utterances shorter than the pad get exactly
+    ``np.pad(mode="reflect")`` semantics and batch padding never leaks in).
+    The left reflect is a tiny [B, pad] gather; the right reflect only ever
+    influences the ``fl - pad - hop`` samples past the true end that the
+    last valid frame reads, so it is one batched scatter of that window at
+    position ``length``.
 
     Returns (buf [B, M], frame_mask [B, F_max]).
     """
@@ -101,23 +117,27 @@ def framing_buffer(x: jnp.ndarray, lengths: jnp.ndarray,
         if N <= pad:
             raise ValueError(f"centered framing needs > n_fft/2 = {pad} "
                              f"samples, got {N}")
-        left = x[:, 1: pad + 1][:, ::-1]              # reflect at position 0
+        # left reflect: buf[j] = x[reflect(pad - j)] — a [B, pad] gather
+        # (25 KB at B=128; the 30x-slow gather problem was the [B, F, 400]
+        # frame gather, not this)
+        dist = pad - jnp.arange(pad)[None, :]                  # [1, pad]
+        lidx = _reflect_index(dist, lengths[:, None])
+        left = jnp.take_along_axis(x, jnp.clip(lidx, 0, N - 1), axis=1)
         # overrun: how far past `length` the last VALID frame can read
         over = fl - pad - (hop if cfg.drop_last_frame else 0)
         buf = jnp.concatenate(
             [left, x] + ([jnp.zeros((B, over), x.dtype)] if over > 0 else []),
             axis=-1)
         if over > 0:
-            # write x[L-2-j] at buf[pad+L+j] for j < over, per row — one
-            # batched scatter (measured ~1.5 ms faster than a vmapped
+            # write x[reflect(L + j)] at buf[pad+L+j] for j < over, per row —
+            # one batched scatter (measured ~1.5 ms faster than a vmapped
             # dynamic_update_slice at B=128 on v5e; bit-identical)
             j = jnp.arange(over)
-            src = jnp.take_along_axis(
-                x, jnp.clip(lengths[:, None] - 2 - j[None, :], 0, N - 1),
-                axis=1)
+            ridx = _reflect_index(lengths[:, None] + j[None, :],
+                                  lengths[:, None])
+            src = jnp.take_along_axis(x, jnp.clip(ridx, 0, N - 1), axis=1)
             pos = pad + lengths[:, None] + j[None, :]
-            fixed = buf.at[jnp.arange(B)[:, None], pos].set(src)
-            buf = jnp.where((lengths > over)[:, None], fixed, buf)
+            buf = buf.at[jnp.arange(B)[:, None], pos].set(src)
     else:
         buf = x
     return buf, mask
@@ -139,9 +159,11 @@ def condition_frames(frames: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 
     kaldi_mode applies Kaldi's frame-local order: DC-offset removal, then
     in-frame pre-emphasis with x[-1] := x[0]. (The window itself is applied
-    by the caller — or folded into the GEMM-DFT matrices.) Dither is
-    intentionally not applied on the accelerator path (it would break golden
-    parity); the golden/CPU path owns it when enabled.
+    by the caller — or folded into the GEMM-DFT matrices.) Dither is NOT
+    applied here: the accelerated path adds it at the sample level in
+    ``features.extract_impl`` (explicit PRNG key), and the golden adds its
+    own in ``reference/cpu.py`` — being random, it is always OFF for
+    parity runs.
     """
     if cfg.kaldi_mode:
         if cfg.dc_offset:

@@ -240,8 +240,13 @@ def spectro_features(frames: jnp.ndarray, mask: jnp.ndarray,
             power = jnp.sqrt(power)
         out = mel_log_dct(power, cfg)
     if cfg.log == "whisper":
-        from tpufeat.features import whisper_normalize
+        from tpufeat.features import dct_lifter, whisper_normalize
         out = whisper_normalize(out, mask)
+        if cfg.n_mfcc > 0:
+            # whisper's clamp needs the global max -> the kernel stopped at
+            # log10-mel; finish with the DCT so the path agrees with
+            # mel_log_dct_xla and the golden (log -> normalize -> DCT)
+            out = dct_lifter(out, cfg)
     return out
 
 

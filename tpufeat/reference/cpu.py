@@ -118,9 +118,11 @@ def _window_frames(frames: np.ndarray, cfg: FeatureConfig,
 
     In kaldi_mode the reference order is applied per frame: dither,
     DC-offset removal, pre-emphasis within the frame (x[-1] := x[0]), then
-    window. Dither (cfg.dither > 0) lives only in this golden/CPU path: it
-    is a randomized fidelity knob (Kaldi-style), so the accelerator path
-    never applies it — parity tests always run with dither = 0."""
+    window. Dither (cfg.dither > 0) is a randomized augmentation knob: the
+    golden applies it here per frame copy in kaldi_mode and at the sample
+    level in :func:`spectrogram` otherwise, mirroring the accelerated
+    path's ``extract(..., rng=...)`` — equivalent in distribution, never
+    bit-comparable, so parity tests always run with dither = 0."""
     frames = frames.astype(np.float64)
     if cfg.kaldi_mode:
         if cfg.dither > 0:
@@ -140,9 +142,14 @@ def spectrogram(x: np.ndarray, cfg: FeatureConfig,
                 preemph_prev: float = 0.0) -> np.ndarray:
     """Signal -> power/magnitude spectrogram [n_frames, n_fft//2+1].
 
-    References C2-C6 composed: pre-emphasis (signal-level unless kaldi_mode),
-    framing, window, zero-pad to n_fft, rFFT, |.|^2 (or |.|)."""
+    References C2-C6 composed: dither (when configured), pre-emphasis
+    (signal-level unless kaldi_mode), framing, window, zero-pad to n_fft,
+    rFFT, |.|^2 (or |.|)."""
     x = np.asarray(x, dtype=np.float64)
+    if cfg.dither > 0 and not cfg.kaldi_mode:
+        # sample-level dither, mirroring the accelerated path (kaldi_mode
+        # applies it per frame copy in _window_frames instead)
+        x = x + cfg.dither * np.random.default_rng(0).standard_normal(x.shape)
     if cfg.preemphasis and not cfg.kaldi_mode:
         x = preemphasis(x, cfg.preemphasis, preemph_prev)
     frames = frame_signal(x, cfg)

@@ -55,6 +55,17 @@ def default_mesh(axis_name: str = "dp", devices=None) -> Mesh:
 # Data parallelism: one annotation, zero collectives
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _make_dp_fn(cfg: FeatureConfig, mesh: Mesh, axis_name: str):
+    """One jitted DP extractor per (cfg, mesh, axis) — jax's own jit cache
+    then keys on shapes, so repeated calls never re-trace (a fresh
+    ``jax.jit`` wrapper per call would recompile every time)."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.jit(functools.partial(extract_impl, cfg=cfg),
+                   in_shardings=(sharding, sharding),
+                   out_shardings=NamedSharding(mesh, P(axis_name)))
+
+
 def extract_data_parallel(signal, lengths, cfg: FeatureConfig,
                           mesh: Mesh | None = None,
                           axis_name: str = "dp") -> FeatureResult:
@@ -67,10 +78,7 @@ def extract_data_parallel(signal, lengths, cfg: FeatureConfig,
     sharding = NamedSharding(mesh, P(axis_name))
     x = jax.device_put(jnp.asarray(signal, jnp.float32), sharding)
     l = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
-    fn = jax.jit(functools.partial(extract_impl, cfg=cfg),
-                 in_shardings=(sharding, sharding),
-                 out_shardings=NamedSharding(mesh, P(axis_name)))
-    return fn(x, l)
+    return _make_dp_fn(cfg, mesh, axis_name)(x, l)
 
 
 # ---------------------------------------------------------------------------
@@ -86,6 +94,21 @@ def shardable_length(n: int, cfg: FeatureConfig, n_shards: int) -> int:
     while m // n_shards < cfg.frame_length:
         m += unit
     return m
+
+
+def _check_time_shardable(cfg: FeatureConfig) -> None:
+    """Reject config corners the centered shard body does not implement:
+    it neither pre-emphasizes nor produces the extra final frame that
+    ``drop_last_frame=False`` centered configs define (its per-shard frame
+    count is exactly s_loc//hop). WHISPER80 — the centered preset — has
+    preemphasis=0 and drop_last_frame=True and is fully supported."""
+    if cfg.center and (cfg.preemphasis != 0.0 or not cfg.drop_last_frame):
+        raise ValueError(
+            "time sharding supports centered configs only with "
+            "preemphasis=0 and drop_last_frame=True (the Whisper "
+            "convention); use extract()/extract_data_parallel for "
+            f"center=True with preemphasis={cfg.preemphasis}, "
+            f"drop_last_frame={cfg.drop_last_frame}")
 
 
 def _right_halo(x_local: jnp.ndarray, size: int, axis_name: str) -> jnp.ndarray:
@@ -140,6 +163,7 @@ def extract_time_sharded(signal, cfg: FeatureConfig = MFCC13_HTK,
     *global* edges only, Whisper's max rides ``pmax``, CMVN moments ride
     ``psum``, deltas exchange 2-frame halos.
     """
+    _check_time_shardable(cfg)
     mesh = default_mesh(axis_name) if mesh is None else mesh
     n_dev = mesh.devices.size
     x = jnp.asarray(signal, jnp.float32)
@@ -171,6 +195,7 @@ def extract_batch_time_sharded(signals, lengths, cfg: FeatureConfig,
     split along time across that row's devices; halos/psum/pmax ride the
     time axis only. Returns a FeatureResult with [B, F_total, D] features.
     """
+    _check_time_shardable(cfg)
     mesh_axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     x = jnp.asarray(signals, jnp.float32)
     B, n = x.shape
@@ -260,13 +285,20 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
     # mel/log/dct — whisper normalization handled here with a global pmax
     if cfg.log == "whisper":
         import dataclasses
-        pre_cfg = dataclasses.replace(cfg, log="log10")
+        pre_cfg = dataclasses.replace(cfg, log="log10", n_mfcc=0, lifter=0,
+                                      use_energy=False)
         ls = spectro_pipeline(frames, mask, pre_cfg)         # log10 mel
         neg_inf = jnp.asarray(-jnp.inf, ls.dtype)
         local_max = jnp.max(jnp.where(mask[:, None], ls, neg_inf))
         gmax = jax.lax.pmax(local_max, axis_name)
         gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
         feat = (jnp.maximum(ls, gmax - 8.0) + 4.0) / 4.0
+        if cfg.n_mfcc > 0:      # DCT after normalization, like the golden
+            from tpufeat.features import (_replace_c0_with_energy,
+                                          dct_lifter)
+            feat = dct_lifter(feat, cfg)
+            if cfg.use_energy:
+                feat = _replace_c0_with_energy(feat, frames, cfg)
     else:
         feat = spectro_pipeline(frames, mask, cfg)
 

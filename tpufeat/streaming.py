@@ -65,6 +65,10 @@ def _check_streamable(cfg: FeatureConfig) -> None:
     if cfg.deltas or cfg.cmvn != "none":
         raise ValueError("deltas/CMVN are utterance-global; compute them "
                          "offline or use streaming_cmvn running stats")
+    if cfg.dither > 0:
+        raise ValueError("dither is a training-time augmentation with no "
+                         "cross-chunk PRNG state; disable it for streaming "
+                         "(or add noise to the chunks yourself)")
 
 
 def init_state(batch_size: int = 1,
