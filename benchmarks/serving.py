@@ -5,12 +5,21 @@ The production question for an online ASR front-end is not batch RTFx but
 stream delivers hop-aligned chunks; a step processing B streams' chunks of
 ``chunk_seconds`` must finish in under ``chunk_seconds`` wall-clock.
 
+The step is the gather-free static-fill one (process_chunk_static with the
+fused signal kernel). ``--scan K`` additionally batches K consecutive
+chunks per dispatch under one jitted ``lax.scan`` — this amortizes the
+relay/dispatch overhead K-fold at the cost of K-1 extra chunks of added
+latency (pipelining depth), the standard online-serving tradeoff.
+
   python -m benchmarks.serving --chunk-seconds 0.1
+  python -m benchmarks.serving --chunk-seconds 0.1 --scan 4
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
+import functools
 import json
 import sys
 import time
@@ -18,18 +27,46 @@ import time
 import numpy as np
 
 
-def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8):
+def _cfg(fused: bool):
+    from tpufeat.config import MFCC13_HTK
+    return dataclasses.replace(
+        MFCC13_HTK, use_pallas=fused, gemm_dft=fused, fused_framing=fused)
+
+
+def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8,
+            scan_k: int = 1, fused: bool = True):
+    """Median wall-clock per (B streams x one chunk) in steady state."""
     import jax
     import jax.numpy as jnp
     from tpufeat import streaming
-    from tpufeat.config import MFCC13_HTK
 
-    cfg = MFCC13_HTK
-    state = streaming.init_state(batch, cfg)
-    fn = streaming.make_stream_fn(cfg)
+    cfg = _cfg(fused)
+    f1 = streaming.next_fill(0, chunk, cfg)
+    assert streaming.next_fill(f1, chunk, cfg) == f1
     rng = np.random.default_rng(0)
     x = jax.device_put(jnp.asarray(
         (rng.standard_normal((batch, chunk)) * 0.1).astype(np.float32)))
+
+    # steady-state warm start (fill == f1)
+    state, _ = streaming.make_stream_fn_static(cfg, 0)(
+        streaming.init_state(batch, cfg), x)
+
+    if scan_k == 1:
+        fn = streaming.make_stream_fn_static(cfg, f1)
+
+        def one(s):
+            return fn(s, x)
+    else:
+        step = functools.partial(streaming.process_chunk_static,
+                                 cfg=cfg, fill=f1)
+
+        @jax.jit
+        def one(s):
+            # each scan step re-reads the same device-resident chunk — a
+            # real server would feed a [K, B, C] block instead
+            s, feats = jax.lax.scan(lambda st, _: step(st, x), s, None,
+                                    length=scan_k)
+            return s, feats
 
     @jax.jit
     def cks(t):
@@ -39,8 +76,8 @@ def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8):
         s = state
         out = None
         for _ in range(chain):
-            s, out = fn(s, x)
-        return float(cks(out))
+            s, out = one(s)
+        return float(np.asarray(cks(out)))   # forces completion (relay-safe)
 
     run()
     times = []
@@ -48,28 +85,33 @@ def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / chain
+    return float(np.median(times)) / (chain * scan_k)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--chunk-seconds", type=float, default=0.1)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--scan", type=int, default=1, metavar="K",
+                   help="chunks batched per dispatch (adds (K-1) chunks of "
+                        "latency, divides dispatch overhead by K)")
+    p.add_argument("--no-fused", action="store_true")
     args = p.parse_args(argv)
 
     import jax
-    from tpufeat.config import MFCC13_HTK
-    cfg = MFCC13_HTK
+    cfg = _cfg(not args.no_fused)
     chunk = max(1, int(args.chunk_seconds * cfg.sample_rate
                        // cfg.hop_length)) * cfg.hop_length
     budget = chunk / cfg.sample_rate
     print(f"backend={jax.default_backend()} chunk={chunk} samples "
-          f"({budget*1e3:.0f} ms real-time budget)", file=sys.stderr)
+          f"({budget*1e3:.0f} ms real-time budget), scan_k={args.scan}",
+          file=sys.stderr)
 
     rows = []
     best = 0
-    for batch in (64, 256, 1024, 4096, 16384):
-        dt = measure(batch, chunk, iters=args.iters)
+    for batch in (64, 256, 1024, 4096, 8192, 16384, 32768, 65536):
+        dt = measure(batch, chunk, iters=args.iters, scan_k=args.scan,
+                     fused=not args.no_fused)
         rt = dt <= budget
         rows.append({"streams": batch, "step_ms": round(dt * 1e3, 3),
                      "real_time": rt,
@@ -83,6 +125,7 @@ def main(argv=None):
             break
     print(json.dumps({"chunk_samples": chunk,
                       "budget_ms": budget * 1e3,
+                      "scan_k": args.scan,
                       "max_real_time_streams": best,
                       "rows": rows}))
 

