@@ -151,10 +151,57 @@ long tpufeat_mfcc_f64(const double* signal, long n, int sample_rate,
   return n_frames;
 }
 
-// ---- native WAV (RIFF) decoder: 16-bit PCM, chunk-walking parser ----
-// Pass out=nullptr to query (returns mono sample count, sets *rate).
+// ---- native WAV (RIFF) decoder: chunk-walking parser ----
+// Formats: PCM 8/16/24/32-bit and IEEE float 32/64-bit, including
+// WAVE_FORMAT_EXTENSIBLE headers (the real tag is read from the SubFormat
+// GUID). Pass out=nullptr to query (returns mono sample count, sets *rate).
 // Otherwise fills `out` (capacity `cap` floats) with mono samples in
-// [-1, 1) (multi-channel averaged) and returns the count, or -1 on error.
+// [-1, 1) (multi-channel averaged) and returns the count; -1 on I/O or
+// structural error, -2 on an unsupported format tag / bit depth (so callers
+// can reject loudly instead of decoding garbage).
+namespace {
+// one mono sample (channel-averaged) from an interleaved byte frame
+double decode_frame(const unsigned char* p, int fmt, int bits, int channels) {
+  double acc = 0.0;
+  const int block = bits / 8;
+  for (int c = 0; c < channels; ++c) {
+    const unsigned char* s = p + c * block;
+    double v = 0.0;
+    if (fmt == 1) {  // PCM
+      if (bits == 16) {
+        v = static_cast<int16_t>(s[0] | (s[1] << 8)) / 32768.0;
+      } else if (bits == 8) {  // unsigned by spec
+        v = (static_cast<int>(s[0]) - 128) / 128.0;
+      } else if (bits == 24) {
+        int32_t raw = s[0] | (s[1] << 8) | (s[2] << 16);
+        if (raw >= (1 << 23)) raw -= (1 << 24);
+        v = raw / 8388608.0;
+      } else {  // 32
+        const int32_t raw = s[0] | (s[1] << 8) | (s[2] << 16) |
+                            (static_cast<uint32_t>(s[3]) << 24);
+        v = raw / 2147483648.0;
+      }
+    } else {  // IEEE float
+      if (bits == 32) {
+        uint32_t u = s[0] | (s[1] << 8) | (s[2] << 16) |
+                     (static_cast<uint32_t>(s[3]) << 24);
+        float f;
+        std::memcpy(&f, &u, 4);
+        v = f;
+      } else {  // 64
+        uint64_t u = 0;
+        for (int b = 7; b >= 0; --b) u = (u << 8) | s[b];
+        double d;
+        std::memcpy(&d, &u, 8);
+        v = d;
+      }
+    }
+    acc += v;
+  }
+  return acc / channels;
+}
+}  // namespace
+
 long tpufeat_read_wav(const char* path, float* out, long cap, int* rate) {
   FILE* fp = std::fopen(path, "rb");
   if (!fp) return -1;
@@ -164,7 +211,7 @@ long tpufeat_read_wav(const char* path, float* out, long cap, int* rate) {
     std::fclose(fp);
     return -1;
   }
-  int channels = 0, bits = 0;
+  int channels = 0, bits = 0, format = 0;
   long n_out = -1;
   while (true) {
     unsigned char ch[8];
@@ -172,27 +219,40 @@ long tpufeat_read_wav(const char* path, float* out, long cap, int* rate) {
     const uint32_t size = ch[4] | (ch[5] << 8) | (ch[6] << 16) |
                           (static_cast<uint32_t>(ch[7]) << 24);
     if (!std::memcmp(ch, "fmt ", 4)) {
-      unsigned char fmt[16];
-      if (size < 16 || std::fread(fmt, 1, 16, fp) != 16) break;
+      unsigned char fmt[40];
+      const size_t want = size < sizeof(fmt) ? size : sizeof(fmt);
+      if (size < 16 || std::fread(fmt, 1, want, fp) != want) break;
+      format = fmt[0] | (fmt[1] << 8);
       channels = fmt[2] | (fmt[3] << 8);
       *rate = fmt[4] | (fmt[5] << 8) | (fmt[6] << 16) | (fmt[7] << 24);
       bits = fmt[14] | (fmt[15] << 8);
-      if (size > 16) std::fseek(fp, size - 16, SEEK_CUR);
+      if (format == 0xFFFE) {  // extensible: real tag in SubFormat GUID
+        if (size < 40) break;
+        format = fmt[24] | (fmt[25] << 8);
+      }
+      if (size > want) std::fseek(fp, size - want, SEEK_CUR);
     } else if (!std::memcmp(ch, "data", 4)) {
-      if (channels <= 0 || bits != 16) break;
-      const long n_samp = size / 2 / channels;
+      if (channels <= 0 || bits <= 0) break;
+      const bool supported =
+          (format == 1 && (bits == 8 || bits == 16 || bits == 24 ||
+                           bits == 32)) ||
+          (format == 3 && (bits == 32 || bits == 64));
+      if (!supported) {
+        n_out = -2;
+        break;
+      }
+      const int block = bits / 8 * channels;
+      const long n_samp = size / block;
       if (!out) {
         n_out = n_samp;
         break;
       }
       if (n_samp > cap) break;
-      std::vector<int16_t> buf(static_cast<size_t>(n_samp) * channels);
-      if (std::fread(buf.data(), 2, buf.size(), fp) != buf.size()) break;
-      for (long i = 0; i < n_samp; ++i) {
-        double acc = 0.0;
-        for (int c = 0; c < channels; ++c) acc += buf[i * channels + c];
-        out[i] = static_cast<float>(acc / channels / 32768.0);
-      }
+      std::vector<unsigned char> buf(static_cast<size_t>(n_samp) * block);
+      if (std::fread(buf.data(), 1, buf.size(), fp) != buf.size()) break;
+      for (long i = 0; i < n_samp; ++i)
+        out[i] = static_cast<float>(
+            decode_frame(buf.data() + i * block, format, bits, channels));
       n_out = n_samp;
       break;
     } else {

@@ -51,17 +51,73 @@ class TestWavFormats:
         assert x[0] == pytest.approx(32767 / 32768, abs=1e-6)
         assert x[1] == pytest.approx(-1.0, abs=1e-6)
 
-    def test_native_falls_back_for_8bit(self, tmp_path):
-        """The C++ decoder only handles 16-bit; read_wav must silently fall
-        back to the Python path for other widths."""
+    def test_native_decodes_8bit(self, tmp_path):
         p = str(tmp_path / "e.wav")
         with wave.open(p, "wb") as w:
             w.setnchannels(1)
             w.setsampwidth(1)
             w.setframerate(16000)
             w.writeframes(bytes(range(100)))
-        x, r = io.read_wav(p)  # native=None -> try native, fall back
+        x, r = io.read_wav(p)  # native preferred when built
         assert x.shape == (100,)
+
+    @pytest.mark.parametrize("encoding,tol", [
+        ("pcm8", 1 / 128), ("pcm16", 1 / 32768), ("pcm24", 1 / 8388608),
+        ("pcm32", 1e-7), ("float32", 1e-7), ("float64", 1e-7),
+    ])
+    @pytest.mark.parametrize("native", [False, True])
+    def test_roundtrip_all_formats(self, tmp_path, encoding, tol, native):
+        """VERDICT item 8: every width through BOTH decoders — a float32
+        WAV must decode as float, not garbage int32."""
+        if native:
+            from tpufeat import cpp_golden
+            if not cpp_golden.available():
+                pytest.skip("C++ golden not buildable here")
+        sig = make_signal(3000, seed=164)
+        p = str(tmp_path / f"{encoding}.wav")
+        io.write_wav(p, sig, 16000, encoding=encoding)
+        x, r = io.read_wav(p, native=native)
+        assert r == 16000 and x.dtype == np.float32
+        assert np.abs(x - sig).max() < tol + 1e-6
+
+    @pytest.mark.parametrize("native", [False, True])
+    def test_unknown_format_rejected_loudly(self, tmp_path, native):
+        if native:
+            from tpufeat import cpp_golden
+            if not cpp_golden.available():
+                pytest.skip("C++ golden not buildable here")
+        import struct
+        p = str(tmp_path / "alaw.wav")
+        payload = bytes(200)
+        hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(payload),
+                          b"WAVE", b"fmt ", 16, 6, 1, 16000, 16000, 1, 8,
+                          b"data", len(payload))    # format 6 = A-law
+        with open(p, "wb") as f:
+            f.write(hdr + payload)
+        with pytest.raises(ValueError, match="[Uu]nsupported"):
+            io.read_wav(p, native=native)
+
+    def test_extensible_header(self, tmp_path):
+        """WAVE_FORMAT_EXTENSIBLE wrapping PCM-16 decodes via the GUID tag."""
+        import struct
+        sig = make_signal(1000, seed=165)
+        pcm = np.clip(np.round(sig * 32768), -32768, 32767).astype("<i2")
+        payload = pcm.tobytes()
+        # fmt body: standard 16 bytes + cbSize(22) + validBits/mask +
+        # SubFormat GUID whose first 2 bytes are the real tag (PCM = 1)
+        fmt = (struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+               + struct.pack("<HHI", 22, 16, 0x4)
+               + struct.pack("<H", 1) + bytes(14))
+        hdr = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(payload)))
+        p = str(tmp_path / "ext.wav")
+        with open(p, "wb") as f:
+            f.write(hdr + payload)
+        for native in (False, True):
+            x, r = io.read_wav(p, native=native)
+            assert r == 16000
+            assert np.abs(x - sig).max() < 1 / 32768 + 1e-6
 
 
 class TestAPIEdges:

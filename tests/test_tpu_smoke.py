@@ -13,9 +13,10 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
-from tpufeat import features
-from tpufeat.config import KALDI39, MFCC13_HTK, WHISPER80
+from tpufeat import features, sharding, streaming
+from tpufeat.config import FeatureConfig, KALDI39, MFCC13_HTK, WHISPER80
 from tpufeat.reference import cpu
 
 from conftest import make_signal
@@ -31,6 +32,13 @@ VARIANTS = [
     dict(use_pallas=True, gemm_dft=True),                    # staged gemm
     dict(use_pallas=True, gemm_dft=True, fused_framing=True),  # signal kernel
 ]
+FUSED = VARIANTS[3]
+
+
+def golden_err(sig, cfg, golden_cfg=None):
+    res = features.extract(sig, cfg=cfg)
+    gold = cpu.extract(sig.astype(np.float64), golden_cfg or cfg)
+    return np.abs(np.asarray(res.features) - gold).max()
 
 
 @pytest.mark.parametrize("preset", [MFCC13_HTK, WHISPER80, KALDI39])
@@ -42,3 +50,124 @@ def test_variant_golden_parity(preset, variant):
     gold = cpu.extract(sig.astype(np.float64), preset)
     err = np.abs(np.asarray(res.features) - gold).max()
     assert err < 2e-3, f"variant {VARIANTS[variant]}: {err}"
+
+
+class TestKernelCorners:
+    def test_kaldi_mode_fused_signal_kernel(self):
+        base = FeatureConfig(kaldi_mode=True, dc_offset=True,
+                             preemphasis=0.97, window="povey",
+                             deltas=True, cmvn="mean")
+        cfg = dataclasses.replace(base, **FUSED)
+        assert golden_err(make_signal(16000, seed=20), cfg, base) < 2e-3
+
+    def test_kaldi_mode_staged_kernel(self):
+        base = FeatureConfig(kaldi_mode=True, dc_offset=True,
+                             preemphasis=0.97)
+        cfg = dataclasses.replace(base, use_pallas=True, gemm_dft=True)
+        assert golden_err(make_signal(16000, seed=21), cfg, base) < 2e-3
+
+    def test_use_energy_fused(self):
+        base = FeatureConfig(use_energy=True)
+        cfg = dataclasses.replace(base, **FUSED)
+        assert golden_err(make_signal(16000, seed=22), cfg, base) < 2e-3
+
+    def test_use_energy_kaldi(self):
+        base = FeatureConfig(kaldi_mode=True, dc_offset=True,
+                             use_energy=True)
+        cfg = dataclasses.replace(base, **FUSED)
+        assert golden_err(make_signal(16000, seed=23), cfg, base) < 2e-3
+
+    def test_magnitude_fused(self):
+        base = FeatureConfig(spectrum="magnitude", lifter=22)
+        cfg = dataclasses.replace(base, **FUSED)
+        assert golden_err(make_signal(16000, seed=24), cfg, base) < 2e-3
+
+    def test_whisper_mfcc_fused(self):
+        base = dataclasses.replace(WHISPER80, n_mfcc=13)
+        cfg = dataclasses.replace(base, **FUSED)
+        assert golden_err(make_signal(16000, seed=25), cfg, base) < 2e-3
+
+    def test_bf16_output(self):
+        cfg = dataclasses.replace(WHISPER80, out_dtype="bfloat16", **FUSED)
+        sig = make_signal(16000, seed=26)
+        res = features.extract(sig, cfg=cfg)
+        assert res.features.dtype == jnp.bfloat16
+        gold = cpu.extract(sig.astype(np.float64), WHISPER80)
+        err = np.abs(np.asarray(res.features, np.float32) - gold).max()
+        assert err < 0.02      # bf16 quantization of ~[-1, 1] outputs
+
+    def test_short_utterance_centered_batch(self):
+        long = make_signal(4000, seed=27)
+        short = make_signal(350, seed=28)
+        x = np.full((2, 4000), 5.5, np.float32)
+        x[0] = long
+        x[1, :350] = short
+        res = features.extract(x, np.array([4000, 350]),
+                               dataclasses.replace(WHISPER80, **FUSED))
+        for b, s in enumerate([long, short]):
+            gold = cpu.extract(s.astype(np.float64), WHISPER80)
+            got = np.asarray(res.features)[b, : gold.shape[0]]
+            assert np.abs(got - gold).max() < 2e-3
+
+
+class TestStreamingOnChip:
+    def _run_plan(self, sig, cfg, plan):
+        fe = streaming.StreamingFrontend(cfg, batch_size=1)
+        outs, pos = [], 0
+        for c in plan:
+            f, _ = fe.process(sig[None, pos: pos + c])
+            pos += c
+            outs.append(np.asarray(f[0]))
+        return np.concatenate(outs, 0)
+
+    def test_cross_plan_bitwise(self):
+        """The strict configs[3] contract on hardware: hop-aligned chunk
+        plans are mutually bit-identical (MXU per-row invariance) — except
+        single-frame steps, where XLA:TPU picks a different small-M matmul
+        strategy (measured ~2e-6, same class as the CPU quirk; gated)."""
+        sig = make_signal(16000, seed=30)
+        a = self._run_plan(sig, MFCC13_HTK, [1600] * 10)
+        b = self._run_plan(sig, MFCC13_HTK, [4800, 1600, 1600, 8000])
+        c = self._run_plan(sig, MFCC13_HTK, [160] * 40 + [9600])
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() < 1e-5      # 1-frame steps: small-M quirk
+
+    def test_extract_scan_bitwise(self):
+        sig = make_signal(16000, seed=30)
+        a = self._run_plan(sig, MFCC13_HTK, [1600] * 10)
+        es = np.asarray(streaming.extract_scan(sig, MFCC13_HTK, 1600))
+        np.testing.assert_array_equal(es, a)
+
+    def test_fused_streaming_matches_oneshot(self):
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        sig = make_signal(16000, seed=31)
+        got = self._run_plan(sig, cfg, [1600] * 10)
+        one = np.asarray(features.extract(sig, cfg=cfg).features)
+        assert np.abs(got - one).max() < 1e-4
+
+    def test_kaldi_fused_streaming(self):
+        base = FeatureConfig(kaldi_mode=True, dc_offset=True)
+        cfg = dataclasses.replace(base, **FUSED)
+        sig = make_signal(8000, seed=32)
+        got = self._run_plan(sig, cfg, [1600] * 5)
+        one = np.asarray(features.extract(sig, cfg=cfg).features)
+        assert np.abs(got - one).max() < 1e-4
+
+
+class TestShardingDegenerate:
+    """1-device-mesh twins must agree with the local path on hardware."""
+
+    def test_time_sharded_single_device(self):
+        n = sharding.shardable_length(32000, MFCC13_HTK, 1)
+        sig = make_signal(n, seed=33)
+        got = np.asarray(sharding.extract_time_sharded(sig, MFCC13_HTK))
+        want = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        assert np.abs(got - want).max() < 2e-5
+
+    def test_data_parallel_single_device(self):
+        x = np.stack([make_signal(16000, seed=s) for s in (34, 35)])
+        lens = np.full((2,), 16000, np.int32)
+        got = sharding.extract_data_parallel(x, lens, MFCC13_HTK)
+        want = features.extract(x, lens, MFCC13_HTK)
+        assert np.abs(np.asarray(got.features)
+                      - np.asarray(want.features)).max() < 2e-5

@@ -23,8 +23,9 @@ _SO = os.path.join(_DIR, "libtpufeat_ref.so")
 
 @functools.lru_cache(maxsize=1)
 def _lib():
-    if not os.path.exists(_SO):
-        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+    # make is a timestamp-checked no-op when the .so is fresh, and rebuilds
+    # it when mfcc.cc changed (or after a clean checkout)
+    subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_SO)
     lib.tpufeat_mfcc_f64.restype = ctypes.c_long
     lib.tpufeat_mfcc_f64.argtypes = [
@@ -81,12 +82,18 @@ def mfcc_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
 
 
 def read_wav_native(path: str) -> tuple[np.ndarray, int]:
-    """Decode a 16-bit PCM WAV with the C++ RIFF parser -> (float32, rate)."""
+    """Decode a WAV with the C++ RIFF parser -> (float32 mono, rate).
+
+    Formats: PCM 8/16/24/32-bit, IEEE float 32/64-bit (incl. extensible
+    headers); anything else raises instead of decoding garbage."""
     lib = _lib()
     rate = ctypes.c_int(0)
     n = lib.tpufeat_read_wav(path.encode(), None, 0, ctypes.byref(rate))
+    if n == -2:
+        raise ValueError(f"unsupported WAVE format (supported: PCM "
+                         f"8/16/24/32-bit, IEEE float 32/64-bit): {path}")
     if n < 0:
-        raise ValueError(f"not a readable 16-bit PCM WAV: {path}")
+        raise ValueError(f"not a readable WAV: {path}")
     out = np.zeros(n, dtype=np.float32)
     got = lib.tpufeat_read_wav(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

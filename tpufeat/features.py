@@ -203,11 +203,11 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
         x = framing.preemphasize(x, cfg.preemphasis)
     F = cfg.num_frames(x.shape[-1])
     use_pallas = cfg.use_pallas and F > 0
-    if use_pallas and cfg.gemm_dft and cfg.fused_framing \
-            and not cfg.kaldi_mode:
+    if use_pallas and cfg.gemm_dft and cfg.fused_framing:
         # fully fused path: framing happens inside the kernel, so the
-        # [B, F, frame_length] tensor never exists in HBM (kaldi_mode's
-        # per-frame conditioning needs materialized frames -> staged path)
+        # [B, F, frame_length] tensor never exists in HBM; kaldi_mode's
+        # per-frame conditioning is linear and folded into the kernel's
+        # DFT matrix (matrices.kaldi_conditioning_matrix)
         from tpufeat.pallas import fused
         buf, mask = framing.framing_buffer(x, lengths, cfg)
         feat = fused.signal_features(buf, F, cfg)
@@ -218,6 +218,7 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
         if cfg.use_energy and cfg.n_mfcc > 0:
             frames = framing.frames_from_buffer(
                 buf, F, cfg.frame_length, cfg.hop_length)
+            frames = framing.condition_frames(frames, cfg)
             feat = _replace_c0_with_energy(feat, frames, cfg)
     else:
         frames, mask = framing.frame_signal(x, lengths, cfg)

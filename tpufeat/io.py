@@ -1,28 +1,60 @@
 """WAV (RIFF) audio I/O — reference C1 (SURVEY.md §2).
 
-The reference parses RIFF headers and 16-bit PCM in C. Here the default
-decoder is stdlib ``wave`` + NumPy (librosa/soundfile are not in the
-environment); a native C++ decoder with the same semantics lives in
+The reference parses RIFF headers and 16-bit PCM in C. This module is a
+self-contained RIFF chunk-walking parser (stdlib ``wave`` cannot read
+WAVE_FORMAT_IEEE_FLOAT or WAVE_FORMAT_EXTENSIBLE files, so it is not used):
+8/16/24/32-bit PCM and 32/64-bit IEEE float are decoded, anything else is
+rejected loudly. A native C++ decoder with the same semantics lives in
 ``cpp_ref/`` and is used automatically when its shared library has been
 built (``tpufeat.cpp_golden.read_wav_native``).
 """
 
 from __future__ import annotations
 
-import wave
+import struct
 
 import numpy as np
 
 __all__ = ["read_wav", "write_wav"]
 
-_INT16_SCALE = 1.0 / 32768.0
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_IEEE_FLOAT = 3
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _decode_samples(raw: bytes, fmt: int, bits: int) -> np.ndarray:
+    if fmt == WAVE_FORMAT_PCM:
+        if bits == 16:
+            return np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        if bits == 8:   # 8-bit PCM is unsigned by spec
+            return (np.frombuffer(raw, np.uint8).astype(np.float32)
+                    - 128.0) / 128.0
+        if bits == 24:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            v = (b[:, 0].astype(np.int32)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            return v.astype(np.float32) / 8388608.0
+        if bits == 32:
+            return np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    if fmt == WAVE_FORMAT_IEEE_FLOAT:
+        if bits == 32:
+            return np.frombuffer(raw, "<f4").astype(np.float32)
+        if bits == 64:
+            return np.frombuffer(raw, "<f8").astype(np.float32)
+        raise ValueError(f"unsupported float bit depth {bits}")
+    raise ValueError(f"unsupported WAVE format tag 0x{fmt:04x} "
+                     "(supported: PCM 8/16/24/32-bit, IEEE float 32/64-bit)")
 
 
 def read_wav(path: str, *, native: bool | None = None) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 samples in [-1, 1), sample_rate).
 
-    Supports 16-bit PCM (the reference's format) plus 8/32-bit PCM and
-    32-bit float for convenience. Multi-channel audio is averaged to mono
+    Supports PCM 8/16/24/32-bit and IEEE-float 32/64-bit, including
+    WAVE_FORMAT_EXTENSIBLE headers; unknown format tags raise ValueError
+    instead of decoding garbage. Multi-channel audio is averaged to mono
     (the reference is mono-only). ``native=True`` forces the C++ decoder,
     ``native=False`` forces Python, ``None`` prefers native when built.
     """
@@ -34,32 +66,84 @@ def read_wav(path: str, *, native: bool | None = None) -> tuple[np.ndarray, int]
         except Exception:
             if native:
                 raise
-    with wave.open(path, "rb") as w:
-        rate = w.getframerate()
-        n_channels = w.getnchannels()
-        sampwidth = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if sampwidth == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) * _INT16_SCALE
-    elif sampwidth == 1:  # unsigned 8-bit
-        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif sampwidth == 4:
-        # WAVE_FORMAT_IEEE_FLOAT is not distinguishable via stdlib wave;
-        # PCM 32-bit is the common case here.
-        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    else:
-        raise ValueError(f"unsupported sample width {sampwidth}")
-    if n_channels > 1:
-        data = data.reshape(-1, n_channels).mean(axis=1)
-    return data, rate
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file: {path}")
+    pos = 12
+    fmt = bits = channels = rate = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid, size = data[pos: pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt == WAVE_FORMAT_EXTENSIBLE:
+                if size < 40:
+                    raise ValueError(f"truncated extensible fmt chunk: {path}")
+                # the real format is the first 2 bytes of the SubFormat GUID
+                fmt = struct.unpack_from("<H", body, 24)[0]
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError(f"data chunk before fmt chunk: {path}")
+            frame = channels * (bits // 8)
+            usable = (len(body) // frame) * frame
+            samples = _decode_samples(body[:usable], fmt, bits)
+            break
+        pos += 8 + size + (size & 1)          # chunks are word-aligned
+    if samples is None:
+        raise ValueError(f"no data chunk found: {path}")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.float32)
+    return samples, rate
 
 
-def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
-    """Write mono float samples in [-1, 1] as 16-bit PCM."""
-    samples = np.asarray(samples, dtype=np.float64)
-    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
-    with wave.open(path, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+_WRITERS = {
+    # encoding -> (format tag, bits, array converter)
+    "pcm16": (WAVE_FORMAT_PCM, 16, lambda x: np.clip(
+        np.round(x * 32768.0), -32768, 32767).astype("<i2").tobytes()),
+    "pcm8": (WAVE_FORMAT_PCM, 8, lambda x: (np.clip(
+        np.round(x * 128.0), -128, 127) + 128).astype(np.uint8).tobytes()),
+    "pcm32": (WAVE_FORMAT_PCM, 32, lambda x: np.clip(
+        np.round(x * 2147483648.0), -2147483648, 2147483647)
+        .astype("<i4").tobytes()),
+    "pcm24": (WAVE_FORMAT_PCM, 24, lambda x: _pack24(x)),
+    "float32": (WAVE_FORMAT_IEEE_FLOAT, 32,
+                lambda x: x.astype("<f4").tobytes()),
+    "float64": (WAVE_FORMAT_IEEE_FLOAT, 64,
+                lambda x: x.astype("<f8").tobytes()),
+}
+
+
+def _pack24(x: np.ndarray) -> bytes:
+    v = np.clip(np.round(x * 8388608.0), -8388608, 8388607).astype(np.int32)
+    v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+    out = np.empty((len(v), 3), np.uint8)
+    out[:, 0] = v & 0xFF
+    out[:, 1] = (v >> 8) & 0xFF
+    out[:, 2] = (v >> 16) & 0xFF
+    return out.tobytes()
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int,
+              encoding: str = "pcm16") -> None:
+    """Write mono float samples in [-1, 1] as WAV.
+
+    ``encoding``: pcm8 | pcm16 (default, the reference's format) | pcm24 |
+    pcm32 | float32 | float64."""
+    if encoding not in _WRITERS:
+        raise ValueError(f"unknown encoding {encoding!r}; "
+                         f"one of {sorted(_WRITERS)}")
+    fmt, bits, conv = _WRITERS[encoding]
+    payload = conv(np.asarray(samples, dtype=np.float64))
+    block = bits // 8
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(payload), b"WAVE",
+        b"fmt ", 16, fmt, 1, sample_rate, sample_rate * block, block, bits,
+        b"data", len(payload))
+    with open(path, "wb") as f:
+        f.write(hdr + payload)
+        if len(payload) & 1:
+            f.write(b"\x00")

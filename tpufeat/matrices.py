@@ -25,6 +25,8 @@ __all__ = [
     "dct_matrix",
     "lifter_vector",
     "dft_matrices",
+    "dft_matrix_combined",
+    "kaldi_conditioning_matrix",
 ]
 
 
@@ -195,3 +197,78 @@ def dft_matrices(
     c = np.cos(ang) * w.reshape(-1, 1)
     s = -np.sin(ang) * w.reshape(-1, 1)
     return c, s
+
+
+@functools.lru_cache(maxsize=None)
+def dft_matrix_combined(
+    frame_length: int, n_fft: int, window_kind: str
+) -> np.ndarray:
+    """Re and Im DFT-as-GEMM matrices packed into ONE [frame_length, n_fft]
+    matrix so the kernel's DFT is a single MXU matmul chain.
+
+    Column layout for n_bins = n_fft//2 + 1:
+      - cols 0 .. n_bins-1:            Re(X_k)         (all bins)
+      - cols n_bins-1+k, k=1..n_bins-2: Im(X_k)        (interior bins only —
+        Im(X_0) and Im(X_{n_fft/2}) are identically zero for real input, so
+        storing them would waste two MXU lanes)
+
+    Total columns = 2*n_bins - 2 = n_fft exactly. The power spectrum is then
+    a LINEAR rearrangement of the squared columns, |X_k|^2 = z_k^2 +
+    z_{n_bins-1+k}^2, which folds straight into the mel matmul
+    (:func:`mel_filterbank_folded`) — the power spectrum never exists as a
+    tensor."""
+    c, s = dft_matrices(frame_length, n_fft, window_kind)
+    n_bins = n_fft // 2 + 1
+    return np.concatenate([c, s[:, 1: n_bins - 1]], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank_folded(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float,
+    fmax: float,
+    scale: str = "htk",
+    norm: str | None = None,
+    bin_style: str = "bin",
+) -> np.ndarray:
+    """Mel filterbank rearranged for the combined-DFT column layout
+    (:func:`dft_matrix_combined`): shape [n_fft, n_mels] with row k = FB[k]
+    for k < n_bins and row n_bins-1+k = FB[k] for the interior Im columns.
+    ``mel = (z*z) @ W`` then equals ``|X|^2 @ FB`` exactly."""
+    fb = mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax,
+                        scale, norm, bin_style)
+    n_bins = n_fft // 2 + 1
+    out = np.zeros((n_fft, n_mels), dtype=np.float64)
+    out[:n_bins] = fb
+    out[n_bins:] = fb[1: n_bins - 1]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def kaldi_conditioning_matrix(
+    frame_length: int, preemphasis: float, dc_offset: bool
+) -> np.ndarray:
+    """Kaldi's per-frame conditioning as a [frame_length, frame_length]
+    right-multiplication matrix: for a row-vector frame f,
+
+        f @ M  ==  per-frame-preemphasis(dc-offset-removal(f))
+
+    Both steps are linear, so M = (I - J/L) @ T with J the all-ones matrix
+    (mean removal) and T the pre-emphasis bidiagonal (T[i,i]=1,
+    T[i-1,i]=-alpha, T[0,0]=1-alpha — Kaldi's x[-1]:=x[0] convention).
+    Left-multiplying the DFT matrices by M folds kaldi_mode into the fused
+    signal kernel with zero runtime cost (framing.condition_frames is the
+    materialized-frames twin)."""
+    L = frame_length
+    m = np.eye(L, dtype=np.float64)
+    if dc_offset:
+        m = m - np.full((L, L), 1.0 / L)
+    if preemphasis:
+        t = np.eye(L, dtype=np.float64)
+        t[0, 0] = 1.0 - preemphasis
+        idx = np.arange(L - 1)
+        t[idx, idx + 1] = -preemphasis
+        m = m @ t
+    return m

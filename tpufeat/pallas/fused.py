@@ -8,25 +8,44 @@ between each stage (SURVEY.md §3.1), this kernel makes ONE pass: a block of
 frames is DMA'd to VMEM, every stage runs on-chip (MXU for the matmuls, VPU
 for |X|^2 and log), and only the final features return to HBM.
 
-Two variants, selected by ``cfg.gemm_dft``:
+Three kernels, selected by ``cfg``:
 
-- **tail kernel** (default): XLA's batched rFFT produces the power spectrum;
-  the kernel fuses bins->mel (MXU) -> log (VPU) -> mel->MFCC DCT (MXU).
-- **full GEMM-native kernel**: the DFT itself becomes two MXU matmuls against
-  precomputed windowed cos/sin matrices (matrices.dft_matrices), so raw
-  frames go in and features come out of a single kernel — the MelT-style
-  single-stage front-end. ~18x the FLOPs of an FFT, but the whole pipeline
-  sits >3 orders of magnitude below the v5e MXU roofline (SURVEY.md §6), so
-  fusing beats FLOP-counting.
+- **tail kernel** (``use_pallas``): XLA's batched rFFT produces the power
+  spectrum; the kernel fuses bins->mel (MXU) -> log (VPU) -> mel->MFCC DCT
+  (MXU).
+- **full GEMM-native kernel** (``+ gemm_dft``): the DFT itself becomes MXU
+  matmuls against a precomputed windowed DFT matrix, so raw frames go in
+  and features come out of a single kernel.
+- **signal-level kernel** (``+ fused_framing``): framing happens INSIDE the
+  kernel via the hop-row matmul decomposition — the [B, F, frame_length]
+  tensor never exists in HBM. One kernel for references C3-C9.
+
+The GEMM kernels use the round-2 combined formulation (kernel v4):
+
+- Re and Im are ONE matmul against ``matrices.dft_matrix_combined`` (the
+  zero Im columns of bins 0 and n_fft/2 are dropped, so the combined matrix
+  is [frame_length, n_fft] exactly — no column waste for power-of-two FFTs).
+- ``|X|^2`` is a linear rearrangement of the squared matmul output, so for
+  power-spectrum configs it folds into the mel matmul
+  (``matrices.mel_filterbank_folded``) and the power spectrum NEVER
+  materializes; magnitude configs rebuild it with one lane-roll + mask.
+- The signal kernel splits each hop row into ``q = hop/w`` sub-blocks of
+  ``w <= 128`` samples, each lane-padded to 128: a frame then covers
+  ``ceil(frame_length/w)`` useful 128-lane groups instead of
+  ``ceil(frame_length/hop)`` hop_pad-wide ones — for the 400/160 presets
+  that cuts the contracted K per frame from 768 to 640 padded lanes, and
+  the combined Re/Im matrix halves the roll/accumulate chain.
+- kaldi_mode's per-frame DC-offset + pre-emphasis are linear, so they are
+  folded into the DFT matrix (``matrices.kaldi_conditioning_matrix``) at
+  zero runtime cost.
 
 Tiling (pallas_guide: f32 min tile (8,128)): the frame axis is blocked at
-``TF`` rows; every lane axis is zero-padded to a multiple of 128 (257 bins ->
-384, 201 -> 256, 26/80 mels -> 128, 13 MFCCs -> 128). Zero-padded matrix
-rows/columns contribute exact zeros, so padding never changes the math.
-Constant matrices use a grid-invariant index_map, so Mosaic keeps them
+``TF`` rows; every lane axis is zero-padded to a multiple of 128. Zero-padded
+matrix rows/columns contribute exact zeros, so padding never changes the
+math. Constant matrices use a grid-invariant index_map, so Mosaic keeps them
 resident in VMEM across the grid instead of re-DMAing per block.
 
-The kernel runs under ``interpret=True`` off-TPU — the Pallas interpreter is
+The kernels run under ``interpret=True`` off-TPU — the Pallas interpreter is
 the CPU-CI "fake backend" (SURVEY.md §4).
 """
 
@@ -60,6 +79,22 @@ def _log_kind(cfg: FeatureConfig) -> str:
             "none": "none"}[cfg.log]
 
 
+# MXU matmuls default to bf16 operand truncation; HIGHEST selects the
+# 3-pass bf16 decomposition with ~float32 accuracy. The pipeline is >3
+# orders of magnitude under the compute roofline, so the 3x matmul cost is
+# free — and required to hold the float32 fidelity gate (BASELINE.md).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jax.lax.dot(a, b, precision=_HI,
+                       preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Constants (host-side, cached per config)
+# ---------------------------------------------------------------------------
+
 @functools.lru_cache(maxsize=None)
 def _tail_constants(cfg: FeatureConfig) -> tuple[np.ndarray, np.ndarray | None]:
     """(mel_fb [nb_pad, nm_pad], dct [nm_pad, nc_pad] or None), float32,
@@ -82,31 +117,94 @@ def _tail_constants(cfg: FeatureConfig) -> tuple[np.ndarray, np.ndarray | None]:
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_constants(cfg: FeatureConfig) -> tuple[np.ndarray, np.ndarray]:
-    """Windowed cos/sin DFT matrices [frame_length, nb_pad], float32."""
-    c, s = matrices.dft_matrices(cfg.frame_length, cfg.n_fft, cfg.window)
-    nb_p = _round_up(cfg.n_bins, LANE)
-    cp = np.zeros((cfg.frame_length, nb_p), np.float32)
-    sp = np.zeros((cfg.frame_length, nb_p), np.float32)
-    cp[:, : cfg.n_bins] = c
-    sp[:, : cfg.n_bins] = s
-    return cp, sp
+def _cs_constant(cfg: FeatureConfig, fold_kaldi: bool) -> np.ndarray:
+    """Combined windowed Re/Im DFT matrix [frame_length, ncs_pad], float32.
+
+    ``fold_kaldi=True`` (signal kernel, which sees the RAW signal) folds
+    kaldi_mode's per-frame conditioning into the matrix; the staged kernel
+    receives frames already conditioned by framing.condition_frames and
+    must NOT fold it again."""
+    cs = matrices.dft_matrix_combined(cfg.frame_length, cfg.n_fft,
+                                      cfg.window)
+    if fold_kaldi and cfg.kaldi_mode and (cfg.dc_offset or cfg.preemphasis):
+        cond = matrices.kaldi_conditioning_matrix(
+            cfg.frame_length, cfg.preemphasis if cfg.preemphasis else 0.0,
+            cfg.dc_offset)
+        cs = cond @ cs
+    ncs_p = _round_up(cs.shape[1], LANE)
+    out = np.zeros((cfg.frame_length, ncs_p), np.float32)
+    out[:, : cs.shape[1]] = cs
+    return out
 
 
-# MXU matmuls default to bf16 operand truncation; HIGHEST selects the
-# 3-pass bf16 decomposition with ~float32 accuracy. The pipeline is >3
-# orders of magnitude under the compute roofline, so the 3x matmul cost is
-# free — and required to hold the float32 fidelity gate (BASELINE.md).
-_HI = jax.lax.Precision.HIGHEST
+@functools.lru_cache(maxsize=None)
+def _folded_fb_constants(cfg: FeatureConfig
+                         ) -> tuple[np.ndarray, np.ndarray | None]:
+    """(fb [ncs_pad, nm_pad], dct or None) for the combined-DFT kernels.
+
+    power: the rearranged filterbank (power folds into the matmul).
+    magnitude: the plain filterbank on the Re-bin rows (the kernel rebuilds
+    |X| with a lane-roll first)."""
+    nm = cfg.n_mels
+    ncs_p = _round_up(2 * cfg.n_bins - 2, LANE)
+    nm_p = _round_up(nm, LANE)
+    if cfg.spectrum == "power":
+        fb = matrices.mel_filterbank_folded(
+            cfg.sample_rate, cfg.n_fft, nm, cfg.fmin, cfg.fmax_hz,
+            cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+    else:
+        fb = matrices.mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, nm, cfg.fmin, cfg.fmax_hz,
+            cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+    fb_p = np.zeros((ncs_p, nm_p), np.float32)
+    fb_p[: fb.shape[0], :nm] = fb
+    return fb_p, _tail_constants(cfg)[1]
 
 
-def _dot(a, b):
-    return jax.lax.dot(a, b, precision=_HI,
-                       preferred_element_type=jnp.float32)
+def _hop_split(cfg: FeatureConfig) -> tuple[int, int]:
+    """(q, w): split each hop row into q sub-blocks of w samples, w <= LANE
+    and q*w == hop — the layout that minimizes padded K per frame."""
+    hop = cfg.hop_length
+    q = -(-hop // LANE)
+    while hop % q:
+        q += 1
+    return q, hop // q
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+# ---------------------------------------------------------------------------
+
+def _sq_tail(z, fb_ref, dct_ref, out_ref, cfg: FeatureConfig, row=None):
+    """Shared tail for the combined-DFT kernels: z [TF, ncs_pad] (Re/Im
+    columns) -> features block. Power never materializes for
+    spectrum='power'; magnitude rebuilds it with one lane roll."""
+    sq = z * z
+    if cfg.spectrum == "magnitude":
+        nb = cfg.n_bins
+        ncs_p = sq.shape[-1]
+        im2 = pltpu.roll(sq, ncs_p - (nb - 1), axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, sq.shape, 1)
+        keep = jnp.logical_and(lane >= 1, lane <= nb - 2)
+        p = jnp.sqrt(sq + jnp.where(keep, im2, 0.0))
+        mel = _dot(p, fb_ref[:])
+    else:
+        mel = _dot(sq, fb_ref[:])
+    kind = _log_kind(cfg)
+    if kind == "natural":
+        mel = jnp.log(jnp.maximum(mel, cfg.log_floor))
+    elif kind == "log10":
+        mel = jnp.log10(jnp.maximum(mel, cfg.log_floor))
+    if dct_ref is not None:
+        mel = _dot(mel, dct_ref[:])
+    if row is None:
+        out_ref[:] = mel
+    else:
+        out_ref[row] = mel
 
 
 def _mel_log_dct_body(p, fb_ref, dct_ref, out_ref, cfg: FeatureConfig):
-    """Shared kernel tail: power block [TF, nb_pad] -> features block."""
+    """Tail-kernel body: power block [TF, nb_pad] -> features block."""
     mel = _dot(p, fb_ref[:])
     kind = _log_kind(cfg)
     if kind == "natural":
@@ -126,24 +224,12 @@ def _tail_kernel_nodct(power_ref, fb_ref, out_ref, *, cfg):
     _mel_log_dct_body(power_ref[:], fb_ref, None, out_ref, cfg)
 
 
-def _full_kernel(frames_ref, c_ref, s_ref, fb_ref, dct_ref, out_ref, *, cfg):
-    x = frames_ref[:]
-    re = _dot(x, c_ref[:])
-    im = _dot(x, s_ref[:])
-    p = re * re + im * im
-    if cfg.spectrum == "magnitude":
-        p = jnp.sqrt(p)
-    _mel_log_dct_body(p, fb_ref, dct_ref, out_ref, cfg)
+def _full_kernel(frames_ref, cs_ref, fb_ref, dct_ref, out_ref, *, cfg):
+    _sq_tail(_dot(frames_ref[:], cs_ref[:]), fb_ref, dct_ref, out_ref, cfg)
 
 
-def _full_kernel_nodct(frames_ref, c_ref, s_ref, fb_ref, out_ref, *, cfg):
-    x = frames_ref[:]
-    re = _dot(x, c_ref[:])
-    im = _dot(x, s_ref[:])
-    p = re * re + im * im
-    if cfg.spectrum == "magnitude":
-        p = jnp.sqrt(p)
-    _mel_log_dct_body(p, fb_ref, None, out_ref, cfg)
+def _full_kernel_nodct(frames_ref, cs_ref, fb_ref, out_ref, *, cfg):
+    _sq_tail(_dot(frames_ref[:], cs_ref[:]), fb_ref, None, out_ref, cfg)
 
 
 def _block_rows(n_rows: int) -> int:
@@ -205,12 +291,13 @@ def mel_log_dct(power: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 
 def dft_mel_log_dct(frames: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """Fully fused GEMM-native kernel: conditioned raw frames
-    [..., frame_length] -> features, one kernel for C4-C9."""
-    c, s = _dft_constants(cfg)
-    fb, dct = _tail_constants(cfg)
+    [..., frame_length] -> features, one kernel for C4-C9 (combined Re/Im
+    DFT matmul + folded-power mel matmul)."""
+    cs = _cs_constant(cfg, fold_kaldi=False)
+    fb, dct = _folded_fb_constants(cfg)
     lead = frames.shape[:-1]
     rows = frames.reshape(-1, frames.shape[-1]).astype(jnp.float32)
-    consts = [jnp.asarray(c), jnp.asarray(s), jnp.asarray(fb)]
+    consts = [jnp.asarray(cs), jnp.asarray(fb)]
     if dct is not None:
         consts.append(jnp.asarray(dct))
         kernel = _full_kernel
@@ -218,7 +305,7 @@ def dft_mel_log_dct(frames: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
         kernel = _full_kernel_nodct
     out_cols = consts[-1].shape[1]
     out = _call_rowblocked(kernel, rows, consts, out_cols, cfg,
-                           extra_flops=3 * fb.shape[0])
+                           extra_flops=3 * cs.shape[1])
     d = cfg.n_mfcc if dct is not None else cfg.n_mels
     return out[:, :d].reshape(*lead, d)
 
@@ -254,130 +341,133 @@ def spectro_features(frames: jnp.ndarray, mask: jnp.ndarray,
 # Signal-level fully fused kernel: framing happens INSIDE the kernel
 # ---------------------------------------------------------------------------
 
-def _signal_kernel(*refs, cfg, n_blocks, hop_pad, tf, kernel_dct):
-    """Grid (B, nblocks). Inputs: the [B, fp, hop_pad] signal-row matrix
-    (blocked on the frame axis) plus a tiny per-block boundary-row tensor
+def _signal_kernel(*refs, cfg, n_shifts, k_sizes, tf, kernel_dct):
+    """Grid (B, nblocks). Inputs: the [B, fp, q*128] hop-row signal tensor
+    (each hop split into q sub-blocks of w samples lane-padded to 128),
+    blocked on the frame axis, plus a tiny per-block boundary-row tensor
     holding the first rows of the NEXT block, plus the constant matrices.
-    Framing never materializes: frames@C distributes over the hop-aligned
-    row decomposition,
+    Framing never materializes: frames @ CS distributes over the
+    hop-aligned row decomposition,
 
-        re[t] = sum_j  rows[t + j] @ C[j*hop : (j+1)*hop]
-              = sum_j  dot(ext_rows, C_j)[t + j]
+        z[t] = sum_s  dot(ext_rows, D_s)[t + s]
 
-    computed as one matmul per hop-block over the extended rows (block +
-    boundary, a sublane concat of 8-aligned pieces) followed by a sublane
-    roll — no row-shifted HBM copies at all. The DFT matrices are zero-
-    padded past frame_length and past each hop (lane padding), so all
-    padding multiplies exact zeros. Regular BlockSpec pipelining
-    double-buffers the DMAs.
+    where D_s stacks the q sub-block slices of the combined DFT matrix for
+    shift s (the last shift contracts only its valid sub-blocks — a
+    128-aligned lane slice of ext — so padded K per frame is
+    128*ceil(frame_length/w), e.g. 640 for 400/160 instead of 768).
+    Each shift is one matmul followed by a sublane roll — no row-shifted
+    HBM copies at all. Zero-padded matrix rows multiply exact zeros.
+    Regular BlockSpec pipelining double-buffers the DMAs.
 
-    HBM traffic per frame: hop_pad*4 bytes in + feature_dim*4 out (~1.1 KB)
-    versus ~3.3 KB for the staged path (and 3x less than the previous
-    shifted-views variant), one kernel for references C3-C9."""
+    HBM traffic per frame: q*128*4 bytes in + feature_dim*4 out (~1.1 KB)
+    versus ~3.3 KB for the staged path, one kernel for references C3-C9
+    (including kaldi_mode, folded into the DFT matrix)."""
     sig_ref, bnd_ref = refs[0], refs[1]
-    c_ref, s_ref, fb_ref = refs[2:5]
-    dct_ref = refs[5] if kernel_dct else None
-    out_ref = refs[5 + (1 if kernel_dct else 0)]
+    d_refs = refs[2: 2 + n_shifts]
+    fb_ref = refs[2 + n_shifts]
+    dct_ref = refs[3 + n_shifts] if kernel_dct else None
+    out_ref = refs[3 + n_shifts + (1 if kernel_dct else 0)]
 
-    ext = jnp.concatenate([sig_ref[0], bnd_ref[0, 0]], axis=0)  # [tf+8, hp]
-    re = _dot(ext, c_ref[0:hop_pad])[:tf]
-    im = _dot(ext, s_ref[0:hop_pad])[:tf]
-    for j in range(1, n_blocks):
-        dj_re = _dot(ext, c_ref[j * hop_pad: (j + 1) * hop_pad])
-        dj_im = _dot(ext, s_ref[j * hop_pad: (j + 1) * hop_pad])
-        # roll requires a non-negative shift: -j mod (tf+8)
-        re = re + pltpu.roll(dj_re, tf + 8 - j, axis=0)[:tf]
-        im = im + pltpu.roll(dj_im, tf + 8 - j, axis=0)[:tf]
-    p = re * re + im * im
-    if cfg.spectrum == "magnitude":
-        p = jnp.sqrt(p)
-    mel = _dot(p, fb_ref[:])
-    kind = _log_kind(cfg)
-    if kind == "natural":
-        mel = jnp.log(jnp.maximum(mel, cfg.log_floor))
-    elif kind == "log10":
-        mel = jnp.log10(jnp.maximum(mel, cfg.log_floor))
-    if dct_ref is not None:
-        mel = _dot(mel, dct_ref[:])
-    out_ref[0] = mel
+    ext = jnp.concatenate([sig_ref[0], bnd_ref[0, 0]], axis=0)  # [tf+8, q*128]
+    z = _dot(ext[:, : k_sizes[0]], d_refs[0][:])[:tf]
+    for s in range(1, n_shifts):
+        zs = _dot(ext[:, : k_sizes[s]], d_refs[s][:])
+        # roll requires a non-negative shift: -s mod (tf+8)
+        z = z + pltpu.roll(zs, tf + 8 - s, axis=0)[:tf]
+    _sq_tail(z, fb_ref, dct_ref, out_ref, cfg, row=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _signal_constants(cfg: FeatureConfig):
+    """(d_mats, k_sizes, q): the shift-stacked DFT matrices for the signal
+    kernel. d_mats[s] is [k_sizes[s], ncs_pad] covering sub-blocks
+    j = s*q + c (c < q) of the combined DFT matrix, each w-row slice
+    zero-padded to a 128-row group."""
+    fl = cfg.frame_length
+    q, w = _hop_split(cfg)
+    n_w = -(-fl // w)
+    n_shifts = -(-n_w // q)
+    cs = _cs_constant(cfg, fold_kaldi=True)         # [fl, ncs_pad]
+    ncs_p = cs.shape[1]
+    d_mats, k_sizes = [], []
+    for s in range(n_shifts):
+        n_valid = min(q, n_w - s * q)
+        d = np.zeros((n_valid * LANE, ncs_p), np.float32)
+        for c in range(n_valid):
+            j = s * q + c
+            take = min(w, fl - j * w)
+            d[c * LANE: c * LANE + take] = cs[j * w: j * w + take]
+        d_mats.append(d)
+        k_sizes.append(n_valid * LANE)
+    return tuple(d_mats), tuple(k_sizes), q
 
 
 def signal_features(buf: jnp.ndarray, n_frames: int,
                     cfg: FeatureConfig) -> jnp.ndarray:
     """Fused signal -> features: ``buf`` [B, M] is the framing buffer
-    (pre-emphasized signal, reflect-padded for centered configs; frame t
-    covers buf[t*hop : t*hop+frame_length]). Returns [B, n_frames, D]
-    (log10-mel for whisper — caller normalizes; MFCCs otherwise).
+    (pre-emphasized signal for signal-level configs, RAW signal for
+    kaldi_mode — its per-frame conditioning is folded into the DFT matrix;
+    reflect-padded for centered configs; frame t covers
+    buf[t*hop : t*hop+frame_length]). Returns [B, n_frames, D] (log10-mel
+    for whisper — caller normalizes; MFCCs otherwise).
 
     One kernel for references C3-C9: the OpenCL reference's whole device
-    pipeline (6-10 launches) in a single Mosaic program. kaldi_mode's
-    per-frame conditioning needs materialized frames — use the staged path.
+    pipeline (6-10 launches) in a single Mosaic program.
     """
-    if cfg.kaldi_mode:
-        raise ValueError("kaldi_mode uses the staged pallas path")
     B, M = buf.shape
     fl, hop = cfg.frame_length, cfg.hop_length
-    k, r = divmod(fl, hop)
-    n_blocks = k + (1 if r else 0)
-    hop_pad = _round_up(hop, LANE)
-    c, s = _dft_constants(cfg)
-    fb, dct = _tail_constants(cfg)
+    q, w = _hop_split(cfg)
+    d_mats, k_sizes, _ = _signal_constants(cfg)
+    n_shifts = len(d_mats)
+    fb, dct = _folded_fb_constants(cfg)
     d_model = cfg.n_mfcc if dct is not None else cfg.n_mels
-
-    # DFT matrices rearranged into n_blocks row-blocks of hop_pad rows:
-    # block j rows [0:hop] = C[j*hop:(j+1)*hop] (clipped at frame_length),
-    # remaining rows zero -> lane padding and beyond-frame samples multiply
-    # exact zeros.
-    cz = np.zeros((n_blocks * hop_pad, c.shape[1]), np.float32)
-    sz = np.zeros((n_blocks * hop_pad, s.shape[1]), np.float32)
-    for j in range(n_blocks):
-        take = min(hop, fl - j * hop)
-        cz[j * hop_pad: j * hop_pad + take] = c[j * hop: j * hop + take]
-        sz[j * hop_pad: j * hop_pad + take] = s[j * hop: j * hop + take]
 
     tf = _block_rows(n_frames)
     fp = _round_up(max(n_frames, 1), tf)
-    rows_needed = fp + n_blocks - 1
+    rows_needed = fp + n_shifts - 1
     need = rows_needed * hop
     if M < need:
         buf = jnp.pad(buf, ((0, 0), (0, need - M)))
     elif M > need:
         buf = buf[:, :need]
-    x2d = buf.reshape(B, rows_needed, hop).astype(jnp.float32)
-    if hop_pad != hop:
-        x2d = jnp.pad(x2d, ((0, 0), (0, 0), (0, hop_pad - hop)))
+    # hop rows split into q sub-blocks of w, each lane-padded to 128
+    x2d = buf.reshape(B, rows_needed, q, w).astype(jnp.float32)
+    if w != LANE:
+        x2d = jnp.pad(x2d, ((0, 0), (0, 0), (0, 0), (0, LANE - w)))
+    x2d = x2d.reshape(B, rows_needed, q * LANE)
     # main blocks read x2d in place; each grid block also needs the first
-    # n_blocks-1 rows of the NEXT block — gathered once into a tiny
-    # [B, nblk, 8, hop_pad] boundary tensor (8-row padded so the in-kernel
+    # n_shifts-1 rows of the NEXT block — gathered once into a tiny
+    # [B, nblk, 8, q*128] boundary tensor (8-row padded so the in-kernel
     # sublane concat stays tile-aligned). The zero padding rows only feed
     # rolled-off output rows, so they never reach the result.
     nblk = fp // tf
     main = x2d[:, :fp]
     bnd_rows = [jax.lax.slice_in_dim(x2d, tf + d, tf + d + (nblk - 1) * tf + 1,
                                      stride=tf, axis=1)
-                for d in range(n_blocks - 1)]          # each [B, nblk, hp]
+                for d in range(n_shifts - 1)]          # each [B, nblk, q*128]
     zeros = jnp.zeros_like(bnd_rows[0]) if bnd_rows else None
-    bnd = jnp.stack(bnd_rows + [zeros] * (8 - len(bnd_rows)), axis=2)         if bnd_rows else jnp.zeros((B, nblk, 8, x2d.shape[-1]), jnp.float32)
+    bnd = jnp.stack(bnd_rows + [zeros] * (8 - len(bnd_rows)), axis=2) \
+        if bnd_rows else jnp.zeros((B, nblk, 8, x2d.shape[-1]), jnp.float32)
 
-    consts = [jnp.asarray(cz), jnp.asarray(sz), jnp.asarray(fb)]
+    consts = [jnp.asarray(d) for d in d_mats] + [jnp.asarray(fb)]
     kernel_dct = dct is not None
     if kernel_dct:
         consts.append(jnp.asarray(dct))
     out_cols = consts[-1].shape[1]
 
     in_specs = [
-        pl.BlockSpec((1, tf, hop_pad), lambda b, i: (b, i, 0),
+        pl.BlockSpec((1, tf, q * LANE), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 8, hop_pad), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, 1, 8, q * LANE), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for cmat in consts:
         in_specs.append(pl.BlockSpec(cmat.shape, lambda b, i: (0, 0),
                                      memory_space=pltpu.VMEM))
-    nbp = c.shape[1]
+    ncs_p = fb.shape[0]
     out = pl.pallas_call(
-        functools.partial(_signal_kernel, cfg=cfg, n_blocks=n_blocks,
-                          hop_pad=hop_pad, tf=tf, kernel_dct=kernel_dct),
+        functools.partial(_signal_kernel, cfg=cfg, n_shifts=n_shifts,
+                          k_sizes=k_sizes, tf=tf, kernel_dct=kernel_dct),
         grid=(B, nblk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tf, out_cols), lambda b, i: (b, i, 0),
@@ -385,8 +475,8 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
         out_shape=jax.ShapeDtypeStruct((B, fp, out_cols), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=B * fp * 2 * sum(cm.shape[0] * cm.shape[1] for cm in consts),
-            bytes_accessed=B * fp * (hop_pad + out_cols) * 4,
-            transcendentals=B * fp * nbp,
+            bytes_accessed=B * fp * (q * LANE + out_cols) * 4,
+            transcendentals=B * fp * ncs_p,
         ),
         interpret=_interpret(),
     )(main, bnd, *consts)
