@@ -70,12 +70,16 @@ def main(batch: int = 128, seconds: int = 30, iters: int = 10,
     sig = (rng.standard_normal((batch, n)) * 0.1).astype(np.float32)
     lengths = np.full((batch,), n, dtype=np.int32)
 
+    # bf16x3: explicit 3-pass decomposition — 1.33x faster than HIGHEST on
+    # v5e at ~1.8e-4 end-to-end error (budget 1e-3; fidelity reported below)
     cfg_mel = dataclasses.replace(WHISPER80, use_pallas=use_pallas,
                                   gemm_dft=gemm_dft,
-                                  fused_framing=fused_framing)
+                                  fused_framing=fused_framing,
+                                  matmul_precision="bf16x3")
     cfg_mfcc = dataclasses.replace(MFCC13_HTK, use_pallas=use_pallas,
                                    gemm_dft=gemm_dft,
-                                   fused_framing=fused_framing)
+                                   fused_framing=fused_framing,
+                                   matmul_precision="bf16x3")
 
     @jax.jit
     def dual(x, l):

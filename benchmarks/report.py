@@ -56,7 +56,8 @@ def time_fn(fn, *args, iters=10, warmup=2, chain=8):
     return float(np.median(times)) / chain
 
 
-def bench_config(name, cfg, batch, seconds, iters, golden_check=True):
+def bench_config(name, cfg, batch, seconds, iters, golden_check=True,
+                 chain=8):
     import jax
     import jax.numpy as jnp
     from tpufeat import features
@@ -68,7 +69,8 @@ def bench_config(name, cfg, batch, seconds, iters, golden_check=True):
     x = jax.device_put(jnp.asarray(sig))
     l = jax.device_put(jnp.full((batch,), n, jnp.int32))
     fn = features.make_extractor(cfg)
-    dt = time_fn(lambda a, b: fn(a, b).features, x, l, iters=iters)
+    dt = time_fn(lambda a, b: fn(a, b).features, x, l, iters=iters,
+                 chain=chain)
     res = fn(x, l)
     frames = int(np.asarray(res.num_frames).sum())
     row = {
@@ -137,7 +139,10 @@ def main(argv=None):
     p.add_argument("--profile", default=None)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--gemm", action="store_true",
-                   help="use the fully fused GEMM-native DFT kernel")
+                   help="use the GEMM-native DFT kernel")
+    p.add_argument("--fused", action="store_true",
+                   help="also fuse framing into the signal kernel "
+                        "(production TPU configuration)")
     p.add_argument("--encoder", action="store_true",
                    help="also measure the front-end's share of a full "
                         "front-end+encoder forward pass (north-star claim)")
@@ -147,11 +152,12 @@ def main(argv=None):
     from tpufeat.config import KALDI39, MFCC13_HTK, WHISPER80
     log(f"backend={jax.default_backend()}")
 
+    flags = dict(use_pallas=not args.no_pallas, gemm_dft=args.gemm,
+                 fused_framing=args.fused)
     rows = []
     for name, cfg in [("mfcc13", MFCC13_HTK), ("whisper80", WHISPER80),
                       ("kaldi39", KALDI39)]:
-        cfg = dataclasses.replace(cfg, use_pallas=not args.no_pallas,
-                                  gemm_dft=args.gemm)
+        cfg = dataclasses.replace(cfg, **flags)
         row = bench_config(name, cfg, args.batch, args.seconds, args.iters)
         log(f"{name:10s} rtfx={row['rtfx']:>12,.0f} "
             f"frames/s={row['frames_per_s']:>12,.0f} "
@@ -159,13 +165,19 @@ def main(argv=None):
         rows.append(row)
 
     # single-utterance latency (B=1): what an online user waits for one
-    # 30 s transcript request; dominated by dispatch latency, not compute
-    lat_cfg = dataclasses.replace(WHISPER80, use_pallas=not args.no_pallas,
-                                  gemm_dft=args.gemm)
+    # 30 s transcript request. chain=1 is the true per-request latency
+    # (includes the host->relay->device round trip); the chained row shows
+    # the device-side floor once dispatch overhead amortizes.
+    lat_cfg = dataclasses.replace(WHISPER80, **flags)
     lat = bench_config("whisper80_single_utt_latency", lat_cfg, 1,
-                       args.seconds, args.iters)
+                       args.seconds, args.iters, chain=1)
     lat["latency_ms"] = round(lat.pop("median_s") * 1e3, 3)
-    log(f"single-utterance latency: {lat['latency_ms']} ms")
+    amort = bench_config("whisper80_single_utt_amortized", lat_cfg, 1,
+                         args.seconds, args.iters, chain=16,
+                         golden_check=False)
+    lat["device_floor_ms"] = round(amort["median_s"] * 1e3, 3)
+    log(f"single-utterance latency: {lat['latency_ms']} ms "
+        f"(device floor {lat['device_floor_ms']} ms)")
     rows.append(lat)
 
     if args.encoder:

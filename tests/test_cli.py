@@ -68,6 +68,19 @@ class TestCLI:
         with pytest.raises(SystemExit):
             cli.main([path, str(tmp_path / "o.npy"), "--set", "bogus=1"])
 
+    def test_resample_flag(self, tmp_path, capsys):
+        from tpufeat import cli, io
+        from conftest import make_signal
+        import numpy as np
+        p = str(tmp_path / "a8k.wav")
+        io.write_wav(p, make_signal(8000, seed=70), 8000)
+        out = tmp_path / "o.npy"
+        rc = cli.main([p, str(out), "--preset", "mfcc13", "--resample"])
+        assert rc == 0
+        feats = np.load(out)
+        from tpufeat.config import MFCC13_HTK
+        assert feats.shape == (MFCC13_HTK.num_frames(16000), 13)
+
     def test_wrong_sample_rate_rejected(self, tmp_path):
         path = str(tmp_path / "sr8k.wav")
         io.write_wav(path, make_signal(8000, seed=122), 8000)

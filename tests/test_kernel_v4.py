@@ -70,14 +70,46 @@ class TestCombinedMatrices:
 
 
 class TestFusedParityV4:
+    @pytest.mark.parametrize("precision", ["highest", "bf16x3"])
     @pytest.mark.parametrize("preset", [MFCC13_HTK, WHISPER80, KALDI39])
-    def test_signal_kernel_matches_golden(self, preset):
-        cfg = dataclasses.replace(preset, **FUSED)
+    def test_signal_kernel_matches_golden(self, preset, precision):
+        cfg = dataclasses.replace(preset, matmul_precision=precision,
+                                  **FUSED)
         sig = make_signal(16000, seed=10)
         res = features.extract(sig, cfg=cfg)
         gold = cpu.extract(sig.astype(np.float64), preset)
         scale = max(1.0, np.abs(gold).max())
-        assert np.abs(np.asarray(res.features) - gold).max() / scale < 1e-3
+        err = np.abs(np.asarray(res.features) - gold).max() / scale
+        assert err < 1e-3
+        if precision == "bf16x3":
+            assert err < 5e-4      # measured ~1.8e-4; keep headroom
+
+    @pytest.mark.parametrize("precision", ["highest", "bf16x3"])
+    def test_tail_and_staged_kernels_bf16x3(self, precision):
+        sig = make_signal(8000, seed=17)
+        gold = cpu.extract(sig.astype(np.float64), MFCC13_HTK)
+        for flags in (dict(use_pallas=True),
+                      dict(use_pallas=True, gemm_dft=True)):
+            cfg = dataclasses.replace(MFCC13_HTK,
+                                      matmul_precision=precision, **flags)
+            got = np.asarray(features.extract(sig, cfg=cfg).features)
+            assert np.abs(got - gold).max() < 1e-3
+
+    def test_default_precision_runs(self):
+        """'default' (1-pass bf16) is a training-only knob: on TPU it
+        measures ~3e-3 (outside the 1e-3 fidelity budget — documented in
+        config.py); on the CPU interpreter DEFAULT dots stay f32, so this
+        test only smoke-checks the path end to end."""
+        import jax
+        cfg = dataclasses.replace(MFCC13_HTK, matmul_precision="default",
+                                  **FUSED)
+        sig = make_signal(8000, seed=18)
+        got = np.asarray(features.extract(sig, cfg=cfg).features)
+        gold = cpu.extract(sig.astype(np.float64), MFCC13_HTK)
+        err = np.abs(got - gold).max()
+        assert err < 0.1
+        if jax.default_backend() == "tpu":
+            assert err > 1e-4      # demonstrably coarser than bf16x3
 
     def test_kaldi_mode_fused_signal_kernel(self):
         """kaldi_mode folded into the DFT matrix — full fidelity-knob set."""

@@ -16,6 +16,7 @@ from tpufeat.features import (FeatureResult, extract, frames, logmel,
                               make_extractor, mel_spectrogram, mfcc,
                               spectrogram)
 from tpufeat.io import read_wav, write_wav
+from tpufeat.resampling import resample
 from tpufeat.streaming import (StreamingFrontend, StreamState, extract_scan,
                                init_state, process_chunk,
                                process_chunk_static, scan_chunks,
@@ -30,5 +31,5 @@ __all__ = [
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
     "process_chunk", "process_chunk_static", "scan_chunks",
-    "scan_chunks_static", "extract_scan", "__version__",
+    "scan_chunks_static", "extract_scan", "resample", "__version__",
 ]

@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", type=int, metavar="CHUNK", default=0,
                    help="process through the streaming front-end in CHUNK-"
                         "sample chunks (config 4) instead of one-shot")
+    p.add_argument("--resample", action="store_true",
+                   help="resample inputs whose rate differs from the "
+                        "config's sample_rate (polyphase MXU matmul, "
+                        "matches scipy.resample_poly)")
     return p
 
 
@@ -79,11 +83,15 @@ def main(argv=None) -> int:
         sigs, rates = zip(*(io.read_wav(w) for w in wavs))
     except FileNotFoundError as e:
         raise SystemExit(f"input not found: {e.filename}")
-    for w, r in zip(wavs, rates):
+    sigs = list(sigs)
+    for i, (w, r) in enumerate(zip(wavs, rates)):
         if r != cfg.sample_rate:
-            raise SystemExit(f"{w}: sample rate {r} != config "
-                             f"{cfg.sample_rate} (resampling not implied "
-                             f"by the pipeline; resample offline)")
+            if not args.resample:
+                raise SystemExit(f"{w}: sample rate {r} != config "
+                                 f"{cfg.sample_rate}; pass --resample to "
+                                 f"convert on-device")
+            from tpufeat.resampling import resample as _resample
+            sigs[i] = np.asarray(_resample(sigs[i], r, cfg.sample_rate))
     lengths = np.array([len(s) for s in sigs], dtype=np.int32)
     batch = np.zeros((len(sigs), int(lengths.max())), dtype=np.float32)
     for b, s in enumerate(sigs):

@@ -89,6 +89,16 @@ class FeatureConfig:
     #                                  (bf16 halves feature bandwidth when
     #                                  feeding a bf16 encoder; compute stays
     #                                  f32 internally)
+    # MXU matmul precision inside the Pallas kernels:
+    #   "highest": jax Precision.HIGHEST — most accurate f32 emulation the
+    #     backend offers (measured ~6-pass cost on v5e).
+    #   "bf16x3": explicit 3-term bf16 decomposition (hi@hi + hi@lo +
+    #     lo@hi, constants pre-split on the host) — 1.33x faster kernels,
+    #     ~2e-4 log-mel error vs the f64 golden (budget 1e-3). The
+    #     production/bench setting.
+    #   "default": native bf16 operands — fastest, ~3e-3 error, OUTSIDE the
+    #     fidelity budget; training-only.
+    matmul_precision: str = "highest"
     use_pallas: bool = False         # fused Pallas mel/log/DCT kernel on TPU
     gemm_dft: bool = False           # GEMM-native DFT (matmul) inside Pallas
     #                                  instead of XLA rFFT (MelT-style)
@@ -119,6 +129,9 @@ class FeatureConfig:
             raise ValueError(f"unknown spectrum {self.spectrum!r}")
         if self.out_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown out_dtype {self.out_dtype!r}")
+        if self.matmul_precision not in ("highest", "bf16x3", "default"):
+            raise ValueError(
+                f"unknown matmul_precision {self.matmul_precision!r}")
 
     # ---- derived quantities (all static / python ints) ----
 

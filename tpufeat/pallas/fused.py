@@ -79,11 +79,63 @@ def _log_kind(cfg: FeatureConfig) -> str:
             "none": "none"}[cfg.log]
 
 
-# MXU matmuls default to bf16 operand truncation; HIGHEST selects the
-# 3-pass bf16 decomposition with ~float32 accuracy. The pipeline is >3
-# orders of magnitude under the compute roofline, so the 3x matmul cost is
-# free — and required to hold the float32 fidelity gate (BASELINE.md).
+# MXU matmul precision (cfg.matmul_precision):
+#
+# - "highest": Precision.HIGHEST — the backend's best f32 emulation. On
+#   v5e this measured ~6-pass cost; it holds the tightest fidelity
+#   (log-mel ~1e-5 vs the f64 golden).
+# - "bf16x3": explicit 3-term decomposition a@b ~= a_hi@b_hi + a_hi@b_lo
+#   + a_lo@b_hi with bf16 operand pairs (inputs carry 16 mantissa bits).
+#   Measured 1.33x faster kernels at ~2e-4 log-mel error — comfortably
+#   inside the 1e-3 budget; the production/bench setting. Constants are
+#   pre-split on the host; computed operands split once on the VPU.
+# - "default": native bf16 single pass — ~3e-3 error, outside the budget.
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _stride(cfg: FeatureConfig) -> int:
+    """Refs per logical constant (bf16x3 passes (hi, lo) pairs)."""
+    return 2 if cfg.matmul_precision == "bf16x3" else 1
+
+
+def _pack_consts(mats, cfg: FeatureConfig):
+    """Host-side constant packing for the configured precision."""
+    out = []
+    for m in mats:
+        m = np.asarray(m, np.float32)
+        if cfg.matmul_precision == "bf16x3":
+            hi = m.astype(jnp.bfloat16)
+            lo = (m - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            out += [jnp.asarray(hi), jnp.asarray(lo)]
+        else:
+            out.append(jnp.asarray(m))
+    return out
+
+
+def _split_operand(x, cfg: FeatureConfig):
+    """In-kernel LHS preparation; split once, reuse across matmuls."""
+    if cfg.matmul_precision == "bf16x3":
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (hi, lo)
+    return (x,)
+
+
+def _cdot(xs, crefs, cfg: FeatureConfig, cols: int | None = None):
+    """Matmul of a split operand against one logical constant's refs.
+    ``cols`` optionally contracts only the first lanes (128-aligned)."""
+    def cut(a):
+        return a if cols is None else a[:, :cols]
+    if cfg.matmul_precision == "bf16x3":
+        hi, lo = (cut(x) for x in xs)
+        chi, clo = crefs[0][:], crefs[1][:]
+        return (jax.lax.dot(hi, chi, preferred_element_type=jnp.float32)
+                + jax.lax.dot(hi, clo, preferred_element_type=jnp.float32)
+                + jax.lax.dot(lo, chi, preferred_element_type=jnp.float32))
+    prec = _HI if cfg.matmul_precision == "highest" else \
+        jax.lax.Precision.DEFAULT
+    return jax.lax.dot(cut(xs[0]), crefs[0][:], precision=prec,
+                       preferred_element_type=jnp.float32)
 
 
 def _dot(a, b):
@@ -175,7 +227,7 @@ def _hop_split(cfg: FeatureConfig) -> tuple[int, int]:
 # Kernel bodies
 # ---------------------------------------------------------------------------
 
-def _sq_tail(z, fb_ref, dct_ref, out_ref, cfg: FeatureConfig, row=None):
+def _sq_tail(z, fb_refs, dct_refs, out_ref, cfg: FeatureConfig, row=None):
     """Shared tail for the combined-DFT kernels: z [TF, ncs_pad] (Re/Im
     columns) -> features block. Power never materializes for
     spectrum='power'; magnitude rebuilds it with one lane roll."""
@@ -186,50 +238,47 @@ def _sq_tail(z, fb_ref, dct_ref, out_ref, cfg: FeatureConfig, row=None):
         im2 = pltpu.roll(sq, ncs_p - (nb - 1), axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, sq.shape, 1)
         keep = jnp.logical_and(lane >= 1, lane <= nb - 2)
-        p = jnp.sqrt(sq + jnp.where(keep, im2, 0.0))
-        mel = _dot(p, fb_ref[:])
-    else:
-        mel = _dot(sq, fb_ref[:])
+        sq = jnp.sqrt(sq + jnp.where(keep, im2, 0.0))
+    mel = _cdot(_split_operand(sq, cfg), fb_refs, cfg)
     kind = _log_kind(cfg)
     if kind == "natural":
         mel = jnp.log(jnp.maximum(mel, cfg.log_floor))
     elif kind == "log10":
         mel = jnp.log10(jnp.maximum(mel, cfg.log_floor))
-    if dct_ref is not None:
-        mel = _dot(mel, dct_ref[:])
+    if dct_refs is not None:
+        mel = _cdot(_split_operand(mel, cfg), dct_refs, cfg)
     if row is None:
         out_ref[:] = mel
     else:
         out_ref[row] = mel
 
 
-def _mel_log_dct_body(p, fb_ref, dct_ref, out_ref, cfg: FeatureConfig):
-    """Tail-kernel body: power block [TF, nb_pad] -> features block."""
-    mel = _dot(p, fb_ref[:])
+def _group(refs, cfg: FeatureConfig):
+    """Group a flat ref tuple into logical constants (pairs for bf16x3)."""
+    k = _stride(cfg)
+    return [tuple(refs[i: i + k]) for i in range(0, len(refs), k)]
+
+
+def _tail_kernel(power_ref, *refs, cfg, kernel_dct):
+    groups = _group(refs[:-1], cfg)
+    out_ref = refs[-1]
+    p = power_ref[:]
+    mel = _cdot(_split_operand(p, cfg), groups[0], cfg)
     kind = _log_kind(cfg)
     if kind == "natural":
         mel = jnp.log(jnp.maximum(mel, cfg.log_floor))
     elif kind == "log10":
         mel = jnp.log10(jnp.maximum(mel, cfg.log_floor))
-    if dct_ref is not None:
-        mel = _dot(mel, dct_ref[:])
+    if kernel_dct:
+        mel = _cdot(_split_operand(mel, cfg), groups[1], cfg)
     out_ref[:] = mel
 
 
-def _tail_kernel(power_ref, fb_ref, dct_ref, out_ref, *, cfg):
-    _mel_log_dct_body(power_ref[:], fb_ref, dct_ref, out_ref, cfg)
-
-
-def _tail_kernel_nodct(power_ref, fb_ref, out_ref, *, cfg):
-    _mel_log_dct_body(power_ref[:], fb_ref, None, out_ref, cfg)
-
-
-def _full_kernel(frames_ref, cs_ref, fb_ref, dct_ref, out_ref, *, cfg):
-    _sq_tail(_dot(frames_ref[:], cs_ref[:]), fb_ref, dct_ref, out_ref, cfg)
-
-
-def _full_kernel_nodct(frames_ref, cs_ref, fb_ref, out_ref, *, cfg):
-    _sq_tail(_dot(frames_ref[:], cs_ref[:]), fb_ref, None, out_ref, cfg)
+def _full_kernel(frames_ref, *refs, cfg, kernel_dct):
+    groups = _group(refs[:-1], cfg)
+    out_ref = refs[-1]
+    z = _cdot(_split_operand(frames_ref[:], cfg), groups[0], cfg)
+    _sq_tail(z, groups[1], groups[2] if kernel_dct else None, out_ref, cfg)
 
 
 def _block_rows(n_rows: int) -> int:
@@ -262,9 +311,9 @@ def _call_rowblocked(kernel, rows, consts, out_cols, cfg, extra_flops=0):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, out_cols), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=Rp * flops_per_row,
+            flops=3 * Rp * flops_per_row,
             bytes_accessed=Rp * (K + out_cols) * 4
-            + sum(c.size for c in consts) * 4,
+            + sum(int(c.size) for c in consts) * 4,
             transcendentals=Rp * nbp,
         ),
         interpret=_interpret(),
@@ -281,8 +330,8 @@ def mel_log_dct(power: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     nb_p = fb.shape[0]
     rows = power.reshape(-1, power.shape[-1]).astype(jnp.float32)
     rows = jnp.pad(rows, ((0, 0), (0, nb_p - rows.shape[-1])))
-    consts = (jnp.asarray(fb),) + ((jnp.asarray(dct),) if dct is not None else ())
-    kernel = _tail_kernel if dct is not None else _tail_kernel_nodct
+    consts = _pack_consts([fb] + ([dct] if dct is not None else []), cfg)
+    kernel = functools.partial(_tail_kernel, kernel_dct=dct is not None)
     out_cols = (dct if dct is not None else fb).shape[1]
     out = _call_rowblocked(kernel, rows, consts, out_cols, cfg)
     d = cfg.n_mfcc if dct is not None else cfg.n_mels
@@ -297,13 +346,9 @@ def dft_mel_log_dct(frames: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     fb, dct = _folded_fb_constants(cfg)
     lead = frames.shape[:-1]
     rows = frames.reshape(-1, frames.shape[-1]).astype(jnp.float32)
-    consts = [jnp.asarray(cs), jnp.asarray(fb)]
-    if dct is not None:
-        consts.append(jnp.asarray(dct))
-        kernel = _full_kernel
-    else:
-        kernel = _full_kernel_nodct
-    out_cols = consts[-1].shape[1]
+    consts = _pack_consts([cs, fb] + ([dct] if dct is not None else []), cfg)
+    kernel = functools.partial(_full_kernel, kernel_dct=dct is not None)
+    out_cols = (dct if dct is not None else fb).shape[1]
     out = _call_rowblocked(kernel, rows, consts, out_cols, cfg,
                            extra_flops=3 * cs.shape[1])
     d = cfg.n_mfcc if dct is not None else cfg.n_mels
@@ -363,18 +408,20 @@ def _signal_kernel(*refs, cfg, n_shifts, k_sizes, tf, kernel_dct):
     versus ~3.3 KB for the staged path, one kernel for references C3-C9
     (including kaldi_mode, folded into the DFT matrix)."""
     sig_ref, bnd_ref = refs[0], refs[1]
-    d_refs = refs[2: 2 + n_shifts]
-    fb_ref = refs[2 + n_shifts]
-    dct_ref = refs[3 + n_shifts] if kernel_dct else None
-    out_ref = refs[3 + n_shifts + (1 if kernel_dct else 0)]
+    groups = _group(refs[2:-1], cfg)
+    d_groups = groups[:n_shifts]
+    fb_refs = groups[n_shifts]
+    dct_refs = groups[n_shifts + 1] if kernel_dct else None
+    out_ref = refs[-1]
 
     ext = jnp.concatenate([sig_ref[0], bnd_ref[0, 0]], axis=0)  # [tf+8, q*128]
-    z = _dot(ext[:, : k_sizes[0]], d_refs[0][:])[:tf]
+    xs = _split_operand(ext, cfg)          # split ONCE, reused per shift
+    z = _cdot(xs, d_groups[0], cfg, cols=k_sizes[0])[:tf]
     for s in range(1, n_shifts):
-        zs = _dot(ext[:, : k_sizes[s]], d_refs[s][:])
+        zs = _cdot(xs, d_groups[s], cfg, cols=k_sizes[s])
         # roll requires a non-negative shift: -s mod (tf+8)
         z = z + pltpu.roll(zs, tf + 8 - s, axis=0)[:tf]
-    _sq_tail(z, fb_ref, dct_ref, out_ref, cfg, row=0)
+    _sq_tail(z, fb_refs, dct_refs, out_ref, cfg, row=0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -449,11 +496,10 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
     bnd = jnp.stack(bnd_rows + [zeros] * (8 - len(bnd_rows)), axis=2) \
         if bnd_rows else jnp.zeros((B, nblk, 8, x2d.shape[-1]), jnp.float32)
 
-    consts = [jnp.asarray(d) for d in d_mats] + [jnp.asarray(fb)]
     kernel_dct = dct is not None
-    if kernel_dct:
-        consts.append(jnp.asarray(dct))
-    out_cols = consts[-1].shape[1]
+    consts = _pack_consts(list(d_mats) + [fb] + ([dct] if kernel_dct else []),
+                          cfg)
+    out_cols = (dct if kernel_dct else fb).shape[1]
 
     in_specs = [
         pl.BlockSpec((1, tf, q * LANE), lambda b, i: (b, i, 0),
@@ -474,7 +520,7 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, fp, out_cols), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=B * fp * 2 * sum(cm.shape[0] * cm.shape[1] for cm in consts),
+            flops=B * fp * 6 * sum(cm.shape[0] * cm.shape[1] for cm in consts),
             bytes_accessed=B * fp * (q * LANE + out_cols) * 4,
             transcendentals=B * fp * ncs_p,
         ),
