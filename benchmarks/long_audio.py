@@ -46,7 +46,8 @@ def main(argv=None):
     from tpufeat.config import MFCC13_HTK
 
     cfg = MFCC13_HTK if args.no_fused else dataclasses.replace(
-        MFCC13_HTK, use_pallas=True, gemm_dft=True, fused_framing=True)
+        MFCC13_HTK, use_pallas=True, gemm_dft=True, fused_framing=True,
+        matmul_precision="bf16x3")
     sr = cfg.sample_rate
     chunk = int(args.chunk_seconds * sr) // cfg.hop_length * cfg.hop_length
     n_chunks = int(args.minutes * 60 * sr / chunk)

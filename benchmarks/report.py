@@ -143,6 +143,9 @@ def main(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="also fuse framing into the signal kernel "
                         "(production TPU configuration)")
+    p.add_argument("--precision", default="highest",
+                   choices=("highest", "bf16x3", "default"),
+                   help="Pallas matmul precision (bf16x3 = production)")
     p.add_argument("--encoder", action="store_true",
                    help="also measure the front-end's share of a full "
                         "front-end+encoder forward pass (north-star claim)")
@@ -153,7 +156,7 @@ def main(argv=None):
     log(f"backend={jax.default_backend()}")
 
     flags = dict(use_pallas=not args.no_pallas, gemm_dft=args.gemm,
-                 fused_framing=args.fused)
+                 fused_framing=args.fused, matmul_precision=args.precision)
     rows = []
     for name, cfg in [("mfcc13", MFCC13_HTK), ("whisper80", WHISPER80),
                       ("kaldi39", KALDI39)]:

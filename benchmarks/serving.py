@@ -30,7 +30,8 @@ import numpy as np
 def _cfg(fused: bool):
     from tpufeat.config import MFCC13_HTK
     return dataclasses.replace(
-        MFCC13_HTK, use_pallas=fused, gemm_dft=fused, fused_framing=fused)
+        MFCC13_HTK, use_pallas=fused, gemm_dft=fused, fused_framing=fused,
+        matmul_precision="bf16x3" if fused else "highest")
 
 
 def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8,

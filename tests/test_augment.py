@@ -1,0 +1,104 @@
+"""SpecAugment + energy VAD (tpufeat/augment.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpufeat import augment, features
+from tpufeat.config import FBANK80
+
+from conftest import make_signal
+
+
+class TestSpecAugment:
+    def _feats(self):
+        sigs = [make_signal(16000, seed=80), make_signal(9000, seed=81)]
+        x = np.zeros((2, 16000), np.float32)
+        for b, s in enumerate(sigs):
+            x[b, : len(s)] = s
+        res = features.extract(x, np.array([16000, 9000]), FBANK80)
+        return np.asarray(res.features), np.asarray(res.num_frames)
+
+    def test_masks_applied_and_bounded(self):
+        feats, nf = self._feats()
+        out = np.asarray(augment.spec_augment(
+            jnp.asarray(feats), jnp.asarray(nf), jax.random.PRNGKey(0)))
+        assert out.shape == feats.shape
+        changed = np.any(out != feats, axis=-1)        # [B, T]
+        assert changed.any(), "some frames must be masked"
+        # padding rows never touched
+        for b in range(2):
+            np.testing.assert_array_equal(out[b, nf[b]:], feats[b, nf[b]:])
+
+    def test_freq_mask_is_banded(self):
+        feats, nf = self._feats()
+        out = np.asarray(augment.spec_augment(
+            jnp.asarray(feats), jnp.asarray(nf), jax.random.PRNGKey(3),
+            n_time_masks=0, fill="zero"))
+        # with only freq masks, the set of masked feature columns is the
+        # same for every valid frame of an utterance
+        for b in range(2):
+            diff = out[b, : nf[b]] != feats[b, : nf[b]]
+            cols = diff.any(axis=0)
+            assert (diff == cols[None, :]).all()
+            assert 0 < cols.sum() <= 2 * 27
+
+    def test_time_mask_within_valid(self):
+        feats, nf = self._feats()
+        out = np.asarray(augment.spec_augment(
+            jnp.asarray(feats), jnp.asarray(nf), jax.random.PRNGKey(5),
+            n_freq_masks=0, fill="zero"))
+        for b in range(2):
+            diff = (out[b] != feats[b]).any(axis=-1)
+            assert not diff[nf[b]:].any()
+
+    def test_deterministic_per_key(self):
+        feats, nf = self._feats()
+        a = np.asarray(augment.spec_augment(
+            jnp.asarray(feats), jnp.asarray(nf), jax.random.PRNGKey(7)))
+        b = np.asarray(augment.spec_augment(
+            jnp.asarray(feats), jnp.asarray(nf), jax.random.PRNGKey(7)))
+        np.testing.assert_array_equal(a, b)
+        c = np.asarray(augment.spec_augment(
+            jnp.asarray(feats), jnp.asarray(nf), jax.random.PRNGKey(8)))
+        assert (a != c).any()
+
+    def test_mean_fill_value(self):
+        feats, nf = self._feats()
+        out = np.asarray(augment.spec_augment(
+            jnp.asarray(feats), jnp.asarray(nf), jax.random.PRNGKey(1),
+            fill="mean"))
+        for b in range(2):
+            m = feats[b, : nf[b]].mean()
+            diffs = out[b] != feats[b]
+            if diffs.any():
+                vals = out[b][diffs]
+                np.testing.assert_allclose(vals, m, rtol=1e-5)
+
+
+class TestEnergyVad:
+    def test_speech_vs_silence(self):
+        sr = 16000
+        sig = np.zeros(sr, np.float32)
+        speech = make_signal(4800, seed=90)
+        sig[3200: 8000] = speech                   # speech in the middle
+        sig += 1e-5 * np.random.default_rng(0).standard_normal(sr).astype(
+            np.float32)                            # noise floor
+        vad = np.asarray(augment.energy_vad(sig[None], np.array([sr])))[0]
+        # frames fully inside the speech region are active
+        first_in = 3200 // 160 + 1
+        last_in = (8000 - 400) // 160 - 1
+        assert vad[first_in: last_in].all()
+        # frames far from the speech are silent
+        assert not vad[last_in + 10:].any()
+
+    def test_padding_masked(self):
+        sig = make_signal(8000, seed=91)
+        x = np.zeros((1, 16000), np.float32)
+        x[0, :8000] = sig
+        vad = np.asarray(augment.energy_vad(x, np.array([8000])))[0]
+        from tpufeat.config import FeatureConfig
+        nf = FeatureConfig(preemphasis=0.0).num_frames(8000)
+        assert not vad[nf:].any()
+        assert vad[:nf].any()

@@ -10,6 +10,7 @@ out — designed TPU-first per SURVEY.md. Public API:
     feats = extract(samples, cfg=WHISPER80).features
 """
 
+from tpufeat.augment import energy_vad, spec_augment
 from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
                             PRESETS, STREAMING160, WHISPER80)
 from tpufeat.features import (FeatureResult, extract, frames, logmel,
@@ -31,5 +32,6 @@ __all__ = [
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
     "process_chunk", "process_chunk_static", "scan_chunks",
-    "scan_chunks_static", "extract_scan", "resample", "__version__",
+    "scan_chunks_static", "extract_scan", "resample", "spec_augment",
+    "energy_vad", "__version__",
 ]

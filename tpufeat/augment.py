@@ -1,0 +1,109 @@
+"""Training-time feature augmentation + energy VAD (TPU-native, masked).
+
+SpecAugment (Park et al., 2019) is the standard ASR training augmentation
+applied to log-mel features. The TPU-native formulation is fully
+vectorized: mask positions/widths are drawn per utterance with an explicit
+PRNG key (pure function — composable with pmap/shard_map without seed
+plumbing), and the masks are built by iota comparisons — no dynamic
+shapes, no gathers, O(B*T*D) elementwise work that XLA fuses into
+whatever consumes the features.
+
+Time masks respect each utterance's TRUE length (masks are placed inside
+[0, num_frames) and padding frames are left untouched), so augmentation
+composes with the padded/masked batching used everywhere else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["spec_augment", "energy_vad"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_freq_masks", "freq_width", "n_time_masks",
+                     "time_width", "fill"))
+def spec_augment(feats: jnp.ndarray, num_frames: jnp.ndarray,
+                 rng: jnp.ndarray, *,
+                 n_freq_masks: int = 2, freq_width: int = 27,
+                 n_time_masks: int = 2, time_width: int = 100,
+                 fill: str = "mean") -> jnp.ndarray:
+    """SpecAugment masking: feats [B, T, D] -> masked copy.
+
+    Per utterance: ``n_freq_masks`` bands of width U[0, freq_width) on the
+    feature axis and ``n_time_masks`` spans of width U[0, time_width) on
+    the time axis (clamped inside the utterance's valid ``num_frames``).
+    ``fill`` is "mean" (per-utterance masked mean, the common choice for
+    normalized features) or "zero".
+    """
+    B, T, D = feats.shape
+    nf = jnp.maximum(num_frames.astype(jnp.int32), 1)          # [B]
+    keys = jax.random.split(rng, 4)
+
+    t_idx = jnp.arange(T)[None, :, None]                       # [1, T, 1]
+    d_idx = jnp.arange(D)[None, None, :]                       # [1, 1, D]
+    masked = jnp.zeros((B, T, D), bool)
+
+    # frequency masks: start U[0, D - w], width w ~ U[0, freq_width]
+    fw = jax.random.randint(keys[0], (B, n_freq_masks), 0,
+                            min(freq_width, D) + 1)            # [B, M]
+    f0 = (jax.random.uniform(keys[1], (B, n_freq_masks))
+          * (D - fw)).astype(jnp.int32)
+    hit_f = jnp.any(
+        (d_idx[..., None] >= f0[:, None, None, :])
+        & (d_idx[..., None] < (f0 + fw)[:, None, None, :]), axis=-1)
+    masked = masked | hit_f
+
+    # time masks: width w ~ U[0, min(time_width, nf)], start U[0, nf - w]
+    max_tw = jnp.minimum(time_width, nf)[:, None]              # [B, 1]
+    tw = (jax.random.uniform(keys[2], (B, n_time_masks))
+          * (max_tw + 1)).astype(jnp.int32)
+    t0 = (jax.random.uniform(keys[3], (B, n_time_masks))
+          * (nf[:, None] - tw)).astype(jnp.int32)
+    hit_t = jnp.any(
+        (t_idx[..., None] >= t0[:, None, None, :])
+        & (t_idx[..., None] < (t0 + tw)[:, None, None, :]), axis=-1)
+    masked = masked | hit_t
+
+    # never touch padding frames
+    valid = t_idx[..., 0] < nf[:, None]                        # [B, T]
+    masked = masked & valid[..., None]
+
+    if fill == "mean":
+        m = valid[..., None].astype(feats.dtype)
+        cnt = jnp.maximum(m.sum(axis=(1, 2)) * D, 1.0)   # valid frames x D
+        mean = (feats * m).sum(axis=(1, 2)) / cnt              # [B]
+        fill_val = mean[:, None, None]
+    elif fill == "zero":
+        fill_val = jnp.zeros((), feats.dtype)
+    else:
+        raise ValueError(f"unknown fill {fill!r}")
+    return jnp.where(masked, fill_val, feats)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_length", "hop_length",
+                                             "threshold_db"))
+def energy_vad(signal: jnp.ndarray, lengths: jnp.ndarray,
+               frame_length: int = 400, hop_length: int = 160,
+               threshold_db: float = -40.0) -> jnp.ndarray:
+    """Energy-based voice activity detection: [B, N] samples -> [B, F]
+    bool speech mask (True = frame energy within ``threshold_db`` of the
+    utterance's peak frame energy). Frames past an utterance's true length
+    are False. The classic cheap serving-side gate before a heavy encoder.
+    """
+    from tpufeat import framing
+    from tpufeat.config import FeatureConfig
+    cfg = FeatureConfig(frame_length=frame_length, hop_length=hop_length,
+                        preemphasis=0.0)
+    frames, mask = framing.frame_signal(
+        jnp.asarray(signal, jnp.float32), jnp.asarray(lengths, jnp.int32),
+        cfg)
+    e = jnp.sum(frames * frames, axis=-1)                      # [B, F]
+    e_db = 10.0 * jnp.log10(jnp.maximum(e, 1e-12))
+    peak = jnp.max(jnp.where(mask, e_db, -jnp.inf), axis=-1, keepdims=True)
+    peak = jnp.where(jnp.isfinite(peak), peak, 0.0)
+    return (e_db >= peak + threshold_db) & mask
