@@ -213,6 +213,48 @@ class TestStreamingMechanics:
             streaming.fill_schedule(0, [480] * 20, MFCC13_HTK)[:-1])
         assert p == 1
 
+    @pytest.mark.parametrize("plan", [[10] * 10, [3, 1, 7, 25, 40, 24],
+                                      [1] * 12, [100]])
+    def test_streaming_deltas_match_offline(self, plan):
+        """Online Δ (lookahead-delayed) == offline deltas of the full
+        feature matrix, for any chunking of the base frames."""
+        rng = np.random.default_rng(60)
+        F = sum(plan)
+        feats = rng.standard_normal((2, F, 13)).astype(np.float32)
+        sd = streaming.StreamingDeltas(dim=13, window=2, batch_size=2)
+        outs = []
+        pos = 0
+        for c in plan:
+            outs.append(np.asarray(sd.process(feats[:, pos: pos + c])))
+            pos += c
+        outs.append(np.asarray(sd.flush()))
+        got = np.concatenate(outs, axis=1)
+        want = np.asarray(features.deltas(
+            jnp.asarray(feats), jnp.array([F, F])))
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 1e-6
+
+    def test_streaming_delta_delta_chain(self):
+        """Two chained delta stages == offline delta(delta(f))."""
+        rng = np.random.default_rng(61)
+        F = 50
+        feats = rng.standard_normal((1, F, 13)).astype(np.float32)
+        d1 = streaming.StreamingDeltas(dim=13, batch_size=1)
+        d2 = streaming.StreamingDeltas(dim=13, batch_size=1)
+        outs = []
+        for pos in range(0, F, 9):
+            x1 = d1.process(feats[:, pos: pos + 9])
+            outs.append(np.asarray(d2.process(x1)))
+        x1 = d1.flush()
+        outs.append(np.asarray(d2.process(x1)))
+        outs.append(np.asarray(d2.flush()))
+        got = np.concatenate(outs, axis=1)
+        nf = jnp.array([F])
+        want = np.asarray(features.deltas(
+            features.deltas(jnp.asarray(feats), nf), nf))
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 1e-6
+
     def test_running_cmvn_converges(self):
         # after many frames, running mean ~ utterance mean
         sig = make_signal(32000, seed=54)

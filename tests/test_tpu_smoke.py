@@ -52,6 +52,18 @@ def test_variant_golden_parity(preset, variant):
     assert err < 2e-3, f"variant {VARIANTS[variant]}: {err}"
 
 
+@pytest.mark.parametrize("preset", [MFCC13_HTK, WHISPER80, KALDI39])
+def test_bf16x3_production_parity(preset):
+    """The bench/production precision on hardware: fused signal kernel at
+    the explicit 3-pass bf16 decomposition stays inside the 1e-3 budget."""
+    cfg = dataclasses.replace(preset, matmul_precision="bf16x3", **FUSED)
+    sig = make_signal(16000, seed=42)
+    res = features.extract(sig, cfg=cfg)
+    gold = cpu.extract(sig.astype(np.float64), preset)
+    err = np.abs(np.asarray(res.features) - gold).max()
+    assert err < 1e-3, f"bf16x3 {preset}: {err}"
+
+
 class TestKernelCorners:
     def test_kaldi_mode_fused_signal_kernel(self):
         base = FeatureConfig(kaldi_mode=True, dc_offset=True,

@@ -18,10 +18,10 @@ from tpufeat.features import (FeatureResult, extract, frames, logmel,
                               spectrogram)
 from tpufeat.io import read_wav, write_wav
 from tpufeat.resampling import resample
-from tpufeat.streaming import (StreamingFrontend, StreamState, extract_scan,
-                               init_state, process_chunk,
-                               process_chunk_static, scan_chunks,
-                               scan_chunks_static)
+from tpufeat.streaming import (StreamingDeltas, StreamingFrontend,
+                               StreamState, extract_scan, init_state,
+                               process_chunk, process_chunk_static,
+                               scan_chunks, scan_chunks_static)
 
 __version__ = "0.2.0"
 
@@ -32,6 +32,6 @@ __all__ = [
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
     "process_chunk", "process_chunk_static", "scan_chunks",
-    "scan_chunks_static", "extract_scan", "resample", "spec_augment",
-    "energy_vad", "__version__",
+    "scan_chunks_static", "extract_scan", "StreamingDeltas", "resample",
+    "spec_augment", "energy_vad", "__version__",
 ]

@@ -431,6 +431,121 @@ class StreamingFrontend:
         self.state = init_state(b, self.cfg)
 
 
+# ---------------------------------------------------------------------------
+# Online deltas: the streaming twin of features.deltas (config 3 post-
+# processing). Delta_t needs frames t-w..t+w, so the stream emits with a
+# fixed lookahead delay of w frames; start-edge replication happens exactly
+# like the offline operator, and flush() finishes the last w frames with
+# end replication. Chain two stages for delta-deltas. Like the front-end's
+# static path, the frame count seen so far is shape-determined, so every
+# step is a pure static-slice program.
+# ---------------------------------------------------------------------------
+
+def init_delta_state(batch_size: int, dim: int, window: int = 2,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """Delta carry: the last 2*window base frames [B, 2w, D]."""
+    return jnp.zeros((batch_size, 2 * window, dim), dtype)
+
+
+def _delta_minus(work, i, F, z0, window):
+    """Slice work[p - i] for emitted p, with start-edge replication: work
+    positions below z0 (the first real frame) read work[:, z0]."""
+    m_lo = window - i
+    if m_lo >= z0:
+        return work[:, m_lo: m_lo + F]
+    k = min(z0 - m_lo, F)
+    first = jnp.broadcast_to(work[:, z0: z0 + 1],
+                             (work.shape[0], k, work.shape[2]))
+    return jnp.concatenate([first, work[:, z0: z0 + F - k]], axis=1)
+
+
+def streaming_delta_step(carry: jnp.ndarray, feats: jnp.ndarray, *,
+                         window: int = 2, n_seen: int = 0
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One online-delta step: ``feats`` [B, F, D] new base frames ->
+    (carry', deltas [B, n_emit, D]) where n_emit = F once the stream has
+    flowed past the initial ``window``-frame lookahead (F - window on the
+    very first chunks). ``n_seen`` = base frames BEFORE this chunk — a pure
+    function of the chunk plan, so pass it statically (host-tracked, like
+    process_chunk_static's fill)."""
+    B, F, D = feats.shape
+    w = window
+    work = jnp.concatenate([carry, feats], axis=1)       # [B, 2w + F, D]
+    n_emit = min(F, max(0, n_seen + F - w))
+    new_carry = work[:, -2 * w:]
+    if n_emit == 0:
+        return new_carry, jnp.zeros((B, 0, D), feats.dtype)
+    z0 = max(2 * w - n_seen, 0)          # work index of global frame 0
+    t0 = F - n_emit                      # first emitted t within [0, F)
+    denom = 2.0 * sum(i * i for i in range(1, w + 1))
+    out = jnp.zeros((B, n_emit, D), feats.dtype)
+    for i in range(1, w + 1):
+        plus = work[:, w + t0 + i: w + t0 + i + n_emit]
+        minus = _delta_minus(work, i, F, z0, w)[:, t0:]
+        out = out + i * (plus - minus)
+    return new_carry, out / denom
+
+
+def streaming_delta_flush(carry: jnp.ndarray, *, window: int = 2,
+                          n_seen: int = 0) -> jnp.ndarray:
+    """Finish the stream: emit the last min(window, n_seen) deltas with
+    end-edge replication (the offline operator's convention)."""
+    B, _, D = carry.shape
+    w = window
+    n_emit = min(w, n_seen)
+    if n_emit == 0:
+        return jnp.zeros((B, 0, D), carry.dtype)
+    z0 = max(2 * w - n_seen, 0)
+    t0 = w - n_emit                      # emitted p in [w + t0, 2w)
+    denom = 2.0 * sum(i * i for i in range(1, w + 1))
+    last = carry[:, -1:]                 # global last frame (end replicate)
+    out = jnp.zeros((B, n_emit, D), carry.dtype)
+    for i in range(1, w + 1):
+        # plus side: p + i, clipped at the final frame 2w-1
+        n_clip = min(n_emit, i)          # the last i emitted rows clip
+        plus = jnp.concatenate(
+            [carry[:, w + t0 + i: 2 * w]] +
+            [jnp.broadcast_to(last, (B, n_clip, D))], axis=1)[:, :n_emit]
+        minus = _delta_minus(carry, i, w, z0, w)[:, t0: t0 + n_emit]
+        out = out + i * (plus - minus)
+    return out / denom
+
+
+class StreamingDeltas:
+    """Object wrapper: chain after a StreamingFrontend for online Δ (and
+    again for ΔΔ). Emits with a ``window``-frame lookahead delay; call
+    :meth:`flush` at end of stream. Host-tracks ``n_seen`` so every step
+    compiles to static slices (lru-cached per (F, n_seen-phase) shape)."""
+
+    def __init__(self, dim: int, window: int = 2, batch_size: int = 1):
+        self.window = window
+        self.n_seen = 0
+        self.carry = init_delta_state(batch_size, dim, window)
+
+    def process(self, feats) -> jnp.ndarray:
+        feats = jnp.asarray(feats, jnp.float32)
+        fn = _make_delta_fn(self.window, self.n_seen if self.n_seen
+                            < 2 * self.window else 2 * self.window)
+        self.carry, out = fn(self.carry, feats)
+        self.n_seen += feats.shape[1]
+        return out
+
+    def flush(self) -> jnp.ndarray:
+        n = self.n_seen if self.n_seen < 2 * self.window \
+            else 2 * self.window
+        return jax.jit(functools.partial(
+            streaming_delta_flush, window=self.window, n_seen=n)
+        )(self.carry)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_delta_fn(window: int, n_seen: int):
+    # n_seen saturates at 2*window (start-edge handling no longer differs),
+    # so at most 2w+1 distinct programs exist per chunk shape
+    return jax.jit(functools.partial(streaming_delta_step, window=window,
+                                     n_seen=n_seen))
+
+
 class RunningCMVN(NamedTuple):
     """Causal running CMVN statistics for online normalization (the
     streaming-friendly alternative to utterance-global CMVN)."""
