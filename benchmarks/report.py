@@ -90,7 +90,7 @@ def bench_config(name, cfg, batch, seconds, iters, golden_check=True,
     return row
 
 
-def bench_encoder_share(batch, seconds, iters, use_pallas=True, gemm=True):
+def bench_encoder_share(batch, seconds, iters, **flags):
     """North-star check: 'feature extraction must never be the bottleneck in
     front of an ASR encoder'. Measures a Whisper-tiny-shaped encoder forward
     with and without the front-end; the difference is the front-end's cost
@@ -101,8 +101,7 @@ def bench_encoder_share(batch, seconds, iters, use_pallas=True, gemm=True):
     from tpufeat.config import WHISPER80
     from tpufeat.models import train as train_lib
 
-    cfg = dataclasses.replace(WHISPER80, use_pallas=use_pallas,
-                              gemm_dft=gemm)
+    cfg = dataclasses.replace(WHISPER80, **flags)
     model = train_lib.make_models(dim=384, layers=4, heads=6, vocab=64)
     n = seconds * 16000
     rng = np.random.default_rng(0)
@@ -185,8 +184,7 @@ def main(argv=None):
 
     if args.encoder:
         rows.append(bench_encoder_share(args.batch, args.seconds, args.iters,
-                                        use_pallas=not args.no_pallas,
-                                        gemm=args.gemm))
+                                        **flags))
 
     if args.profile:
         import jax.numpy as jnp

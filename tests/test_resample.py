@@ -56,6 +56,10 @@ class TestResample:
             assert resample.output_length(n, 2, 1) == 2 * n
             assert resample.output_length(n, 160, 441) == -(-n * 160 // 441)
 
+    def test_pathological_rates_rejected(self):
+        with pytest.raises(ValueError, match="intermediate"):
+            resample.resample(np.zeros(100, np.float32), 44101, 16000)
+
     def test_end_to_end_features(self):
         """8 kHz audio -> resample -> extract: the full migration path for
         non-16k corpora."""

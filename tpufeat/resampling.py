@@ -100,10 +100,20 @@ def resample(signal, sr_in: int, sr_out: int) -> jnp.ndarray:
 
     One gather-free framing pass + one MXU matmul; matches
     scipy.signal.resample_poly(x, p, q) (Kaiser-5 windowed sinc) to float32
-    precision. Returns [(B,) ceil(N*p/q)]."""
+    precision. Returns [(B,) ceil(N*p/q)].
+
+    The block matrix is [~(q + 20*max(p,q)/p), p], so the rates must share
+    a reasonable common divisor (every standard audio-rate pair does —
+    44.1k/16k is p/q = 160/441). Co-prime pathological pairs are rejected
+    rather than silently allocating a multi-GB matrix."""
     if sr_in == sr_out:
         return jnp.asarray(signal, jnp.float32)
     p, q = _rational(sr_in, sr_out)
+    if max(p, q) > 2048:
+        raise ValueError(
+            f"{sr_in} -> {sr_out} Hz reduces to {p}/{q}; filter/matrix size "
+            f"scales with max(p, q) = {max(p, q)} (> 2048). Resample via an "
+            f"intermediate standard rate instead.")
     x = jnp.asarray(signal, jnp.float32)
     single = x.ndim == 1
     if single:
