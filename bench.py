@@ -27,7 +27,7 @@ def log(*a):
 
 def main(batch: int = 128, seconds: int = 30, iters: int = 10,
          use_pallas: bool = True, gemm_dft: bool = True,
-         chain: int = 16, fused_framing: bool = True) -> dict:
+         chain: int = 32, fused_framing: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     from tpufeat import features
@@ -190,7 +190,7 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--no-gemm", action="store_true")
-    p.add_argument("--chain", type=int, default=16)
+    p.add_argument("--chain", type=int, default=32)
     p.add_argument("--no-fused-framing", action="store_true")
     a = p.parse_args()
     result = main(a.batch, a.seconds, a.iters,

@@ -142,6 +142,18 @@ class TestCliStreamTrim:
         assert errs["numpy_f64"] < 1e-3
 
 
+class TestExtractChunked:
+    def test_exact_vs_single_dispatch(self):
+        x = np.stack([make_signal(9000, seed=s) for s in range(6)])
+        lens = np.array([9000, 7000, 9000, 5000, 9000, 401], np.int32)
+        a = features.extract(x, lens, MFCC13_HTK)
+        b = features.extract_chunked(x, lens, MFCC13_HTK,
+                                     rows_per_dispatch=2)
+        np.testing.assert_array_equal(np.asarray(a.features),
+                                      np.asarray(b.features))
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+
 class TestDataParallelNoRetrace:
     def test_second_call_hits_cache(self):
         cfg = MFCC13_HTK

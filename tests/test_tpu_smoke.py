@@ -166,6 +166,40 @@ class TestStreamingOnChip:
         assert np.abs(got - one).max() < 1e-4
 
 
+class TestLargeBatchErratum:
+    """Tracks the upstream XLA:TPU miscompilation documented in BASELINE.md:
+    [256, 480000]-shaped pipelines compute corrupted features (periodic
+    ~21 KB read corruption; every sub-stage validates clean in isolation,
+    and B=240/248 and B=448/512@15 s are clean). strict=False xfail: when
+    a toolchain update fixes it, this test starts passing and the erratum
+    can be retired."""
+
+    @pytest.mark.xfail(strict=False,
+                       reason="upstream XLA:TPU miscompile at B=256 x 30 s"
+                              " (BASELINE.md large-batch erratum)")
+    def test_b256_30s_integrity(self):
+        rng = np.random.default_rng(0)
+        n = 30 * 16000
+        sig = (rng.standard_normal((256, n)) * 0.1).astype(np.float32)
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        res = features.extract(sig, np.full((256,), n, np.int32), cfg)
+        gold = cpu.extract(sig[0].astype(np.float64), MFCC13_HTK)
+        err = np.abs(np.asarray(res.features[0]) - gold).max()
+        assert err < 2e-3, f"B=256 erratum still present: {err}"
+
+    def test_extract_chunked_is_safe(self):
+        """The documented workaround: 128-row dispatches are exact."""
+        rng = np.random.default_rng(0)
+        n = 30 * 16000
+        sig = (rng.standard_normal((256, n)) * 0.1).astype(np.float32)
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        res = features.extract_chunked(sig, np.full((256,), n, np.int32),
+                                       cfg, rows_per_dispatch=128)
+        gold = cpu.extract(sig[0].astype(np.float64), MFCC13_HTK)
+        err = np.abs(np.asarray(res.features[0]) - gold).max()
+        assert err < 2e-3, err
+
+
 class TestShardingDegenerate:
     """1-device-mesh twins must agree with the local path on hardware."""
 

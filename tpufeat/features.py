@@ -349,6 +349,29 @@ def mfcc(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK):
     return res.features, res.mask
 
 
+def extract_chunked(signal, lengths, cfg: FeatureConfig = MFCC13_HTK,
+                    rows_per_dispatch: int = 128) -> FeatureResult:
+    """extract() with the batch split into <=rows_per_dispatch dispatches.
+
+    The pipeline itself has no cross-utterance coupling, so splitting is
+    exact. Two reasons to use it: (a) bounding per-dispatch HBM footprint
+    for very large batches; (b) the upstream XLA:TPU miscompilation
+    documented in BASELINE.md ("large-batch erratum"): on the current
+    toolchain, [256, 480000]-shaped pipelines compute corrupted features
+    (a periodic ~21 KB read corruption that appears only in large compiled
+    programs — every sub-component validates clean in isolation). 128-row
+    dispatches are the validated-safe production shape."""
+    x, lengths, single = _prep(signal, lengths)
+    fn = make_extractor(cfg)
+    parts = [fn(x[i: i + rows_per_dispatch], lengths[i: i + rows_per_dispatch])
+             for i in range(0, x.shape[0], rows_per_dispatch)]
+    res = FeatureResult(*(jnp.concatenate(p, axis=0)
+                          for p in zip(*parts)))
+    if single:
+        res = FeatureResult(res.features[0], res.mask[0], res.num_frames[0])
+    return res
+
+
 @functools.lru_cache(maxsize=None)
 def make_extractor(cfg: FeatureConfig, donate: bool = False):
     """Build a jitted ``(signal, lengths) -> FeatureResult`` closure for
