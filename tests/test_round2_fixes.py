@@ -142,6 +142,61 @@ class TestCliStreamTrim:
         assert errs["numpy_f64"] < 1e-3
 
 
+class TestCodeReviewFixes:
+    """Round-2 self-review findings (see commit message)."""
+
+    def test_odd_nfft_gemm_rejected(self):
+        with pytest.raises(ValueError, match="even n_fft"):
+            FeatureConfig(n_fft=401, frame_length=400, gemm_dft=True)
+        FeatureConfig(n_fft=401, frame_length=400)   # rfft path stays legal
+
+    def test_resample_int16_scaled(self):
+        from tpufeat import resampling
+        sig = make_signal(4000, seed=95)
+        pcm = np.clip(np.round(sig * 32768), -32768, 32767).astype(np.int16)
+        a = np.asarray(resampling.resample(pcm, 8000, 16000))
+        b = np.asarray(resampling.resample(
+            pcm.astype(np.float32) / 32768.0, 8000, 16000))
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a).max() < 1.5          # scaled, not raw int range
+
+    def test_wav_info_header_only(self, tmp_path):
+        from tpufeat import io
+        p = str(tmp_path / "x.wav")
+        io.write_wav(p, make_signal(12345, seed=96), 16000,
+                     encoding="float32")
+        assert io.wav_info(p) == (12345, 16000)
+
+    def test_malformed_fmt_valueerror(self, tmp_path):
+        from tpufeat import io
+        import struct
+        p = str(tmp_path / "bad.wav")
+        payload = bytes(64)
+        hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(payload),
+                          b"WAVE", b"fmt ", 16, 1, 0, 16000, 0, 0, 0,
+                          b"data", len(payload))   # channels=0, bits=0
+        with open(p, "wb") as f:
+            f.write(hdr + payload)
+        with pytest.raises(ValueError, match="malformed fmt"):
+            io.read_wav(p, native=False)
+        with pytest.raises(ValueError, match="malformed fmt"):
+            io.wav_info(p)
+
+    def test_pipeline_decode_error_surfaces(self, tmp_path, monkeypatch):
+        from tpufeat import io, pipeline
+        d = tmp_path / "wavs"
+        d.mkdir()
+        for i in range(3):
+            io.write_wav(str(d / f"u{i}.wav"), make_signal(8000, seed=i),
+                         16000)
+
+        def boom(entries, width, sr):
+            raise OSError("disk on fire")
+        monkeypatch.setattr(pipeline, "_decode_batch", boom)
+        with pytest.raises(OSError, match="disk on fire"):
+            list(pipeline.extract_corpus(str(d), MFCC13_HTK, batch_size=2))
+
+
 class TestExtractChunked:
     def test_exact_vs_single_dispatch(self):
         x = np.stack([make_signal(9000, seed=s) for s in range(6)])

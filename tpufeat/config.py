@@ -132,6 +132,12 @@ class FeatureConfig:
         if self.matmul_precision not in ("highest", "bf16x3", "default"):
             raise ValueError(
                 f"unknown matmul_precision {self.matmul_precision!r}")
+        if self.gemm_dft and self.n_fft % 2:
+            # the combined Re/Im DFT matrix drops Im(X_0) and Im(X_{n/2}),
+            # which are only identically zero for EVEN n_fft
+            raise ValueError(
+                f"gemm_dft kernels require even n_fft (got {self.n_fft}); "
+                f"use the rfft path (gemm_dft=False) for odd sizes")
 
     # ---- derived quantities (all static / python ints) ----
 

@@ -23,9 +23,14 @@ _SO = os.path.join(_DIR, "libtpufeat_ref.so")
 
 @functools.lru_cache(maxsize=1)
 def _lib():
-    # make is a timestamp-checked no-op when the .so is fresh, and rebuilds
-    # it when mfcc.cc changed (or after a clean checkout)
-    subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+    # rebuild when the .so is missing or older than the source; deployments
+    # shipping a prebuilt .so without a toolchain never touch make
+    src = os.path.join(_DIR, "mfcc.cc")
+    stale = not os.path.exists(_SO) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if stale:
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_SO)
     lib.tpufeat_mfcc_f64.restype = ctypes.c_long
     lib.tpufeat_mfcc_f64.argtypes = [

@@ -15,7 +15,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav"]
+__all__ = ["read_wav", "write_wav", "wav_info"]
 
 WAVE_FORMAT_PCM = 1
 WAVE_FORMAT_IEEE_FLOAT = 3
@@ -77,6 +77,8 @@ def read_wav(path: str, *, native: bool | None = None) -> tuple[np.ndarray, int]
         cid, size = data[pos: pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"truncated fmt chunk ({size} bytes): {path}")
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt == WAVE_FORMAT_EXTENSIBLE:
@@ -84,6 +86,9 @@ def read_wav(path: str, *, native: bool | None = None) -> tuple[np.ndarray, int]
                     raise ValueError(f"truncated extensible fmt chunk: {path}")
                 # the real format is the first 2 bytes of the SubFormat GUID
                 fmt = struct.unpack_from("<H", body, 24)[0]
+            if channels <= 0 or bits <= 0 or bits % 8:
+                raise ValueError(f"malformed fmt chunk (channels={channels}, "
+                                 f"bits={bits}): {path}")
         elif cid == b"data":
             if fmt is None:
                 raise ValueError(f"data chunk before fmt chunk: {path}")
@@ -97,6 +102,40 @@ def read_wav(path: str, *, native: bool | None = None) -> tuple[np.ndarray, int]
     if channels > 1:
         samples = samples.reshape(-1, channels).mean(axis=1).astype(np.float32)
     return samples, rate
+
+
+def wav_info(path: str) -> tuple[int, int]:
+    """(mono_sample_count, sample_rate) from the RIFF headers ONLY — no
+    sample decode (corpus scans over thousands of files stay cheap)."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        channels = bits = rate = None
+        while True:
+            ch = f.read(8)
+            if len(ch) < 8:
+                break
+            cid, size = ch[:4], struct.unpack("<I", ch[4:])[0]
+            if cid == b"fmt ":
+                body = f.read(min(size, 40))
+                if size < 16:
+                    raise ValueError(f"truncated fmt chunk: {path}")
+                _, channels, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+                if channels <= 0 or bits <= 0 or bits % 8:
+                    raise ValueError(f"malformed fmt chunk: {path}")
+                if size > len(body):
+                    f.seek(size - len(body) + (size & 1), 1)
+                elif size & 1:
+                    f.seek(1, 1)
+            elif cid == b"data":
+                if channels is None:
+                    raise ValueError(f"data chunk before fmt chunk: {path}")
+                return size // (channels * (bits // 8)), rate
+            else:
+                f.seek(size + (size & 1), 1)
+    raise ValueError(f"no data chunk found: {path}")
 
 
 _WRITERS = {

@@ -49,8 +49,8 @@ def _scan_corpus(wav_dir: str) -> list[tuple[str, int, int]]:
                 if n >= 0:
                     out.append((full, int(n), rate.value))
                     continue
-            samples, rate = io.read_wav(full)
-            out.append((full, len(samples), rate))
+            n, rate = io.wav_info(full)       # headers only, no decode
+            out.append((full, n, rate))
     return out
 
 
@@ -114,11 +114,17 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
 
     def decode(i):
         batch_entries, width = plans[i]
-        result[i] = _decode_batch(batch_entries, width, cfg.sample_rate)
+        try:
+            result[i] = _decode_batch(batch_entries, width, cfg.sample_rate)
+        except Exception as e:          # surfaced at the consuming pop —
+            result[i] = e               # thread exceptions must not vanish
 
     decode(0)
     for i, (batch_entries, width) in enumerate(plans):
-        arena, lengths = result.pop(i)
+        got = result.pop(i)
+        if isinstance(got, Exception):
+            raise got
+        arena, lengths = got
         t = None
         if i + 1 < len(plans):
             t = threading.Thread(target=decode, args=(i + 1,))

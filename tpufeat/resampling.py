@@ -106,15 +106,19 @@ def resample(signal, sr_in: int, sr_out: int) -> jnp.ndarray:
     a reasonable common divisor (every standard audio-rate pair does —
     44.1k/16k is p/q = 160/441). Co-prime pathological pairs are rejected
     rather than silently allocating a multi-GB matrix."""
+    x = jnp.asarray(signal)
+    if x.dtype == jnp.int16:          # same promotion as features._prep
+        x = x.astype(jnp.float32) / 32768.0
+    else:
+        x = x.astype(jnp.float32)
     if sr_in == sr_out:
-        return jnp.asarray(signal, jnp.float32)
+        return x
     p, q = _rational(sr_in, sr_out)
     if max(p, q) > 2048:
         raise ValueError(
             f"{sr_in} -> {sr_out} Hz reduces to {p}/{q}; filter/matrix size "
             f"scales with max(p, q) = {max(p, q)} (> 2048). Resample via an "
             f"intermediate standard rate instead.")
-    x = jnp.asarray(signal, jnp.float32)
     single = x.ndim == 1
     if single:
         x = x[None]
