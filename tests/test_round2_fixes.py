@@ -222,3 +222,69 @@ class TestDataParallelNoRetrace:
         sharding.extract_data_parallel(x, lens, cfg, mesh)
         assert sharding._make_dp_fn(cfg, mesh, "dp") is fn
         assert fn._cache_size() == before == 1
+
+
+class TestSelfReview2:
+    """Regressions for the second round-2 self-review pass."""
+
+    def test_signal_kernel_many_shifts(self):
+        # frame_length/hop >= 10 needs >8 boundary rows per frame-block;
+        # the 8-row-capped boundary tensor silently corrupted the last
+        # frame of each block (and the last frame overall) before the fix
+        cfg_f = dataclasses.replace(MFCC13_HTK, hop_length=40,
+                                    use_pallas=True, gemm_dft=True,
+                                    fused_framing=True)
+        cfg_s = dataclasses.replace(cfg_f, fused_framing=False)
+        for n in (1320, 41000):  # single block F=tf, multi-block
+            sig = make_signal(n, seed=3)
+            a = np.asarray(features.extract(sig, cfg=cfg_f).features)
+            b = np.asarray(features.extract(sig, cfg=cfg_s).features)
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_deltas_fewer_frames_than_window(self):
+        # F < window used to emit MORE frames than the input (broadcasting
+        # hid the shape bug) and crash extract() on single-frame utterances
+        from tpufeat.config import KALDI39
+        out = features.extract(np.zeros((1, 450), np.float32), cfg=KALDI39)
+        assert out.features.shape == (1, 1, 39)
+        one = np.random.default_rng(0).standard_normal((1, 1, 13))
+        d = features.deltas(one.astype(np.float32), np.array([1]))
+        assert d.shape == (1, 1, 13)
+        np.testing.assert_array_equal(np.asarray(d), 0.0)  # flat replicate
+
+    def test_streaming_rejects_gapped_framing(self):
+        # hop > frame_length would drive the static fill negative and emit
+        # features from a misaligned buffer before any range check fired
+        cfg = dataclasses.replace(MFCC13_HTK, frame_length=400,
+                                  hop_length=500)
+        with pytest.raises(ValueError, match="hop_length <= frame_length"):
+            streaming.init_state(1, cfg)
+            streaming.process_chunk_static(
+                streaming.init_state(1, cfg),
+                np.zeros((1, 900), np.float32), cfg, 0)
+
+    def test_spec_augment_empty_utterance_untouched(self):
+        from tpufeat.augment import spec_augment
+        rng = np.random.default_rng(1)
+        feats = rng.standard_normal((3, 50, 20)).astype(np.float32)
+        out = np.asarray(spec_augment(
+            feats, np.array([20, 1, 0]), jax.random.PRNGKey(0)))
+        np.testing.assert_array_equal(out[2], feats[2])
+
+    def test_wav_riff_size_counts_pad_byte(self):
+        import struct
+        import tpufeat.io as tio
+        path = "/tmp/tpufeat_odd_payload.wav"
+        tio.write_wav(path, np.zeros(7, np.float32), 16000, encoding="pcm8")
+        raw = open(path, "rb").read()
+        assert struct.unpack_from("<I", raw, 4)[0] == len(raw) - 8
+        x, rate = tio.read_wav(path)
+        assert x.shape == (7,) and rate == 16000
+
+    def test_streaming_delta_flush_cached(self):
+        sd = streaming.StreamingDeltas(dim=13, window=2)
+        sd.process(np.zeros((1, 5, 13), np.float32))
+        fn = streaming._make_delta_flush_fn(2, 4)
+        sd.flush()
+        assert streaming._make_delta_flush_fn(2, 4) is fn

@@ -69,8 +69,10 @@ def spec_augment(feats: jnp.ndarray, num_frames: jnp.ndarray,
         & (t_idx[..., None] < (t0 + tw)[:, None, None, :]), axis=-1)
     masked = masked | hit_t
 
-    # never touch padding frames
-    valid = t_idx[..., 0] < nf[:, None]                        # [B, T]
+    # never touch padding frames — gate on the TRUE num_frames (nf is
+    # clamped to >=1 only to keep the width draws well-defined; an
+    # all-padding utterance must come back untouched)
+    valid = t_idx[..., 0] < num_frames.astype(jnp.int32)[:, None]  # [B, T]
     masked = masked & valid[..., None]
 
     if fill == "mean":

@@ -82,15 +82,19 @@ def deltas(feat: jnp.ndarray, num_frames: jnp.ndarray,
     denom = 2.0 * sum(i * i for i in range(1, window + 1))
     out = jnp.zeros_like(feat)
     for i in range(1, window + 1):
-        # t+i, clipped at the true end: static shift + last-valid substitute
+        # t+i, clipped at the true end: static shift + last-valid substitute.
+        # min(i, F) keeps the concat at exactly F rows when F < i (the
+        # replicated values are then overwritten by last_valid anyway).
         plus = jnp.concatenate(
-            [feat[:, i:], jnp.repeat(feat[:, -1:], i, axis=-2)], axis=-2)
+            [feat[:, i:], jnp.repeat(feat[:, -1:], min(i, F), axis=-2)],
+            axis=-2)
         plus = jnp.where(t + i > hi, last_valid, plus)
         # t-i, clipped at 0: static shift with replicated first frame (the
         # left edge is at index 0 for every utterance; for valid rows t < nf
         # the upper clip can never trigger on t-i)
         minus = jnp.concatenate(
-            [jnp.repeat(feat[:, :1], i, axis=-2), feat[:, :-i]], axis=-2)
+            [jnp.repeat(feat[:, :1], min(i, F), axis=-2), feat[:, :-i]],
+            axis=-2)
         out = out + i * (plus - minus)
     return out / denom
 

@@ -177,9 +177,11 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int,
     fmt, bits, conv = _WRITERS[encoding]
     payload = conv(np.asarray(samples, dtype=np.float64))
     block = bits // 8
+    # RIFF size counts everything after the size field, including the
+    # word-alignment pad byte on odd-length data chunks
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
-        b"RIFF", 36 + len(payload), b"WAVE",
+        b"RIFF", 36 + len(payload) + (len(payload) & 1), b"WAVE",
         b"fmt ", 16, fmt, 1, sample_rate, sample_rate * block, block, bits,
         b"data", len(payload))
     with open(path, "wb") as f:

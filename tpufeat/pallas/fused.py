@@ -227,6 +227,21 @@ def _hop_split(cfg: FeatureConfig) -> tuple[int, int]:
 # Kernel bodies
 # ---------------------------------------------------------------------------
 
+def _mel_log_dct_tail(spec, fb_refs, dct_refs, cfg: FeatureConfig):
+    """Shared mel-matmul -> log -> (DCT) tail: spec [TF, K] -> [TF, D].
+    Used by every kernel body so the log/DCT semantics can never diverge
+    between the rFFT-tail, staged-GEMM, and signal-level paths."""
+    mel = _cdot(_split_operand(spec, cfg), fb_refs, cfg)
+    kind = _log_kind(cfg)
+    if kind == "natural":
+        mel = jnp.log(jnp.maximum(mel, cfg.log_floor))
+    elif kind == "log10":
+        mel = jnp.log10(jnp.maximum(mel, cfg.log_floor))
+    if dct_refs is not None:
+        mel = _cdot(_split_operand(mel, cfg), dct_refs, cfg)
+    return mel
+
+
 def _sq_tail(z, fb_refs, dct_refs, out_ref, cfg: FeatureConfig, row=None):
     """Shared tail for the combined-DFT kernels: z [TF, ncs_pad] (Re/Im
     columns) -> features block. Power never materializes for
@@ -239,14 +254,7 @@ def _sq_tail(z, fb_refs, dct_refs, out_ref, cfg: FeatureConfig, row=None):
         lane = jax.lax.broadcasted_iota(jnp.int32, sq.shape, 1)
         keep = jnp.logical_and(lane >= 1, lane <= nb - 2)
         sq = jnp.sqrt(sq + jnp.where(keep, im2, 0.0))
-    mel = _cdot(_split_operand(sq, cfg), fb_refs, cfg)
-    kind = _log_kind(cfg)
-    if kind == "natural":
-        mel = jnp.log(jnp.maximum(mel, cfg.log_floor))
-    elif kind == "log10":
-        mel = jnp.log10(jnp.maximum(mel, cfg.log_floor))
-    if dct_refs is not None:
-        mel = _cdot(_split_operand(mel, cfg), dct_refs, cfg)
+    mel = _mel_log_dct_tail(sq, fb_refs, dct_refs, cfg)
     if row is None:
         out_ref[:] = mel
     else:
@@ -262,16 +270,8 @@ def _group(refs, cfg: FeatureConfig):
 def _tail_kernel(power_ref, *refs, cfg, kernel_dct):
     groups = _group(refs[:-1], cfg)
     out_ref = refs[-1]
-    p = power_ref[:]
-    mel = _cdot(_split_operand(p, cfg), groups[0], cfg)
-    kind = _log_kind(cfg)
-    if kind == "natural":
-        mel = jnp.log(jnp.maximum(mel, cfg.log_floor))
-    elif kind == "log10":
-        mel = jnp.log10(jnp.maximum(mel, cfg.log_floor))
-    if kernel_dct:
-        mel = _cdot(_split_operand(mel, cfg), groups[1], cfg)
-    out_ref[:] = mel
+    out_ref[:] = _mel_log_dct_tail(power_ref[:], groups[0],
+                                   groups[1] if kernel_dct else None, cfg)
 
 
 def _full_kernel(frames_ref, *refs, cfg, kernel_dct):
@@ -414,13 +414,14 @@ def _signal_kernel(*refs, cfg, n_shifts, k_sizes, tf, kernel_dct):
     dct_refs = groups[n_shifts + 1] if kernel_dct else None
     out_ref = refs[-1]
 
-    ext = jnp.concatenate([sig_ref[0], bnd_ref[0, 0]], axis=0)  # [tf+8, q*128]
+    # ext rows = tf + bnd_pad, where bnd_pad = 8*ceil((n_shifts-1)/8)
+    ext = jnp.concatenate([sig_ref[0], bnd_ref[0, 0]], axis=0)
     xs = _split_operand(ext, cfg)          # split ONCE, reused per shift
     z = _cdot(xs, d_groups[0], cfg, cols=k_sizes[0])[:tf]
     for s in range(1, n_shifts):
         zs = _cdot(xs, d_groups[s], cfg, cols=k_sizes[s])
-        # roll requires a non-negative shift: -s mod (tf+8)
-        z = z + pltpu.roll(zs, tf + 8 - s, axis=0)[:tf]
+        # roll requires a non-negative shift: -s mod ext_rows
+        z = z + pltpu.roll(zs, zs.shape[0] - s, axis=0)[:tf]
     _sq_tail(z, fb_refs, dct_refs, out_ref, cfg, row=0)
 
 
@@ -484,17 +485,21 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
     x2d = x2d.reshape(B, rows_needed, q * LANE)
     # main blocks read x2d in place; each grid block also needs the first
     # n_shifts-1 rows of the NEXT block — gathered once into a tiny
-    # [B, nblk, 8, q*128] boundary tensor (8-row padded so the in-kernel
-    # sublane concat stays tile-aligned). The zero padding rows only feed
-    # rolled-off output rows, so they never reach the result.
+    # [B, nblk, bnd_pad, q*128] boundary tensor, where bnd_pad rounds
+    # n_shifts-1 up to a sublane multiple (8) so the in-kernel concat stays
+    # tile-aligned even for extreme frame_length/hop ratios (>9 shifts).
+    # The zero padding rows only feed rolled-off output rows, so they never
+    # reach the result.
     nblk = fp // tf
+    bnd_pad = _round_up(max(n_shifts - 1, 1), 8)
     main = x2d[:, :fp]
     bnd_rows = [jax.lax.slice_in_dim(x2d, tf + d, tf + d + (nblk - 1) * tf + 1,
                                      stride=tf, axis=1)
                 for d in range(n_shifts - 1)]          # each [B, nblk, q*128]
     zeros = jnp.zeros_like(bnd_rows[0]) if bnd_rows else None
-    bnd = jnp.stack(bnd_rows + [zeros] * (8 - len(bnd_rows)), axis=2) \
-        if bnd_rows else jnp.zeros((B, nblk, 8, x2d.shape[-1]), jnp.float32)
+    bnd = jnp.stack(bnd_rows + [zeros] * (bnd_pad - len(bnd_rows)), axis=2) \
+        if bnd_rows else jnp.zeros((B, nblk, bnd_pad, x2d.shape[-1]),
+                                   jnp.float32)
 
     kernel_dct = dct is not None
     consts = _pack_consts(list(d_mats) + [fb] + ([dct] if kernel_dct else []),
@@ -504,7 +509,7 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
     in_specs = [
         pl.BlockSpec((1, tf, q * LANE), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 8, q * LANE), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, 1, bnd_pad, q * LANE), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for cmat in consts:

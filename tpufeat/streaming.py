@@ -71,6 +71,12 @@ class StreamState(NamedTuple):
 def _check_streamable(cfg: FeatureConfig) -> None:
     if cfg.center:
         raise ValueError("streaming requires center=False (snip-edges)")
+    if cfg.hop_length > cfg.frame_length:
+        # the carry buffer holds frame_length-1 samples; hop > frame_length
+        # (gapped framing) would need fill < 0, corrupting the state
+        raise ValueError("streaming requires hop_length <= frame_length "
+                         f"(got hop {cfg.hop_length} > frame "
+                         f"{cfg.frame_length}); use one-shot extract()")
     if cfg.log == "whisper":
         raise ValueError("whisper log needs the utterance-global max; "
                          "use one-shot extract() or log='log10'")
@@ -533,9 +539,15 @@ class StreamingDeltas:
     def flush(self) -> jnp.ndarray:
         n = self.n_seen if self.n_seen < 2 * self.window \
             else 2 * self.window
-        return jax.jit(functools.partial(
-            streaming_delta_flush, window=self.window, n_seen=n)
-        )(self.carry)
+        return _make_delta_flush_fn(self.window, n)(self.carry)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_delta_flush_fn(window: int, n_seen: int):
+    # same 2w+1-program bound as _make_delta_fn; without the cache every
+    # end-of-stream flush would build (and retrace) a fresh jit wrapper
+    return jax.jit(functools.partial(streaming_delta_flush, window=window,
+                                     n_seen=n_seen))
 
 
 @functools.lru_cache(maxsize=None)
