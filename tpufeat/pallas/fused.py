@@ -481,9 +481,14 @@ def _phase_count(cfg: FeatureConfig) -> int:
     return LANE // math.gcd(cfg.hop_length, LANE)
 
 
-def _use_phase_layout(cfg: FeatureConfig) -> bool:
-    # H <= 8 keeps row width and the constant count bounded
-    return cfg.hop_length % 16 == 0
+def _use_phase_layout(cfg: FeatureConfig, n_frames: int) -> bool:
+    # H <= 8 keeps row width and the constant count bounded. Small calls
+    # (streaming/serving steps of a few frames) stay on the v4 layout: the
+    # phase path pads the frame count to 8*H and the input to row
+    # multiples of H*hop, which at 10-frame serving steps costs 3x padded
+    # compute, while v4's lane-pad copy is negligible at that size.
+    H = _phase_count(cfg)
+    return cfg.hop_length % 16 == 0 and n_frames >= 32 * H
 
 
 @functools.lru_cache(maxsize=None)
@@ -638,7 +643,7 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
     (every shipped preset); the v4 hop-split layout is the fallback for
     exotic hops.
     """
-    if _use_phase_layout(cfg):
+    if _use_phase_layout(cfg, n_frames):
         return _signal_features_phase(buf, n_frames, cfg)
     B, M = buf.shape
     fl, hop = cfg.frame_length, cfg.hop_length
