@@ -52,6 +52,47 @@ def test_variant_golden_parity(preset, variant):
     assert err < 2e-3, f"variant {VARIANTS[variant]}: {err}"
 
 
+class TestKernelV5OnChip:
+    """Phase-packed layout (kernel v5) engages at >= 32*H frames, so the
+    1 s signals above exercise the v4 fallback; these 3 s inputs validate
+    the v5 path itself on hardware."""
+
+    LONG = 3 * 16000
+
+    @pytest.mark.parametrize("precision", ["highest", "bf16x3"])
+    @pytest.mark.parametrize("preset", [MFCC13_HTK, WHISPER80, KALDI39])
+    def test_phase_golden_parity(self, preset, precision):
+        from tpufeat.pallas import fused
+        cfg = dataclasses.replace(preset, matmul_precision=precision,
+                                  **FUSED)
+        assert fused._use_phase_layout(cfg, cfg.num_frames(self.LONG))
+        sig = make_signal(self.LONG, seed=50)
+        res = features.extract(sig, cfg=cfg)
+        gold = cpu.extract(sig.astype(np.float64), preset)
+        err = np.abs(np.asarray(res.features) - gold).max()
+        assert err < 2e-3, f"v5 {precision}: {err}"
+
+    def test_phase_kaldi_fold(self):
+        base = FeatureConfig(kaldi_mode=True, dc_offset=True,
+                             preemphasis=0.97, window="povey")
+        cfg = dataclasses.replace(base, **FUSED)
+        assert golden_err(make_signal(self.LONG, seed=51), cfg, base) < 2e-3
+
+    def test_phase_matches_v4_on_chip(self, monkeypatch):
+        from tpufeat import framing
+        from tpufeat.pallas import fused
+        cfg = dataclasses.replace(WHISPER80, matmul_precision="bf16x3",
+                                  **FUSED)
+        sig = make_signal(self.LONG, seed=52)
+        F = cfg.num_frames(self.LONG)
+        buf, _ = framing.framing_buffer(
+            jnp.asarray(sig)[None], jnp.array([self.LONG]), cfg)
+        a = np.asarray(fused.signal_features(buf, F, cfg))
+        monkeypatch.setattr(fused, "_use_phase_layout", lambda c, n: False)
+        b = np.asarray(fused.signal_features(buf, F, cfg))
+        assert np.abs(a - b).max() < 2e-4
+
+
 @pytest.mark.parametrize("preset", [MFCC13_HTK, WHISPER80, KALDI39])
 def test_bf16x3_production_parity(preset):
     """The bench/production precision on hardware: fused signal kernel at

@@ -18,7 +18,11 @@ Three kernels, selected by ``cfg``:
   and features come out of a single kernel.
 - **signal-level kernel** (``+ fused_framing``): framing happens INSIDE the
   kernel via the hop-row matmul decomposition — the [B, F, frame_length]
-  tensor never exists in HBM. One kernel for references C3-C9.
+  tensor never exists in HBM. One kernel for references C3-C9. Two layouts:
+  the phase-packed v5 (``_signal_features_phase``, H hops per lane-aligned
+  row, zero-copy input build) for calls of >= 32*H frames, and the v4
+  hop-split layout below that and for hops not divisible by 16 — see
+  section 4b/4c of docs/DESIGN.md.
 
 The GEMM kernels use the round-2 combined formulation (kernel v4):
 
