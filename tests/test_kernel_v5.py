@@ -116,6 +116,17 @@ class TestPhaseParity:
         scale = max(1.0, np.abs(gold).max())
         assert np.abs(np.asarray(res.features) - gold).max() / scale < 1e-3
 
+    @pytest.mark.parametrize("hop", [80, 192])     # H = 8 and H = 2
+    def test_nonstandard_phase_counts(self, hop):
+        base = FeatureConfig(hop_length=hop, frame_length=400, n_fft=512)
+        cfg = dataclasses.replace(base, **FUSED)
+        sig = make_signal(LONG, seed=28)
+        assert fused._use_phase_layout(cfg, cfg.num_frames(LONG))
+        res = features.extract(sig, cfg=cfg)
+        gold = cpu.extract(sig.astype(np.float64), base)
+        scale = max(1.0, np.abs(gold).max())
+        assert np.abs(np.asarray(res.features) - gold).max() / scale < 1e-3
+
     def test_exotic_hop_falls_back(self):
         base = FeatureConfig(hop_length=100, frame_length=300, n_fft=512)
         cfg = dataclasses.replace(base, **FUSED)
