@@ -86,9 +86,14 @@ class TestPhaseParity:
 
     def test_boundary_frame_counts(self):
         """Lengths straddling the dispatch threshold and block boundaries
-        all agree with the golden (off-by-one row/phase guard)."""
+        all agree with the golden (off-by-one row/phase guard). With
+        center=False, F = 1 + (n - 400)//160, so 20560/20720/20880 give
+        127/128/129 frames — below / exactly at / above the 32*H=128
+        threshold."""
         base = dataclasses.replace(MFCC13_HTK, **FUSED)
-        for n in (20320, 20480, 20640, 163840 // 2):
+        assert [base.num_frames(n) for n in (20560, 20720, 20880)] \
+            == [127, 128, 129]
+        for n in (20560, 20720, 20880, 163840 // 2):
             sig = make_signal(n, seed=23)
             res = features.extract(sig, cfg=base)
             gold = cpu.extract(sig.astype(np.float64), MFCC13_HTK)

@@ -172,6 +172,27 @@ class TestStreamingMechanics:
         _, feats = streaming.make_scan_fn(MFCC13_HTK, 0)(state, chunks)
         np.testing.assert_array_equal(np.asarray(feats[0]), a)
 
+    def test_large_chunk_plan_stays_equivalent(self):
+        """Regression: a chunk big enough to clear the kernel-v5 dispatch
+        threshold (>= 32*H frames in ONE step) must still compute the same
+        features as a small-chunk plan — the streaming step pins the v4
+        kernel layout (fused.signal_features(..., layout='v4')) precisely
+        so the per-frame rounding cannot depend on the chunk plan. Without
+        the pin this measures ~4e-6 even on CPU (and the kernel shapes
+        diverge); with it, the residual is the known XLA:CPU
+        shape-dependent-dot quirk, bitwise on TPU
+        (test_tpu_smoke.py::TestStreamingOnChip)."""
+        import dataclasses
+        cfg = dataclasses.replace(
+            MFCC13_HTK, use_pallas=True, gemm_dft=True, fused_framing=True)
+        n = 51200                              # 318 frames in the big chunk
+        sig = make_signal(n, seed=59)
+        big = stream_extract(sig, cfg, [n])
+        small = stream_extract(sig, cfg, plan(n, 3200))
+        assert np.abs(big - small).max() < 1e-5
+        es = np.asarray(streaming.extract_scan(sig, cfg, 3200))
+        np.testing.assert_array_equal(es, small)   # same step shapes: bitwise
+
     def test_extract_scan_matches_oneshot(self):
         sig = make_signal(12007, seed=57)
         es = np.asarray(streaming.extract_scan(sig, MFCC13_HTK, 1000))

@@ -185,6 +185,18 @@ class TestStreamingOnChip:
         np.testing.assert_array_equal(a, b)
         assert np.abs(a - c).max() < 1e-5      # 1-frame steps: small-M quirk
 
+    def test_large_chunk_plan_bitwise(self):
+        """A >= 128-frame chunk (over the kernel-v5 dispatch threshold)
+        must stay bitwise equal to a small-chunk plan on hardware: the
+        streaming step pins the v4 layout, and the v4 kernel's per-row
+        arithmetic is block-size-invariant on the MXU."""
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        n = 51200                              # 318 frames in one step
+        sig = make_signal(n, seed=38)
+        big = self._run_plan(sig, cfg, [n])
+        small = self._run_plan(sig, cfg, [3200] * (n // 3200))
+        np.testing.assert_array_equal(big, small)
+
     def test_extract_scan_bitwise(self):
         sig = make_signal(16000, seed=30)
         a = self._run_plan(sig, MFCC13_HTK, [1600] * 10)

@@ -495,6 +495,66 @@ def _use_phase_layout(cfg: FeatureConfig, n_frames: int) -> bool:
     return cfg.hop_length % 16 == 0 and n_frames >= 32 * H
 
 
+def _fit_buffer(buf: jnp.ndarray, need: int) -> jnp.ndarray:
+    """Zero-pad or truncate [B, M] to exactly ``need`` columns. Padding
+    beyond M only feeds frames past n_frames (trimmed by the caller)."""
+    M = buf.shape[1]
+    if M < need:
+        return jnp.pad(buf, ((0, 0), (0, need - M)))
+    return buf[:, :need] if M > need else buf
+
+
+def _split_boundary_rows(x2d: jnp.ndarray, blk: int, nblk: int,
+                         n_extra: int):
+    """(main, bnd, bnd_pad) for a row-blocked signal kernel: the main
+    [B, nblk*blk, W] rows read in place, plus each grid block's first
+    ``n_extra`` rows of the NEXT block gathered once into a tiny
+    [B, nblk, bnd_pad, W] tensor. bnd_pad rounds n_extra up to a sublane
+    multiple (8) so the in-kernel concat stays tile-aligned even for
+    extreme frame_length/hop ratios; the zero padding rows only feed
+    rolled-off output rows, so they never reach the result."""
+    B = x2d.shape[0]
+    bnd_pad = _round_up(max(n_extra, 1), 8)
+    main = x2d[:, : nblk * blk]
+    rows = [jax.lax.slice_in_dim(x2d, blk + d, blk + d + (nblk - 1) * blk + 1,
+                                 stride=blk, axis=1)
+            for d in range(n_extra)]                   # each [B, nblk, W]
+    if not rows:
+        return main, jnp.zeros((B, nblk, bnd_pad, x2d.shape[-1]),
+                               jnp.float32), bnd_pad
+    zeros = jnp.zeros_like(rows[0])
+    bnd = jnp.stack(rows + [zeros] * (bnd_pad - len(rows)), axis=2)
+    return main, bnd, bnd_pad
+
+
+def _signal_pallas_call(kernel, main, bnd, consts, blk_frames: int,
+                        out_cols: int, cost: pl.CostEstimate) -> jnp.ndarray:
+    """Common pallas_call scaffolding for both signal-kernel layouts:
+    grid (B, nblk), block-pipelined main/boundary rows, grid-invariant
+    constants, [1, blk_frames, out_cols] output blocks."""
+    B, _, W = main.shape
+    nblk, bnd_pad = bnd.shape[1], bnd.shape[2]
+    in_specs = [
+        pl.BlockSpec((1, main.shape[1] // nblk, W), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bnd_pad, W), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for cmat in consts:
+        in_specs.append(pl.BlockSpec(cmat.shape, lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel, grid=(B, nblk), in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk_frames, out_cols),
+                               lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nblk * blk_frames, out_cols),
+                                       jnp.float32),
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(main, bnd, *consts)
+
+
 @functools.lru_cache(maxsize=None)
 def _phase_constants(cfg: FeatureConfig):
     """(plan, d_mats, max_span) for the phase-packed signal kernel.
@@ -563,7 +623,7 @@ def _phase_signal_kernel(*refs, cfg, plan, tr, kernel_dct, n_mats):
 def _signal_features_phase(buf: jnp.ndarray, n_frames: int,
                            cfg: FeatureConfig) -> jnp.ndarray:
     """Kernel-v5 entry: identical contract to :func:`signal_features`."""
-    B, M = buf.shape
+    B = buf.shape[0]
     hop = cfg.hop_length
     H = _phase_count(cfg)
     W = H * hop
@@ -578,61 +638,33 @@ def _signal_features_phase(buf: jnp.ndarray, n_frames: int,
     tr = min(max(1024 // H, 8), _round_up(rows_total, 8))
     rp = _round_up(rows_total, tr)
     nblk = rp // tr
-    rows_needed = rp + max_span - 1
-    need = rows_needed * W
-    if M < need:
-        buf = jnp.pad(buf, ((0, 0), (0, need - M)))
-    elif M > need:
-        buf = buf[:, :need]
-    x2d = buf.reshape(B, rows_needed, W).astype(jnp.float32)  # free reshape
-    bnd_pad = _round_up(max(max_span - 1, 1), 8)
-    main = x2d[:, :rp]
-    bnd_rows = [jax.lax.slice_in_dim(x2d, tr + d, tr + d + (nblk - 1) * tr + 1,
-                                     stride=tr, axis=1)
-                for d in range(max_span - 1)]      # each [B, nblk, W]
-    zeros = jnp.zeros_like(bnd_rows[0]) if bnd_rows else None
-    bnd = jnp.stack(bnd_rows + [zeros] * (bnd_pad - len(bnd_rows)), axis=2) \
-        if bnd_rows else jnp.zeros((B, nblk, bnd_pad, W), jnp.float32)
+    buf = _fit_buffer(buf, (rp + max_span - 1) * W)
+    x2d = buf.reshape(B, -1, W).astype(jnp.float32)   # free reshape: no pad
+    main, bnd, _ = _split_boundary_rows(x2d, tr, nblk, max_span - 1)
 
     consts = _pack_consts(list(d_mats) + [fb] + ([dct] if kernel_dct else []),
                           cfg)
     out_cols = (dct if kernel_dct else fb).shape[1]
-    nf_blk = H * tr
-
-    in_specs = [
-        pl.BlockSpec((1, tr, W), lambda b, i: (b, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bnd_pad, W), lambda b, i: (b, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    for cmat in consts:
-        in_specs.append(pl.BlockSpec(cmat.shape, lambda b, i: (0, 0),
-                                     memory_space=pltpu.VMEM))
     ncs_p = fb.shape[0]
     k_total = sum(k for entries in plan for (_, _, k, _) in entries)
-    mm_flops = 2 * tr * ncs_p * (k_total + H * fb.shape[1]
-                                 + (H * dct.shape[1] if kernel_dct else 0))
-    out = pl.pallas_call(
+    mm_flops = 2 * tr * (k_total * ncs_p            # DFT contractions
+                         + H * ncs_p * fb.shape[1]  # mel matmuls
+                         + (H * fb.shape[1] * dct.shape[1]
+                            if kernel_dct else 0))  # DCT matmuls
+    out = _signal_pallas_call(
         functools.partial(_phase_signal_kernel, cfg=cfg, plan=plan, tr=tr,
                           kernel_dct=kernel_dct, n_mats=len(d_mats)),
-        grid=(B, nblk),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nf_blk, out_cols), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nblk * nf_blk, out_cols),
-                                       jnp.float32),
-        cost_estimate=pl.CostEstimate(
+        main, bnd, consts, H * tr, out_cols,
+        pl.CostEstimate(
             flops=3 * B * nblk * mm_flops,
             bytes_accessed=B * rp * W * 4 + B * rp * H * out_cols * 4,
             transcendentals=B * rp * H * ncs_p,
-        ),
-        interpret=_interpret(),
-    )(main, bnd, *consts)
+        ))
     return out[:, :n_frames, :d_model]
 
 
 def signal_features(buf: jnp.ndarray, n_frames: int,
-                    cfg: FeatureConfig) -> jnp.ndarray:
+                    cfg: FeatureConfig, layout: str = "auto") -> jnp.ndarray:
     """Fused signal -> features: ``buf`` [B, M] is the framing buffer
     (pre-emphasized signal for signal-level configs, RAW signal for
     kaldi_mode — its per-frame conditioning is folded into the DFT matrix;
@@ -643,14 +675,18 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
     One kernel for references C3-C9: the OpenCL reference's whole device
     pipeline (6-10 launches) in a single Mosaic program.
 
-    Dispatches to the phase-packed v5 layout whenever hop is 16-aligned
-    (every shipped preset); the v4 hop-split layout is the fallback for
-    exotic hops.
+    ``layout="auto"`` dispatches to the phase-packed v5 layout for calls
+    of >= 32*H frames with 16-aligned hops (every shipped preset) and the
+    v4 hop-split layout otherwise. ``layout="v4"`` pins the v4 layout:
+    v5's per-frame rounding depends on the frame's call-local index mod H
+    (its phase), so a caller that needs identical bits for the same frame
+    across DIFFERENT call boundaries — the streaming step's bit-exact
+    chunk-plan contract — must keep every call on one layout.
     """
-    if _use_phase_layout(cfg, n_frames):
+    if layout == "auto" and _use_phase_layout(cfg, n_frames):
         return _signal_features_phase(buf, n_frames, cfg)
-    B, M = buf.shape
-    fl, hop = cfg.frame_length, cfg.hop_length
+    B = buf.shape[0]
+    hop = cfg.hop_length
     q, w = _hop_split(cfg)
     d_mats, k_sizes, _ = _signal_constants(cfg)
     n_shifts = len(d_mats)
@@ -659,63 +695,27 @@ def signal_features(buf: jnp.ndarray, n_frames: int,
 
     tf = _block_rows(n_frames)
     fp = _round_up(max(n_frames, 1), tf)
-    rows_needed = fp + n_shifts - 1
-    need = rows_needed * hop
-    if M < need:
-        buf = jnp.pad(buf, ((0, 0), (0, need - M)))
-    elif M > need:
-        buf = buf[:, :need]
+    nblk = fp // tf
+    buf = _fit_buffer(buf, (fp + n_shifts - 1) * hop)
     # hop rows split into q sub-blocks of w, each lane-padded to 128
-    x2d = buf.reshape(B, rows_needed, q, w).astype(jnp.float32)
+    x2d = buf.reshape(B, -1, q, w).astype(jnp.float32)
     if w != LANE:
         x2d = jnp.pad(x2d, ((0, 0), (0, 0), (0, 0), (0, LANE - w)))
-    x2d = x2d.reshape(B, rows_needed, q * LANE)
-    # main blocks read x2d in place; each grid block also needs the first
-    # n_shifts-1 rows of the NEXT block — gathered once into a tiny
-    # [B, nblk, bnd_pad, q*128] boundary tensor, where bnd_pad rounds
-    # n_shifts-1 up to a sublane multiple (8) so the in-kernel concat stays
-    # tile-aligned even for extreme frame_length/hop ratios (>9 shifts).
-    # The zero padding rows only feed rolled-off output rows, so they never
-    # reach the result.
-    nblk = fp // tf
-    bnd_pad = _round_up(max(n_shifts - 1, 1), 8)
-    main = x2d[:, :fp]
-    bnd_rows = [jax.lax.slice_in_dim(x2d, tf + d, tf + d + (nblk - 1) * tf + 1,
-                                     stride=tf, axis=1)
-                for d in range(n_shifts - 1)]          # each [B, nblk, q*128]
-    zeros = jnp.zeros_like(bnd_rows[0]) if bnd_rows else None
-    bnd = jnp.stack(bnd_rows + [zeros] * (bnd_pad - len(bnd_rows)), axis=2) \
-        if bnd_rows else jnp.zeros((B, nblk, bnd_pad, x2d.shape[-1]),
-                                   jnp.float32)
+    x2d = x2d.reshape(B, -1, q * LANE)
+    main, bnd, _ = _split_boundary_rows(x2d, tf, nblk, n_shifts - 1)
 
     kernel_dct = dct is not None
     consts = _pack_consts(list(d_mats) + [fb] + ([dct] if kernel_dct else []),
                           cfg)
     out_cols = (dct if kernel_dct else fb).shape[1]
-
-    in_specs = [
-        pl.BlockSpec((1, tf, q * LANE), lambda b, i: (b, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bnd_pad, q * LANE), lambda b, i: (b, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    for cmat in consts:
-        in_specs.append(pl.BlockSpec(cmat.shape, lambda b, i: (0, 0),
-                                     memory_space=pltpu.VMEM))
     ncs_p = fb.shape[0]
-    out = pl.pallas_call(
+    out = _signal_pallas_call(
         functools.partial(_signal_kernel, cfg=cfg, n_shifts=n_shifts,
                           k_sizes=k_sizes, tf=tf, kernel_dct=kernel_dct),
-        grid=(B, nblk),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tf, out_cols), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, fp, out_cols), jnp.float32),
-        cost_estimate=pl.CostEstimate(
+        main, bnd, consts, tf, out_cols,
+        pl.CostEstimate(
             flops=B * fp * 6 * sum(cm.shape[0] * cm.shape[1] for cm in consts),
             bytes_accessed=B * fp * (q * LANE + out_cols) * 4,
             transcendentals=B * fp * ncs_p,
-        ),
-        interpret=_interpret(),
-    )(main, bnd, *consts)
+        ))
     return out[:, :n_frames, :d_model]

@@ -24,10 +24,16 @@ Equivalence: every frame sees exactly the same float32 inputs through the
 same stage functions. Through the static path, all HOP-ALIGNED chunk plans
 are mutually bit-identical and equal :func:`extract_scan` bit-for-bit
 (tested with assert_array_equal — the per-frame arithmetic of the
-row-blocked kernels is position-invariant). Non-hop-aligned plans agree to
-~1e-6 reduction-order noise (XLA:CPU picks shape-dependent matmul
-strategies for ragged frame counts; gated at 1e-5 in tests — genuine
-carry/off-by-one bugs would show up as O(1) errors).
+row-blocked kernels is position-invariant, and the step pins the v4
+kernel layout so large chunks can't switch to the phase-packed v5 layout,
+whose rounding depends on the frame's call-local phase). Non-hop-aligned
+plans agree to ~1e-6 reduction-order noise (XLA:CPU picks shape-dependent
+matmul strategies for ragged frame counts; gated at 1e-5 in tests —
+genuine carry/off-by-one bugs would show up as O(1) errors). One-shot
+:func:`tpufeat.extract` of long audio (>= 32*H frames) runs the v5 layout
+and agrees with the streaming family to the usual cross-layout float32
+noise (~5e-6 f32 / ~2e-5 bf16x3); :func:`extract_scan` is the bit-exact
+oracle for streaming semantics.
 
 State invariants (per stream):
   - ``buf`` [CAP=frame_length-1]: *pre-emphasized* samples; the last ``fill``
@@ -155,7 +161,13 @@ def process_chunk_static(state: StreamState, chunk: jnp.ndarray,
     elif cfg.use_pallas and cfg.gemm_dft and cfg.fused_framing \
             and not cfg.use_energy:
         from tpufeat.pallas import fused
-        feats = fused.signal_features(data, n_new, cfg)
+        # layout="v4": the v5 phase-packed layout rounds per frame-index
+        # mod H *within the call*, so a chunk plan whose steps exceed the
+        # v5 dispatch threshold would compute (slightly) different bits
+        # for the same frame than a smaller-chunk plan — breaking the
+        # bit-exact chunk-plan contract above. Pinning the streaming step
+        # to one layout keeps every plan bitwise identical.
+        feats = fused.signal_features(data, n_new, cfg, layout="v4")
     else:
         frames = framing.frames_from_buffer(data, n_new, fl, hop)
         frames = framing.condition_frames(frames, cfg)
