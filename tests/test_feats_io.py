@@ -1,0 +1,105 @@
+"""HTK / Kaldi feature-file interchange tests (tpufeat/feats_io.py)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tpufeat import feats_io
+
+
+@pytest.fixture
+def feats(rng):
+    return rng.standard_normal((37, 13)).astype(np.float32)
+
+
+class TestHTK:
+    def test_round_trip(self, tmp_path, feats):
+        p = str(tmp_path / "utt.htk")
+        kind = feats_io.parm_kind(feats_io.HTK_MFCC, "0")
+        feats_io.write_htk(p, feats, frame_shift_s=0.010, kind=kind)
+        got, shift, k = feats_io.read_htk(p)
+        np.testing.assert_array_equal(got, feats)
+        assert shift == pytest.approx(0.010)
+        assert k == kind == 6 | 0o020000
+
+    def test_header_layout_big_endian(self, tmp_path, feats):
+        """The 12-byte header is exactly HTKBook §5.10: >iihh."""
+        p = str(tmp_path / "utt.htk")
+        feats_io.write_htk(p, feats, frame_shift_s=0.010,
+                           kind=feats_io.HTK_FBANK)
+        raw = open(p, "rb").read()
+        t, period, samp_size, kind = struct.unpack(">iihh", raw[:12])
+        assert (t, period, samp_size, kind) == (37, 100000, 52, 7)
+        first = struct.unpack(">f", raw[12:16])[0]
+        assert first == pytest.approx(float(feats[0, 0]))
+        assert len(raw) == 12 + 37 * 52
+
+    def test_qualifiers(self):
+        k = feats_io.parm_kind(feats_io.HTK_MFCC, "0", "D", "A")
+        assert k == 6 | 0o020000 | 0o000400 | 0o001000
+
+    def test_rejects_bad_shapes(self, tmp_path):
+        with pytest.raises(ValueError, match="T, D"):
+            feats_io.write_htk(str(tmp_path / "x.htk"), np.zeros(5))
+        bad = tmp_path / "bad.htk"
+        bad.write_bytes(b"\x00" * 7)
+        with pytest.raises(ValueError, match="truncated"):
+            feats_io.read_htk(str(bad))
+
+
+class TestKaldiArk:
+    def test_round_trip_with_scp(self, tmp_path, rng):
+        utts = {"spk1_utt1": rng.standard_normal((11, 39)).astype(np.float32),
+                "spk1_utt2": rng.standard_normal((7, 39)).astype(np.float32)}
+        ark = str(tmp_path / "feats.ark")
+        scp = str(tmp_path / "feats.scp")
+        feats_io.write_kaldi_ark(ark, utts, scp_path=scp)
+        got = feats_io.read_kaldi_ark(ark)
+        assert list(got) == list(utts)
+        for k in utts:
+            np.testing.assert_array_equal(got[k], utts[k])
+        lines = open(scp).read().splitlines()
+        assert len(lines) == 2
+        # each scp entry points at its record's binary marker
+        for line, k in zip(lines, utts):
+            key, rx = line.split()
+            path, off = rx.rsplit(":", 1)
+            assert key == k and path == ark
+            with open(ark, "rb") as f:
+                f.seek(int(off))
+                assert f.read(5) == b"\0BFM "
+
+    def test_binary_format_exact(self, tmp_path):
+        f = np.arange(6, dtype=np.float32).reshape(2, 3)
+        ark = str(tmp_path / "one.ark")
+        feats_io.write_kaldi_ark(ark, {"u": f})
+        raw = open(ark, "rb").read()
+        want = (b"u \0BFM " + b"\x04" + struct.pack("<i", 2)
+                + b"\x04" + struct.pack("<i", 3) + f.astype("<f4").tobytes())
+        assert raw == want
+
+    def test_rejects_bad_keys(self, tmp_path):
+        with pytest.raises(ValueError, match="key"):
+            feats_io.write_kaldi_ark(str(tmp_path / "x.ark"),
+                                     {"bad key": np.zeros((1, 1),
+                                                          np.float32)})
+
+
+class TestCLIFormats:
+    def test_cli_htk_and_ark(self, tmp_path):
+        from tpufeat import cli, io
+        from conftest import make_signal
+        sig = make_signal(8000, seed=70)
+        wav = str(tmp_path / "a.wav")
+        io.write_wav(wav, sig, 16000)
+        htk = str(tmp_path / "out.htk")
+        cli.main([wav, htk, "--preset", "mfcc13"])
+        got, shift, kind = feats_io.read_htk(htk)
+        assert got.shape == (48, 13) and shift == pytest.approx(0.010)
+        assert kind == feats_io.parm_kind(feats_io.HTK_MFCC, "0")
+        ark = str(tmp_path / "out.ark")
+        cli.main([wav, ark, "--preset", "fbank80"])
+        got = feats_io.read_kaldi_ark(ark)
+        assert list(got) == ["a"] and got["a"].shape == (48, 80)
+        assert (tmp_path / "out.scp").exists()

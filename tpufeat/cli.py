@@ -7,6 +7,8 @@ them, and prints timings. The rebuild's CLI does the same jobs as subflags:
   python -m tpufeat.cli a.wav b.wav out.npz --preset whisper80   # batched
   python -m tpufeat.cli audio.wav out.npy --validate             # vs goldens
   python -m tpufeat.cli audio.wav out.npy --profile /tmp/trace   # XLA trace
+  python -m tpufeat.cli audio.wav out.htk --preset mfcc13        # HTK file
+  python -m tpufeat.cli a.wav b.wav out.ark --preset kaldi39     # Kaldi ark+scp
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -29,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native ASR feature extraction (WAV -> features)")
     p.add_argument("inputs", nargs="+",
                    help="input WAV file(s) followed by the output path "
-                        "(.npy for one input, .npz for a batch)")
+                        "(.npy for one input, .npz for a batch; .htk/.mfc "
+                        "writes HTK parameter files, .ark a Kaldi binary "
+                        "archive + .scp index)")
     p.add_argument("--preset", default="mfcc13", choices=sorted(PRESETS),
                    help="pipeline preset (default: mfcc13)")
     p.add_argument("--set", action="append", default=[], metavar="K=V",
@@ -140,7 +145,27 @@ def main(argv=None) -> int:
 
     feats = np.asarray(res.features)
     mask = np.asarray(res.mask)
-    if len(wavs) == 1:
+    ext = os.path.splitext(out_path)[1].lower()
+    if ext in (".htk", ".mfc", ".fea"):
+        # HTK interchange (one utterance per file; batch -> suffixed files)
+        from tpufeat import feats_io
+        shift = cfg.hop_length / cfg.sample_rate
+        kind = feats_io.parm_kind(feats_io.HTK_MFCC, "0") \
+            if cfg.n_mfcc > 0 else feats_io.HTK_FBANK
+        paths = [out_path] if len(wavs) == 1 else [
+            f"{os.path.splitext(out_path)[0]}.{b}{ext}"
+            for b in range(len(wavs))]
+        for b, p in enumerate(paths):
+            feats_io.write_htk(p, feats[b][mask[b]], frame_shift_s=shift,
+                               kind=kind)
+    elif ext == ".ark":
+        from tpufeat import feats_io
+        utts = {os.path.splitext(os.path.basename(w))[0] or f"utt{b}":
+                feats[b][mask[b]] for b, w in enumerate(wavs)}
+        feats_io.write_kaldi_ark(out_path, utts,
+                                 scp_path=os.path.splitext(out_path)[0]
+                                 + ".scp")
+    elif len(wavs) == 1:
         np.save(out_path, feats[0][mask[0]])
     else:
         np.savez(out_path, features=feats, mask=mask, lengths=lengths)

@@ -1,0 +1,145 @@
+"""Feature-file interchange: HTK parameter files and Kaldi binary archives.
+
+The OpenCL reference's genre of front-end feeds classic ASR toolchains, so
+a drop-in replacement must speak their feature formats, not just .npy
+(reference L4 output role, SURVEY.md §1; see MIGRATING.md):
+
+- **HTK** parameter files (HTKBook §5.10): 12-byte big-endian header
+  (nSamples int32, sampPeriod int32 in 100 ns units, sampSize int16 =
+  bytes/frame, parmKind int16), then float32 big-endian frames.
+- **Kaldi** binary archives (``.ark`` + optional ``.scp`` index): per
+  utterance ``"<key> \\0B BFM \\x04<rows> \\x04<cols> <f32 data>"``,
+  little-endian row-major — what ``copy-feats ark:...`` produces and every
+  Kaldi/k2 tool consumes.
+
+Pure NumPy + stdlib; round-trip readers included so the writers are
+testable against themselves (no HTK/Kaldi binaries exist in this sandbox).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["write_htk", "read_htk", "write_kaldi_ark", "read_kaldi_ark",
+           "HTK_MFCC", "HTK_FBANK", "HTK_USER", "HTK_QUALIFIERS"]
+
+# HTKBook table of base parameter kinds and qualifier bits.
+HTK_MFCC = 6
+HTK_FBANK = 7
+HTK_USER = 9
+HTK_QUALIFIERS = {
+    "E": 0o000100, "N": 0o000200, "D": 0o000400, "A": 0o001000,
+    "C": 0o002000, "Z": 0o004000, "K": 0o010000, "0": 0o020000,
+}
+
+
+def parm_kind(base: int, *qualifiers: str) -> int:
+    """HTK parmKind word, e.g. ``parm_kind(HTK_MFCC, "0", "D", "A")``."""
+    kind = base
+    for q in qualifiers:
+        kind |= HTK_QUALIFIERS[q.upper() if q != "0" else q]
+    return kind
+
+
+def write_htk(path: str, feats: np.ndarray, *, frame_shift_s: float = 0.010,
+              kind: int = HTK_USER) -> None:
+    """Write one utterance's [T, D] float features as an HTK file.
+
+    ``kind`` defaults to USER; pass e.g. ``parm_kind(HTK_MFCC, "0")`` for
+    MFCCs whose first column is c0 (this package's DCT convention), or
+    ``parm_kind(HTK_MFCC, "0", "D", "A")`` for the 39-dim KALDI39 layout.
+    """
+    feats = np.ascontiguousarray(feats, dtype=np.float32)
+    if feats.ndim != 2:
+        raise ValueError(f"expected [T, D] features, got {feats.shape}")
+    t, d = feats.shape
+    period = int(round(frame_shift_s * 1e7))        # 100 ns units
+    header = struct.pack(">iihh", t, period, 4 * d, kind)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(feats.astype(">f4").tobytes())
+
+
+def read_htk(path: str) -> tuple[np.ndarray, float, int]:
+    """Read an HTK parameter file -> (feats [T, D] f32, frame_shift_s,
+    parmKind)."""
+    with open(path, "rb") as f:
+        header = f.read(12)
+        if len(header) != 12:
+            raise ValueError(f"{path}: truncated HTK header")
+        t, period, samp_size, kind = struct.unpack(">iihh", header)
+        if samp_size <= 0 or samp_size % 4:
+            raise ValueError(f"{path}: bad sampSize {samp_size} "
+                             "(only float32 parameter files supported)")
+        d = samp_size // 4
+        data = np.frombuffer(f.read(t * samp_size), dtype=">f4")
+    if data.size != t * d:
+        raise ValueError(f"{path}: truncated HTK data "
+                         f"({data.size} of {t * d} values)")
+    return data.reshape(t, d).astype(np.float32), period / 1e7, kind
+
+
+def write_kaldi_ark(ark_path: str, utts: dict[str, np.ndarray],
+                    scp_path: str | None = None) -> None:
+    """Write ``{utt_id: [T, D] float32}`` as a Kaldi binary archive, with
+    an optional .scp index ("<key> <ark_path>:<offset>" per line)."""
+    scp_lines = []
+    with open(ark_path, "wb") as f:
+        for key, feats in utts.items():
+            if not key or any(c.isspace() for c in key):
+                raise ValueError(f"bad Kaldi utterance key {key!r}")
+            feats = np.ascontiguousarray(feats, dtype=np.float32)
+            if feats.ndim != 2:
+                raise ValueError(f"{key}: expected [T, D], got {feats.shape}")
+            f.write(key.encode())
+            f.write(b" ")
+            scp_lines.append(f"{key} {ark_path}:{f.tell()}")
+            f.write(b"\0B")                          # binary marker
+            f.write(b"FM ")                          # float matrix token
+            t, d = feats.shape
+            f.write(b"\x04" + struct.pack("<i", t))
+            f.write(b"\x04" + struct.pack("<i", d))
+            f.write(feats.astype("<f4").tobytes())
+    if scp_path:
+        with open(scp_path, "w") as f:
+            f.write("\n".join(scp_lines) + ("\n" if scp_lines else ""))
+
+
+def read_kaldi_ark(ark_path: str) -> dict[str, np.ndarray]:
+    """Read a binary Kaldi feature archive -> {utt_id: [T, D] f32}."""
+    out: dict[str, np.ndarray] = {}
+    with open(ark_path, "rb") as f:
+        while True:
+            key_bytes = bytearray()
+            while True:
+                c = f.read(1)
+                if not c:                            # clean EOF before a key
+                    if key_bytes:
+                        raise ValueError(f"{ark_path}: truncated key")
+                    return out
+                if c == b" ":
+                    break
+                key_bytes += c
+            key = key_bytes.decode()
+            marker = f.read(2)
+            if marker != b"\0B":
+                raise ValueError(f"{ark_path}: {key}: only binary archives "
+                                 f"supported (marker {marker!r})")
+            token = f.read(3)
+            if token != b"FM ":
+                raise ValueError(f"{ark_path}: {key}: expected float matrix "
+                                 f"'FM ', got {token!r}")
+            dims = []
+            for _ in range(2):
+                size = f.read(1)
+                if size != b"\x04":
+                    raise ValueError(f"{ark_path}: {key}: bad dim size "
+                                     f"{size!r}")
+                dims.append(struct.unpack("<i", f.read(4))[0])
+            t, d = dims
+            data = np.frombuffer(f.read(4 * t * d), dtype="<f4")
+            if data.size != t * d:
+                raise ValueError(f"{ark_path}: {key}: truncated matrix")
+            out[key] = data.reshape(t, d).astype(np.float32)
