@@ -185,18 +185,21 @@ def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
 # Full pipeline
 # ---------------------------------------------------------------------------
 
-def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
-                 cfg: FeatureConfig,
-                 rng: jnp.ndarray | None = None) -> FeatureResult:
-    """Traced pipeline body: padded batch [B, N] -> FeatureResult.
+def features_impl(x: jnp.ndarray, lengths: jnp.ndarray,
+                  cfg: FeatureConfig,
+                  rng: jnp.ndarray | None = None
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First half of the traced pipeline: raw batch -> (per-frame base
+    features [B, F, D], mask) — everything up to (not including) deltas.
 
-    Call via :func:`extract` (handles jit caching and input promotion) or
-    jit it yourself with ``static_argnames=("cfg",)``.
-
-    ``rng``: PRNG key, required iff ``cfg.dither > 0`` — dither is additive
-    noise on the raw samples (a training-time augmentation knob; Kaldi
-    applies it per frame copy, this pipeline per sample — equivalent in
-    distribution, and always OFF for golden-parity runs).
+    Split out so :func:`extract`/:func:`make_extractor` can run the delta
+    tail as a SECOND compiled program: on the current XLA:TPU toolchain,
+    co-scheduling the delta op chain with the large fused signal kernel in
+    one program costs ~8.8 ms of pure scheduling overhead at 128x30 s
+    (20.3 -> 12.4 ms measured when split; .bench/kaldi_twodispatch.py),
+    the same large-program pathology family as the B=256 erratum
+    (BASELINE.md). :func:`extract_impl` still builds the single fused
+    program for jit-composability (sharding, scan, custom training steps).
     """
     if cfg.dither > 0:
         if rng is None:
@@ -228,7 +231,12 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
         frames, mask = framing.frame_signal(x, lengths, cfg)
         frames = framing.condition_frames(frames, cfg)
         feat = spectro_pipeline(frames, mask, cfg, use_pallas=use_pallas)
+    return feat, mask
 
+
+def finish_impl(feat: jnp.ndarray, mask: jnp.ndarray, lengths: jnp.ndarray,
+                cfg: FeatureConfig) -> FeatureResult:
+    """Second half: deltas + CMVN + output dtype (see features_impl)."""
     nf = framing.num_frames_dynamic(lengths, cfg)
     if cfg.deltas:
         d1 = deltas(feat, nf, cfg.delta_window)
@@ -240,7 +248,28 @@ def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
     return FeatureResult(feat, mask, nf)
 
 
+def extract_impl(x: jnp.ndarray, lengths: jnp.ndarray,
+                 cfg: FeatureConfig,
+                 rng: jnp.ndarray | None = None) -> FeatureResult:
+    """Traced pipeline body: padded batch [B, N] -> FeatureResult, as ONE
+    program (jit-composable; see features_impl for the split rationale).
+
+    Call via :func:`extract` (handles jit caching, input promotion, and
+    the two-program delta split) or jit it yourself with
+    ``static_argnames=("cfg",)``.
+
+    ``rng``: PRNG key, required iff ``cfg.dither > 0`` — dither is additive
+    noise on the raw samples (a training-time augmentation knob; Kaldi
+    applies it per frame copy, this pipeline per sample — equivalent in
+    distribution, and always OFF for golden-parity runs).
+    """
+    feat, mask = features_impl(x, lengths, cfg, rng)
+    return finish_impl(feat, mask, lengths, cfg)
+
+
 _extract_jit = jax.jit(extract_impl, static_argnames=("cfg",))
+_features_jit = jax.jit(features_impl, static_argnames=("cfg",))
+_finish_jit = jax.jit(finish_impl, static_argnames=("cfg",))
 
 
 def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
@@ -258,8 +287,16 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
     squeezed away from ``features``/``mask``.
     """
     x, lengths, single = _prep(signal, lengths)
-    fn = _extract_jit if jit else extract_impl
-    res = fn(x, lengths, cfg, rng) if rng is not None else fn(x, lengths, cfg)
+    if jit and cfg.deltas:
+        # two programs: the delta tail scheduled alongside the fused signal
+        # kernel costs ~1.6x at B=128x30s (XLA large-program scheduling
+        # pathology; see features_impl docstring)
+        feat, mask = _features_jit(x, lengths, cfg, rng)
+        res = _finish_jit(feat, mask, lengths, cfg)
+    else:
+        fn = _extract_jit if jit else extract_impl
+        res = fn(x, lengths, cfg, rng) if rng is not None \
+            else fn(x, lengths, cfg)
     if single:
         res = FeatureResult(res.features[0], res.mask[0], res.num_frames[0])
     return res
@@ -380,7 +417,20 @@ def extract_chunked(signal, lengths, cfg: FeatureConfig = MFCC13_HTK,
 def make_extractor(cfg: FeatureConfig, donate: bool = False):
     """Build a jitted ``(signal, lengths) -> FeatureResult`` closure for
     ``cfg``. ``donate=True`` donates the input signal buffer (useful in
-    steady-state serving where the host rewrites it every call)."""
+    steady-state serving where the host rewrites it every call).
+
+    Delta configs run as two compiled programs (base features, then the
+    delta/CMVN tail) — measured 1.6x faster than the single program on the
+    current XLA:TPU toolchain (features_impl docstring)."""
+    if cfg.deltas:
+        part1 = jax.jit(functools.partial(features_impl, cfg=cfg),
+                        donate_argnums=(0,) if donate else ())
+        part2 = jax.jit(functools.partial(finish_impl, cfg=cfg))
+
+        def run(x, lengths):
+            feat, mask = part1(x, lengths)
+            return part2(feat, mask, lengths)
+        return run
     return jax.jit(
         functools.partial(extract_impl, cfg=cfg),
         donate_argnums=(0,) if donate else (),
