@@ -130,6 +130,42 @@ def main(batch: int = 128, seconds: int = 30, iters: int = 10,
     rtfx = audio_s / dt
     frames_per_s = (mel.shape[0] * mel.shape[1] + mfcc.shape[0] * mfcc.shape[1]) / dt
 
+    # Companion metric: the same work under lax.scan INSIDE one program.
+    # Each chained dispatch above pays the axon relay's ~2 ms per-execute
+    # overhead (measured with a no-op jit: .bench/dispatch_floor.py); the
+    # scan variant amortizes that to ~2ms/K — but measures slightly LOWER
+    # in practice (169,975x vs 188,381x chained at K=8): the K-stacked
+    # outputs and the larger program schedule worse than K separate
+    # dispatches (see BASELINE.md "Relay dispatch floor"). Recorded for
+    # honesty; the HEADLINE is the chained number.
+    K = 8
+
+    @jax.jit
+    def dual_scan(x, l):
+        # outputs are stacked ([K, ...] in HBM) so XLA cannot elide the
+        # feature writes the way an in-jit reduction would allow
+        def step(carry, _):
+            return carry, dual(x, l)
+        _, (ms, cs) = jax.lax.scan(step, jnp.float32(0), None, length=K)
+        return ms, cs
+
+    def run_scan():
+        ms, cs = dual_scan(x, l)
+        return float(checksum(ms, cs))
+
+    run_scan()                      # compile + first run
+    for _ in range(2):
+        run_scan()
+    stimes = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run_scan()
+        stimes.append(time.perf_counter() - t0)
+    dt_scan = float(np.median(stimes)) / K
+    rtfx_scan = audio_s / dt_scan
+    log(f"scan-in-jit companion: {dt_scan*1e3:.2f} ms/batch  "
+        f"rtfx={rtfx_scan:,.0f}")
+
     # per-config numbers for the record (the headline metric covers both)
     def time_single(cfg):
         fn = jax.jit(lambda a, b: features.extract_impl(a, b, cfg).features)
@@ -181,6 +217,7 @@ def main(batch: int = 128, seconds: int = 30, iters: int = 10,
         "fused_framing": fused_framing,
         "rtfx_whisper80_only": rtfx_mel_only,
         "rtfx_mfcc13_only": rtfx_mfcc_only,
+        "rtfx_scan_in_jit": round(rtfx_scan, 1),
         "backend": backend,
         "chain": chain,
     }
