@@ -133,19 +133,23 @@ def main(batch: int = 128, seconds: int = 30, iters: int = 10,
     # Companion metric: the same work under lax.scan INSIDE one program.
     # Each chained dispatch above pays the axon relay's ~2 ms per-execute
     # overhead (measured with a no-op jit: .bench/dispatch_floor.py); the
-    # scan variant amortizes that to ~2ms/K — but measures slightly LOWER
-    # in practice (169,975x vs 188,381x chained at K=8): the K-stacked
-    # outputs and the larger program schedule worse than K separate
-    # dispatches (see BASELINE.md "Relay dispatch floor"). Recorded for
-    # honesty; the HEADLINE is the chained number.
+    # scan variant amortizes that to ~2ms/K — but measures LOWER in
+    # practice (144,675x vs 189,043x chained at K=8): the K-stacked
+    # outputs, the larger program, and the anti-hoisting input copy
+    # schedule worse than K separate dispatches (see BASELINE.md "Relay
+    # dispatch floor"). Recorded for honesty; the HEADLINE is the chained
+    # number.
     K = 8
 
     @jax.jit
     def dual_scan(x, l):
         # outputs are stacked ([K, ...] in HBM) so XLA cannot elide the
-        # feature writes the way an in-jit reduction would allow
+        # feature writes, and each iteration's input depends on the previous
+        # iteration's output (one sample perturbed by ~1e-30) so loop-
+        # invariant code motion cannot hoist the computation out of the scan
         def step(carry, _):
-            return carry, dual(x, l)
+            m, c = dual(x.at[0, 0].add(carry), l)
+            return m[0, 0, 0] * jnp.float32(1e-30), (m, c)
         _, (ms, cs) = jax.lax.scan(step, jnp.float32(0), None, length=K)
         return ms, cs
 

@@ -47,6 +47,16 @@ class TestHTK:
         with pytest.raises(ValueError, match="truncated"):
             feats_io.read_htk(str(bad))
 
+    def test_rejects_compressed(self, tmp_path):
+        """_C-compressed files store int16 data — must fail loudly, not
+        decode as garbage float32."""
+        p = tmp_path / "c.htk"
+        kind = feats_io.parm_kind(feats_io.HTK_MFCC, "C")
+        p.write_bytes(struct.pack(">iihh", 2, 100000, 80, kind)
+                      + b"\x00" * 160)
+        with pytest.raises(ValueError, match="compressed"):
+            feats_io.read_htk(str(p))
+
 
 class TestKaldiArk:
     def test_round_trip_with_scp(self, tmp_path, rng):
@@ -85,6 +95,26 @@ class TestKaldiArk:
                                      {"bad key": np.zeros((1, 1),
                                                           np.float32)})
 
+    def test_bad_input_never_truncates_existing_ark(self, tmp_path):
+        ark = str(tmp_path / "keep.ark")
+        good = {"u": np.zeros((2, 3), np.float32)}
+        feats_io.write_kaldi_ark(ark, good)
+        before = open(ark, "rb").read()
+        with pytest.raises(ValueError):
+            feats_io.write_kaldi_ark(ark, {"u": good["u"],
+                                           "bad key": good["u"]})
+        assert open(ark, "rb").read() == before   # validated before open
+
+    def test_corrupt_dims_raise_cleanly(self, tmp_path):
+        p = tmp_path / "corrupt.ark"
+        p.write_bytes(b"u \0BFM " + b"\x04" + struct.pack("<i", 1 << 30)
+                      + b"\x04" + struct.pack("<i", 1 << 30))
+        with pytest.raises(ValueError, match="implausible"):
+            feats_io.read_kaldi_ark(str(p))
+        p.write_bytes(b"u \0BFM " + b"\x04" + b"\x01\x02")   # short dim
+        with pytest.raises(ValueError, match="truncated dim"):
+            feats_io.read_kaldi_ark(str(p))
+
 
 class TestCLIFormats:
     def test_cli_htk_and_ark(self, tmp_path):
@@ -103,3 +133,29 @@ class TestCLIFormats:
         got = feats_io.read_kaldi_ark(ark)
         assert list(got) == ["a"] and got["a"].shape == (48, 80)
         assert (tmp_path / "out.scp").exists()
+
+    def test_cli_htk_kaldi39_parmkind(self, tmp_path):
+        """39-dim delta+CMVN output is labeled MFCC_0_D_A_Z, not bare
+        MFCC_0 (HTK TARGETKIND compatibility)."""
+        from tpufeat import cli, io
+        from conftest import make_signal
+        wav = str(tmp_path / "a.wav")
+        io.write_wav(wav, make_signal(8000, seed=71), 16000)
+        htk = str(tmp_path / "out39.htk")
+        cli.main([wav, htk, "--preset", "kaldi39"])
+        got, _, kind = feats_io.read_htk(htk)
+        assert got.shape == (48, 39)
+        assert kind == feats_io.parm_kind(feats_io.HTK_MFCC,
+                                          "0", "D", "A", "Z")
+
+    def test_cli_ark_duplicate_basenames(self, tmp_path):
+        from tpufeat import cli, io
+        from conftest import make_signal
+        (tmp_path / "s1").mkdir(); (tmp_path / "s2").mkdir()
+        w1, w2 = str(tmp_path / "s1" / "a.wav"), str(tmp_path / "s2" / "a.wav")
+        io.write_wav(w1, make_signal(8000, seed=72), 16000)
+        io.write_wav(w2, make_signal(8000, seed=73), 16000)
+        ark = str(tmp_path / "dup.ark")
+        cli.main([w1, w2, ark, "--preset", "mfcc13"])
+        got = feats_io.read_kaldi_ark(ark)
+        assert len(got) == 2                      # no silent collision

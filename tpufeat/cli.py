@@ -150,8 +150,17 @@ def main(argv=None) -> int:
         # HTK interchange (one utterance per file; batch -> suffixed files)
         from tpufeat import feats_io
         shift = cfg.hop_length / cfg.sample_rate
-        kind = feats_io.parm_kind(feats_io.HTK_MFCC, "0") \
-            if cfg.n_mfcc > 0 else feats_io.HTK_FBANK
+        if cfg.n_mfcc > 0:
+            # qualifiers from the config: E (c0 := log-energy) or 0 (c0
+            # kept), D+A for the delta/delta-delta block, Z for CMVN
+            quals = ["E"] if cfg.use_energy else ["0"]
+            if cfg.deltas:
+                quals += ["D", "A"]
+            if cfg.cmvn != "none":
+                quals += ["Z"]
+            kind = feats_io.parm_kind(feats_io.HTK_MFCC, *quals)
+        else:
+            kind = feats_io.HTK_FBANK
         paths = [out_path] if len(wavs) == 1 else [
             f"{os.path.splitext(out_path)[0]}.{b}{ext}"
             for b in range(len(wavs))]
@@ -160,8 +169,15 @@ def main(argv=None) -> int:
                                kind=kind)
     elif ext == ".ark":
         from tpufeat import feats_io
-        utts = {os.path.splitext(os.path.basename(w))[0] or f"utt{b}":
-                feats[b][mask[b]] for b, w in enumerate(wavs)}
+        utts = {}
+        for b, w in enumerate(wavs):
+            # whitespace-free, collision-safe keys (duplicate basenames
+            # across directories must not silently drop utterances)
+            key = "_".join(os.path.splitext(os.path.basename(w))[0].split())
+            key = key or f"utt{b}"
+            if key in utts:
+                key = f"{key}.{b}"
+            utts[key] = feats[b][mask[b]]
         feats_io.write_kaldi_ark(out_path, utts,
                                  scp_path=os.path.splitext(out_path)[0]
                                  + ".scp")

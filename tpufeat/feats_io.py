@@ -39,7 +39,7 @@ def parm_kind(base: int, *qualifiers: str) -> int:
     """HTK parmKind word, e.g. ``parm_kind(HTK_MFCC, "0", "D", "A")``."""
     kind = base
     for q in qualifiers:
-        kind |= HTK_QUALIFIERS[q.upper() if q != "0" else q]
+        kind |= HTK_QUALIFIERS[q.upper()]
     return kind
 
 
@@ -70,6 +70,11 @@ def read_htk(path: str) -> tuple[np.ndarray, float, int]:
         if len(header) != 12:
             raise ValueError(f"{path}: truncated HTK header")
         t, period, samp_size, kind = struct.unpack(">iihh", header)
+        if kind & (HTK_QUALIFIERS["C"] | HTK_QUALIFIERS["K"]):
+            raise ValueError(
+                f"{path}: compressed/CRC HTK files (_C/_K qualifiers, "
+                f"parmKind 0o{kind:o}) are not supported — int16-compressed "
+                "data would silently decode as garbage float32")
         if samp_size <= 0 or samp_size % 4:
             raise ValueError(f"{path}: bad sampSize {samp_size} "
                              "(only float32 parameter files supported)")
@@ -85,14 +90,19 @@ def write_kaldi_ark(ark_path: str, utts: dict[str, np.ndarray],
                     scp_path: str | None = None) -> None:
     """Write ``{utt_id: [T, D] float32}`` as a Kaldi binary archive, with
     an optional .scp index ("<key> <ark_path>:<offset>" per line)."""
+    # validate everything BEFORE opening (open("wb") truncates an existing
+    # archive — a mid-write error must not destroy prior output)
+    validated = {}
+    for key, feats in utts.items():
+        if not key or any(c.isspace() for c in key):
+            raise ValueError(f"bad Kaldi utterance key {key!r}")
+        feats = np.ascontiguousarray(feats, dtype=np.float32)
+        if feats.ndim != 2:
+            raise ValueError(f"{key}: expected [T, D], got {feats.shape}")
+        validated[key] = feats
     scp_lines = []
     with open(ark_path, "wb") as f:
-        for key, feats in utts.items():
-            if not key or any(c.isspace() for c in key):
-                raise ValueError(f"bad Kaldi utterance key {key!r}")
-            feats = np.ascontiguousarray(feats, dtype=np.float32)
-            if feats.ndim != 2:
-                raise ValueError(f"{key}: expected [T, D], got {feats.shape}")
+        for key, feats in validated.items():
             f.write(key.encode())
             f.write(b" ")
             scp_lines.append(f"{key} {ark_path}:{f.tell()}")
@@ -137,8 +147,14 @@ def read_kaldi_ark(ark_path: str) -> dict[str, np.ndarray]:
                 if size != b"\x04":
                     raise ValueError(f"{ark_path}: {key}: bad dim size "
                                      f"{size!r}")
-                dims.append(struct.unpack("<i", f.read(4))[0])
+                raw = f.read(4)
+                if len(raw) != 4:
+                    raise ValueError(f"{ark_path}: {key}: truncated dim")
+                dims.append(struct.unpack("<i", raw)[0])
             t, d = dims
+            if t < 0 or d < 0 or t * d > (1 << 31):
+                raise ValueError(f"{ark_path}: {key}: implausible matrix "
+                                 f"dims {t}x{d} (corrupt archive)")
             data = np.frombuffer(f.read(4 * t * d), dtype="<f4")
             if data.size != t * d:
                 raise ValueError(f"{ark_path}: {key}: truncated matrix")

@@ -272,6 +272,16 @@ _features_jit = jax.jit(features_impl, static_argnames=("cfg",))
 _finish_jit = jax.jit(finish_impl, static_argnames=("cfg",))
 
 
+def _split_worthwhile(cfg: FeatureConfig, shape) -> bool:
+    """Split delta configs into two programs only when the scheduling win
+    beats the extra dispatch: the measured overhead is ~23 us per 1k
+    frames (8.8 ms at 384k batch-frames) vs the relay's ~2 ms per-dispatch
+    floor -> breakeven near 10^5 total frames. Small/latency-path calls
+    keep the single program."""
+    total_frames = shape[0] * cfg.num_frames(shape[-1])
+    return total_frames >= 128 * 1024
+
+
 def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
             jit: bool = True, rng=None) -> FeatureResult:
     """WAV samples -> features. The public one-shot API (SURVEY.md §3.4).
@@ -287,7 +297,7 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
     squeezed away from ``features``/``mask``.
     """
     x, lengths, single = _prep(signal, lengths)
-    if jit and cfg.deltas:
+    if jit and cfg.deltas and _split_worthwhile(cfg, x.shape):
         # two programs: the delta tail scheduled alongside the fused signal
         # kernel costs ~1.6x at B=128x30s (XLA large-program scheduling
         # pathology; see features_impl docstring)
@@ -419,19 +429,22 @@ def make_extractor(cfg: FeatureConfig, donate: bool = False):
     ``cfg``. ``donate=True`` donates the input signal buffer (useful in
     steady-state serving where the host rewrites it every call).
 
-    Delta configs run as two compiled programs (base features, then the
-    delta/CMVN tail) — measured 1.6x faster than the single program on the
-    current XLA:TPU toolchain (features_impl docstring)."""
+    Large delta-config calls run as two compiled programs (base features,
+    then the delta/CMVN tail) — measured 1.6x faster than the single
+    program on the current XLA:TPU toolchain (features_impl docstring);
+    small calls keep one program to avoid the extra ~2 ms relay dispatch
+    (_split_worthwhile)."""
+    one = jax.jit(functools.partial(extract_impl, cfg=cfg),
+                  donate_argnums=(0,) if donate else ())
     if cfg.deltas:
         part1 = jax.jit(functools.partial(features_impl, cfg=cfg),
                         donate_argnums=(0,) if donate else ())
         part2 = jax.jit(functools.partial(finish_impl, cfg=cfg))
 
         def run(x, lengths):
+            if not _split_worthwhile(cfg, x.shape):
+                return one(x, lengths)
             feat, mask = part1(x, lengths)
             return part2(feat, mask, lengths)
         return run
-    return jax.jit(
-        functools.partial(extract_impl, cfg=cfg),
-        donate_argnums=(0,) if donate else (),
-    )
+    return one
