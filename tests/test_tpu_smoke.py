@@ -78,6 +78,23 @@ class TestKernelV5OnChip:
         cfg = dataclasses.replace(base, **FUSED)
         assert golden_err(make_signal(self.LONG, seed=51), cfg, base) < 2e-3
 
+    def test_delta_split_matches_single_program(self):
+        """extract() runs large delta configs as two programs
+        (features._split_worthwhile); on chip the split output must agree
+        with the single-program extract_impl to float32 scheduling noise."""
+        cfg = dataclasses.replace(KALDI39, matmul_precision="bf16x3",
+                                  **FUSED)
+        B, n = 44, 30 * 16000            # 44 x 2998 frames: over the gate
+        rng = np.random.default_rng(53)
+        x = (rng.standard_normal((B, n)) * 0.1).astype(np.float32)
+        lens = np.full((B,), n, np.int32)
+        assert features._split_worthwhile(cfg, x.shape)
+        split = features.extract(x, lens, cfg)           # two programs
+        one = jax.jit(features.extract_impl,
+                      static_argnames=("cfg",))(x, lens, cfg)
+        assert np.abs(np.asarray(split.features)
+                      - np.asarray(one.features)).max() < 1e-4
+
     def test_phase_matches_v4_on_chip(self, monkeypatch):
         from tpufeat import framing
         from tpufeat.pallas import fused
