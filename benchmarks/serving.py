@@ -62,12 +62,18 @@ def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8,
                                  cfg=cfg, fill=f1)
 
         @jax.jit
-        def one(s):
+        def one_scan(s, chunk):
             # each scan step re-reads the same device-resident chunk — a
-            # real server would feed a [K, B, C] block instead
-            s, feats = jax.lax.scan(lambda st, _: step(st, x), s, None,
+            # real server would feed a [K, B, C] block instead. The chunk
+            # MUST be a jit argument: closing over it embeds ~B*6.4 KB as
+            # an HLO constant, bloating the remote-compile payload (HTTP
+            # 413 at B=32768 through the relay).
+            s, feats = jax.lax.scan(lambda st, _: step(st, chunk), s, None,
                                     length=scan_k)
             return s, feats
+
+        def one(s):
+            return one_scan(s, x)
 
     @jax.jit
     def cks(t):
