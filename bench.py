@@ -132,7 +132,8 @@ def main(batch: int = 128, seconds: int = 30, iters: int = 10,
 
     # Companion metric: the same work under lax.scan INSIDE one program.
     # Each chained dispatch above pays the axon relay's ~2 ms per-execute
-    # overhead (measured with a no-op jit: benchmarks/experiments/dispatch_floor.py); the
+    # overhead (measured with a no-op jit:
+    # benchmarks/experiments/dispatch_floor.py); the
     # scan variant amortizes that to ~2ms/K — but measures LOWER in
     # practice (144,675x vs 189,043x chained at K=8): the K-stacked
     # outputs, the larger program, and the anti-hoisting input copy

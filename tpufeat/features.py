@@ -196,7 +196,8 @@ def features_impl(x: jnp.ndarray, lengths: jnp.ndarray,
     tail as a SECOND compiled program: on the current XLA:TPU toolchain,
     co-scheduling the delta op chain with the large fused signal kernel in
     one program costs ~8.8 ms of pure scheduling overhead at 128x30 s
-    (20.3 -> 12.4 ms measured when split; benchmarks/experiments/kaldi_twodispatch.py),
+    (20.3 -> 12.4 ms measured when split — see
+    benchmarks/experiments/kaldi_twodispatch.py),
     the same large-program pathology family as the B=256 erratum
     (BASELINE.md). :func:`extract_impl` still builds the single fused
     program for jit-composability (sharding, scan, custom training steps).

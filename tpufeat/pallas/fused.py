@@ -56,6 +56,7 @@ the CPU-CI "fake backend" (SURVEY.md §4).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -481,7 +482,6 @@ def _signal_constants(cfg: FeatureConfig):
 
 
 def _phase_count(cfg: FeatureConfig) -> int:
-    import math
     return LANE // math.gcd(cfg.hop_length, LANE)
 
 
