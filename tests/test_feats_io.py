@@ -4,8 +4,41 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from tpufeat import feats_io
+
+
+@st.composite
+def matrices_(draw):
+    t = draw(st.integers(1, 200))
+    d = draw(st.integers(1, 80))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    scale = draw(st.sampled_from([1e-6, 1.0, 1e6]))
+    return (rng.standard_normal((t, d)) * scale).astype(np.float32)
+
+
+class TestRoundTripProperties:
+    @given(m=matrices_(), shift=st.sampled_from([0.010, 0.0125, 0.025]))
+    @settings(max_examples=25, deadline=None)
+    def test_htk_round_trip_any_shape(self, tmp_path_factory, m, shift):
+        p = str(tmp_path_factory.mktemp("htk") / "u.htk")
+        feats_io.write_htk(p, m, frame_shift_s=shift, kind=feats_io.HTK_USER)
+        got, s, kind = feats_io.read_htk(p)
+        np.testing.assert_array_equal(got, m)      # f32 -> BE f32 is exact
+        assert s == pytest.approx(shift) and kind == feats_io.HTK_USER
+
+    @given(ms=st.lists(matrices_(), min_size=1, max_size=4))
+    @settings(max_examples=15, deadline=None)
+    def test_ark_round_trip_any_shapes(self, tmp_path_factory, ms):
+        utts = {f"u{i}": m for i, m in enumerate(ms)}
+        p = str(tmp_path_factory.mktemp("ark") / "f.ark")
+        feats_io.write_kaldi_ark(p, utts)
+        got = feats_io.read_kaldi_ark(p)
+        assert list(got) == list(utts)
+        for k in utts:
+            np.testing.assert_array_equal(got[k], utts[k])
 
 
 @pytest.fixture

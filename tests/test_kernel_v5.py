@@ -11,6 +11,7 @@ import dataclasses
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 import jax.numpy as jnp
 
@@ -57,6 +58,36 @@ class TestPhasePlan:
                 for (s, a, k, mi) in entries:
                     got += rows[r + s, a: a + k] @ d_mats[mi]
                 np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+class TestPhasePlanProperties:
+    @given(fl=st.integers(64, 1200),
+           hop_16=st.integers(2, 40),           # hop = 16*k (phase-eligible)
+           seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=30, deadline=None)
+    def test_plan_reconstruction_random_geometry(self, fl, hop_16, seed):
+        """Property twin of test_plan_reconstructs_frame_matmul: for ANY
+        phase-eligible (frame_length, hop), the (phase, shift, window)
+        plan reproduces frames @ CS exactly."""
+        hop = 16 * hop_16
+        n_fft = 1 << (fl - 1).bit_length()
+        cfg = FeatureConfig(frame_length=fl, hop_length=hop, n_fft=n_fft)
+        H = fused._phase_count(cfg)
+        W = H * hop
+        plan, d_mats, max_span = fused._phase_constants(cfg)
+        cs = fused._cs_constant(cfg, fold_kaldi=True)
+        rng = np.random.default_rng(seed)
+        n_rows = 2 + max_span
+        sig = rng.standard_normal(n_rows * W)
+        rows = sig.reshape(n_rows, W)
+        for p, entries in enumerate(plan):
+            t = p                       # frame t = 0*H + p (row 0, phase p)
+            frame = sig[t * hop: t * hop + fl]
+            want = frame @ cs[:fl]
+            got = np.zeros(cs.shape[1])
+            for (s, a, k, mi) in entries:
+                got += rows[s, a: a + k] @ d_mats[mi]
+            np.testing.assert_allclose(got, want, atol=1e-8)
 
 
 class TestPhaseParity:
