@@ -192,3 +192,98 @@ class TestCLIFormats:
         cli.main([w1, w2, ark, "--preset", "mfcc13"])
         got = feats_io.read_kaldi_ark(ark)
         assert len(got) == 2                      # no silent collision
+
+
+class TestHTKColumnOrder:
+    """Round-3 advisor fix: HTK _0/_E files must store c0/energy LAST in
+    each static/delta/accel block (HTKBook §5.10), while this package keeps
+    them FIRST (Kaldi order)."""
+
+    @given(m=matrices_(), nblocks=st.integers(1, 3))
+    @settings(max_examples=25, deadline=None)
+    def test_order_round_trip(self, m, nblocks):
+        wide = np.concatenate([m + i for i in range(nblocks)], axis=-1)
+        base = m.shape[-1]
+        there = feats_io.to_htk_order(wide, base)
+        np.testing.assert_array_equal(
+            feats_io.from_htk_order(there, base), wide)
+
+    def test_block_reorder_exact(self):
+        f = np.arange(8, dtype=np.float32).reshape(2, 4)   # blocks of 2
+        got = feats_io.to_htk_order(f, 2)
+        np.testing.assert_array_equal(
+            got, [[1, 0, 3, 2], [5, 4, 7, 6]])
+
+    def test_bad_base_dim_rejected(self):
+        with pytest.raises(ValueError):
+            feats_io.to_htk_order(np.zeros((3, 10)), 4)
+        with pytest.raises(ValueError):
+            feats_io.from_htk_order(np.zeros((3, 10)), 0)
+
+    def test_cli_htk_columns_match_parmkind(self, tmp_path):
+        """The .htk file's columns honor the _0 qualifier: undoing the HTK
+        order recovers exactly what the .npy path writes."""
+        from tpufeat import cli, io
+        from conftest import make_signal
+        wav = str(tmp_path / "a.wav")
+        io.write_wav(wav, make_signal(8000, seed=74), 16000)
+        npy = str(tmp_path / "out.npy")
+        htk = str(tmp_path / "out39.htk")
+        cli.main([wav, npy, "--preset", "kaldi39"])
+        cli.main([wav, htk, "--preset", "kaldi39"])
+        got, _, kind = feats_io.read_htk(htk)
+        assert kind == feats_io.parm_kind(feats_io.HTK_MFCC,
+                                          "0", "D", "A", "Z")
+        ref = np.load(npy)
+        assert not np.array_equal(got, ref)        # really reordered
+        np.testing.assert_array_equal(feats_io.from_htk_order(got, 13), ref)
+
+    def test_cli_fbank_qualifiers(self, tmp_path):
+        """FBANK output with CMVN carries _Z (round-3 advisor fix: the
+        FBANK branch used to drop all qualifiers) and is NOT reordered
+        (no c0 concept without a DCT)."""
+        from tpufeat import cli, io
+        from conftest import make_signal
+        wav = str(tmp_path / "a.wav")
+        io.write_wav(wav, make_signal(8000, seed=75), 16000)
+        npy = str(tmp_path / "fb.npy")
+        htk = str(tmp_path / "fb.htk")
+        cli.main([wav, npy, "--preset", "fbank80", "--set", "cmvn=mean"])
+        cli.main([wav, htk, "--preset", "fbank80", "--set", "cmvn=mean"])
+        got, _, kind = feats_io.read_htk(htk)
+        assert kind == feats_io.parm_kind(feats_io.HTK_FBANK, "Z")
+        np.testing.assert_array_equal(got, np.load(npy))
+
+
+class TestArkKeyHygiene:
+    def test_read_rejects_duplicate_ids(self, tmp_path):
+        """Round-3 advisor fix: a malformed archive with a repeated
+        utterance id must raise, not silently drop the first matrix."""
+        a1 = str(tmp_path / "one.ark")
+        a2 = str(tmp_path / "two.ark")
+        m = np.ones((3, 4), np.float32)
+        feats_io.write_kaldi_ark(a1, {"u": m})
+        feats_io.write_kaldi_ark(a2, {"u": 2 * m})
+        cat = str(tmp_path / "cat.ark")
+        with open(cat, "wb") as f:
+            for p in (a1, a2):
+                f.write(open(p, "rb").read())
+        with pytest.raises(ValueError, match="duplicate"):
+            feats_io.read_kaldi_ark(cat)
+
+    def test_cli_triple_collision(self, tmp_path):
+        """Round-3 advisor fix: a.wav + a.2.wav + a third a.wav — the
+        single-rename fallback would collide again; the loop must keep all
+        three utterances."""
+        from tpufeat import cli, io
+        from conftest import make_signal
+        (tmp_path / "s1").mkdir(); (tmp_path / "s2").mkdir()
+        w0 = str(tmp_path / "a.wav")
+        w1 = str(tmp_path / "s1" / "a.2.wav")
+        w2 = str(tmp_path / "s2" / "a.wav")
+        for i, w in enumerate((w0, w1, w2)):
+            io.write_wav(w, make_signal(8000, seed=80 + i), 16000)
+        ark = str(tmp_path / "tri.ark")
+        cli.main([w0, w1, w2, ark, "--preset", "mfcc13"])
+        got = feats_io.read_kaldi_ark(ark)
+        assert len(got) == 3

@@ -150,23 +150,29 @@ def main(argv=None) -> int:
         # HTK interchange (one utterance per file; batch -> suffixed files)
         from tpufeat import feats_io
         shift = cfg.hop_length / cfg.sample_rate
+        # qualifiers shared by both base kinds: D+A for the delta/
+        # delta-delta block, Z for CMVN
+        quals = []
+        if cfg.deltas:
+            quals += ["D", "A"]
+        if cfg.cmvn != "none":
+            quals += ["Z"]
         if cfg.n_mfcc > 0:
-            # qualifiers from the config: E (c0 := log-energy) or 0 (c0
-            # kept), D+A for the delta/delta-delta block, Z for CMVN
-            quals = ["E"] if cfg.use_energy else ["0"]
-            if cfg.deltas:
-                quals += ["D", "A"]
-            if cfg.cmvn != "none":
-                quals += ["Z"]
+            # E (c0 := log-energy) or 0 (c0 kept); HTKBook puts that term
+            # LAST in each static/delta/accel block, so reorder from this
+            # package's c0-first (Kaldi) layout to match the parmKind
+            quals = (["E"] if cfg.use_energy else ["0"]) + quals
             kind = feats_io.parm_kind(feats_io.HTK_MFCC, *quals)
+            reorder = lambda f: feats_io.to_htk_order(f, cfg.n_mfcc)  # noqa: E731
         else:
-            kind = feats_io.HTK_FBANK
+            kind = feats_io.parm_kind(feats_io.HTK_FBANK, *quals)
+            reorder = lambda f: f  # noqa: E731
         paths = [out_path] if len(wavs) == 1 else [
             f"{os.path.splitext(out_path)[0]}.{b}{ext}"
             for b in range(len(wavs))]
         for b, p in enumerate(paths):
-            feats_io.write_htk(p, feats[b][mask[b]], frame_shift_s=shift,
-                               kind=kind)
+            feats_io.write_htk(p, reorder(feats[b][mask[b]]),
+                               frame_shift_s=shift, kind=kind)
     elif ext == ".ark":
         from tpufeat import feats_io
         utts = {}
@@ -176,7 +182,11 @@ def main(argv=None) -> int:
             key = "_".join(os.path.splitext(os.path.basename(w))[0].split())
             key = key or f"utt{b}"
             if key in utts:
+                # inputs like a.wav, a.1.wav + a second a.wav can make the
+                # first-choice suffix collide too — keep extending until free
                 key = f"{key}.{b}"
+                while key in utts:
+                    key += "_"
             utts[key] = feats[b][mask[b]]
         feats_io.write_kaldi_ark(out_path, utts,
                                  scp_path=os.path.splitext(out_path)[0]

@@ -23,6 +23,7 @@ import struct
 import numpy as np
 
 __all__ = ["write_htk", "read_htk", "write_kaldi_ark", "read_kaldi_ark",
+           "to_htk_order", "from_htk_order",
            "HTK_MFCC", "HTK_FBANK", "HTK_USER", "HTK_QUALIFIERS"]
 
 # HTKBook table of base parameter kinds and qualifier bits.
@@ -41,6 +42,39 @@ def parm_kind(base: int, *qualifiers: str) -> int:
     for q in qualifiers:
         kind |= HTK_QUALIFIERS[q.upper()]
     return kind
+
+
+def to_htk_order(feats: np.ndarray, base_dim: int) -> np.ndarray:
+    """Kaldi-style coefficient order -> HTK order, per base-sized block.
+
+    This package stores c0 (or the energy term) as the FIRST column of each
+    static/delta/accel block (Kaldi convention); HTKBook §5.10's ``_0``/
+    ``_E`` qualifiers put that term LAST in each block. A toolchain honoring
+    the parmKind would otherwise read permuted coefficients, so the HTK
+    writer path must reorder: [c0, c1..cN | d0, d1..dN | a0, ...] ->
+    [c1..cN, c0 | d1..dN, d0 | ...]."""
+    feats = np.asarray(feats)
+    d = feats.shape[-1]
+    if base_dim <= 0 or d % base_dim:
+        raise ValueError(f"feature dim {d} is not a multiple of base block "
+                         f"size {base_dim}")
+    blocks = [feats[..., i: i + base_dim] for i in range(0, d, base_dim)]
+    return np.concatenate(
+        [np.concatenate([b[..., 1:], b[..., :1]], axis=-1) for b in blocks],
+        axis=-1)
+
+
+def from_htk_order(feats: np.ndarray, base_dim: int) -> np.ndarray:
+    """Inverse of :func:`to_htk_order` (HTK block order -> c0-first)."""
+    feats = np.asarray(feats)
+    d = feats.shape[-1]
+    if base_dim <= 0 or d % base_dim:
+        raise ValueError(f"feature dim {d} is not a multiple of base block "
+                         f"size {base_dim}")
+    blocks = [feats[..., i: i + base_dim] for i in range(0, d, base_dim)]
+    return np.concatenate(
+        [np.concatenate([b[..., -1:], b[..., :-1]], axis=-1) for b in blocks],
+        axis=-1)
 
 
 def write_htk(path: str, feats: np.ndarray, *, frame_shift_s: float = 0.010,
@@ -133,6 +167,12 @@ def read_kaldi_ark(ark_path: str) -> dict[str, np.ndarray]:
                     break
                 key_bytes += c
             key = key_bytes.decode()
+            if key in out:
+                # the writer validates key uniqueness; a repeated id here
+                # means a malformed/concatenated archive — overwriting would
+                # silently lose the earlier matrix
+                raise ValueError(f"{ark_path}: duplicate utterance id "
+                                 f"{key!r}")
             marker = f.read(2)
             if marker != b"\0B":
                 raise ValueError(f"{ark_path}: {key}: only binary archives "
