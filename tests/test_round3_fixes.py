@@ -1,0 +1,136 @@
+"""Round-3 review fixes (VERDICT.md round 2):
+
+- the large-batch erratum guard: plain extract()/make_extractor() must
+  auto-route shapes outside the validated envelope through exact
+  row-splitting instead of silently corrupting (VERDICT item 1);
+- rng plumbing: dither configs must work through make_extractor /
+  extract_chunked / the corpus pipeline (VERDICT item 7).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from tpufeat import features
+from tpufeat.config import KALDI39, MFCC13_HTK
+
+
+class TestErratumGuardMechanics:
+    def test_rows_per_dispatch_balanced(self):
+        # 256 x 30 s must split 128+128, not 248+8
+        assert features._rows_per_dispatch(256, 480000) == 128
+        assert features._rows_per_dispatch(250, 480000) == 125
+        # one row per dispatch when a single row fills the envelope
+        assert features._rows_per_dispatch(
+            3, features.ERRATUM_SAFE_SAMPLES) == 1
+
+    def test_rows_per_dispatch_stays_in_envelope(self):
+        for b in (249, 256, 300, 511, 512, 1000):
+            r = features._rows_per_dispatch(b, 480000)
+            assert r * 480000 <= features.ERRATUM_SAFE_SAMPLES
+            assert 1 <= r <= b
+
+    def test_safe_predicate(self):
+        s = features.ERRATUM_SAFE_SAMPLES
+        assert features._single_program_safe((248, 480000))
+        assert not features._single_program_safe((256, 480000))
+        # single rows are never split (no known single-row corruption;
+        # row-splitting could not help anyway)
+        assert features._single_program_safe((1, 10 * s))
+        assert features._single_program_safe((2, s // 2))
+        assert not features._single_program_safe((2, s // 2 + 1))
+
+    def test_guard_routes_and_is_exact(self, monkeypatch):
+        """With the envelope shrunk so a small batch trips it, the guarded
+        default path must agree with the forced single-program path."""
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((6, 4000)) * 0.1).astype(np.float32)
+        lens = np.array([4000, 3500, 1200, 4000, 2000, 399], np.int32)
+        want = features.extract(x, lens, MFCC13_HTK, single_program=True)
+        monkeypatch.setattr(features, "ERRATUM_SAFE_SAMPLES", 2 * 4000)
+        assert not features._single_program_safe(x.shape)
+        got = features.extract(x, lens, MFCC13_HTK)      # auto-routed
+        assert got.features.shape == want.features.shape
+        np.testing.assert_allclose(np.asarray(got.features),
+                                   np.asarray(want.features),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(got.mask),
+                                      np.asarray(want.mask))
+        np.testing.assert_array_equal(np.asarray(got.num_frames),
+                                      np.asarray(want.num_frames))
+
+    def test_make_extractor_guards_too(self, monkeypatch):
+        """The corpus-pipeline entry point (make_extractor closures) guards
+        per call, including the two-program delta split path."""
+        rng = np.random.default_rng(4)
+        x = (rng.standard_normal((4, 4000)) * 0.1).astype(np.float32)
+        lens = np.full((4,), 4000, np.int32)
+        want = features.extract(x, lens, KALDI39, single_program=True)
+        monkeypatch.setattr(features, "ERRATUM_SAFE_SAMPLES", 4000)
+        got = features.make_extractor(KALDI39)(x, lens)  # 1-row dispatches
+        np.testing.assert_allclose(np.asarray(got.features),
+                                   np.asarray(want.features),
+                                   rtol=0, atol=2e-5)
+
+
+class TestDitherRngPlumbing:
+    DITHER = dataclasses.replace(MFCC13_HTK, dither=1e-3)
+
+    def _sig(self, b=4, n=4000, seed=5):
+        rng = np.random.default_rng(seed)
+        return (rng.standard_normal((b, n)) * 0.1).astype(np.float32), \
+            np.full((b,), n, np.int32)
+
+    def test_extractor_requires_rng(self):
+        x, lens = self._sig()
+        with pytest.raises(ValueError, match="PRNG"):
+            features.make_extractor(self.DITHER)(x, lens)
+
+    def test_extractor_accepts_rng(self):
+        x, lens = self._sig()
+        res = features.make_extractor(self.DITHER)(
+            x, lens, rng=jax.random.key(0))
+        clean = features.extract(x, lens, MFCC13_HTK)
+        d = np.abs(np.asarray(res.features) - np.asarray(clean.features))
+        assert 0 < d.max() < 0.5          # noise present, small
+
+    def test_chunked_splits_keys(self):
+        """extract_chunked with dither: works, and each row slice draws
+        from an independent key (identical rows must get different noise
+        in different slices)."""
+        n = 4000
+        row = (np.random.default_rng(6).standard_normal(n) * 0.1
+               ).astype(np.float32)
+        x = np.stack([row] * 4)
+        lens = np.full((4,), n, np.int32)
+        res = features.extract_chunked(x, lens, self.DITHER,
+                                       rows_per_dispatch=2,
+                                       rng=jax.random.key(7))
+        f = np.asarray(res.features)
+        # rows 0/1 share a slice key but different per-sample draws; rows
+        # in different slices must differ too (independent keys)
+        assert not np.array_equal(f[0], f[2])
+        assert not np.array_equal(f[1], f[3])
+
+    def test_chunked_matches_distribution(self):
+        """Dithered chunked output stays within a hair of the clean
+        features (dither=1e-3 on 0.1-RMS audio) — sanity that the noise is
+        applied at the right scale, not squared/doubled."""
+        x, lens = self._sig(b=6)
+        res = features.extract_chunked(x, lens, self.DITHER,
+                                       rows_per_dispatch=3,
+                                       rng=jax.random.key(8))
+        clean = features.extract(x, lens, MFCC13_HTK)
+        d = np.abs(np.asarray(res.features) - np.asarray(clean.features))
+        assert np.median(d) < 0.05
+
+    def test_guard_plus_dither_compose(self, monkeypatch):
+        """Auto-routed extract() with dither splits the key per slice."""
+        x, lens = self._sig(b=4)
+        monkeypatch.setattr(features, "ERRATUM_SAFE_SAMPLES", 2 * 4000)
+        res = features.extract(x, lens, self.DITHER, rng=jax.random.key(9))
+        assert res.features.shape[0] == 4
+        with pytest.raises(ValueError, match="PRNG"):
+            features.extract(x, lens, self.DITHER)

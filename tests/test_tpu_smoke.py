@@ -252,10 +252,27 @@ class TestLargeBatchErratum:
         n = 30 * 16000
         sig = (rng.standard_normal((256, n)) * 0.1).astype(np.float32)
         cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
-        res = features.extract(sig, np.full((256,), n, np.int32), cfg)
+        # single_program=True: the raw one-dispatch path this tracker
+        # exists to probe — plain extract() now auto-routes around it
+        res = features.extract(sig, np.full((256,), n, np.int32), cfg,
+                               single_program=True)
         gold = cpu.extract(sig[0].astype(np.float64), MFCC13_HTK)
         err = np.abs(np.asarray(res.features[0]) - gold).max()
         assert err < 2e-3, f"B=256 erratum still present: {err}"
+
+    def test_default_extract_guarded_at_b256(self):
+        """Round-3 guard (VERDICT item 1): plain extract() at the erratum
+        shape must return golden-parity features — the auto-router splits
+        the batch into validated-envelope dispatches."""
+        rng = np.random.default_rng(0)
+        n = 30 * 16000
+        sig = (rng.standard_normal((256, n)) * 0.1).astype(np.float32)
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        res = features.extract(sig, np.full((256,), n, np.int32), cfg)
+        for b in (0, 255):
+            gold = cpu.extract(sig[b].astype(np.float64), MFCC13_HTK)
+            err = np.abs(np.asarray(res.features[b]) - gold).max()
+            assert err < 2e-3, f"guarded extract() wrong at row {b}: {err}"
 
     def test_extract_chunked_is_safe(self):
         """The documented workaround: 128-row dispatches are exact."""

@@ -283,8 +283,50 @@ def _split_worthwhile(cfg: FeatureConfig, shape) -> bool:
     return total_frames >= 128 * 1024
 
 
+# --- large-batch erratum guard (BASELINE.md "Large-batch erratum") ---
+# The current XLA:TPU toolchain miscompiles sufficiently large single
+# programs: [256, 480000] pipelines silently corrupt ~8% of frames while
+# every sub-stage validates clean in isolation. The public API must never
+# return wrong numbers without an error, so extract()/make_extractor()
+# auto-route any batch whose single dispatch would leave the envelope
+# validated clean through exact row-splitting (the pipeline has no
+# cross-utterance coupling). The envelope is expressed in raw samples per
+# dispatch (B*N): 248x30 s = 119,040,000 is the largest clean point
+# measured; the corrupt point is 122,880,000. Mapped on chip by
+# benchmarks/experiments/erratum_envelope.py; re-probe after toolchain
+# updates (tests/test_tpu_smoke.py::TestLargeBatchErratum flips to pass).
+ERRATUM_SAFE_SAMPLES = 119_040_000
+
+
+def _single_program_safe(shape) -> bool:
+    B, N = shape
+    return B <= 1 or B * N <= ERRATUM_SAFE_SAMPLES
+
+
+def _rows_per_dispatch(B: int, N: int) -> int:
+    """Largest balanced row count keeping every dispatch inside the
+    validated envelope (256x30 s -> 128+128, not 248+8)."""
+    r = max(1, min(B, ERRATUM_SAFE_SAMPLES // max(N, 1)))
+    n_splits = -(-B // r)
+    return -(-B // n_splits)
+
+
+def _run_row_chunks(fn, x, lengths, rng, rows: int) -> FeatureResult:
+    """Run ``fn(x_rows, lengths_rows, rng=...)`` over <=``rows``-row slices
+    and concatenate — exact (no cross-utterance coupling), with an
+    independent PRNG key per slice when dither is on."""
+    n = -(-x.shape[0] // rows)
+    keys = jax.random.split(rng, n) if rng is not None else [None] * n
+    parts = [fn(x[i * rows: (i + 1) * rows],
+                lengths[i * rows: (i + 1) * rows], rng=keys[i])
+             for i in range(n)]
+    return FeatureResult(*(jnp.concatenate(p, axis=0)
+                           for p in zip(*parts)))
+
+
 def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
-            jit: bool = True, rng=None) -> FeatureResult:
+            jit: bool = True, rng=None,
+            single_program: bool | None = None) -> FeatureResult:
     """WAV samples -> features. The public one-shot API (SURVEY.md §3.4).
 
     Args:
@@ -293,12 +335,22 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
       cfg: a :class:`FeatureConfig` (hashable; each distinct config+shape
         compiles once and is cached by jax).
       jit: set False to run eagerly (debugging).
+      rng: PRNG key, required iff ``cfg.dither > 0``.
+      single_program: None (default) auto-routes batches outside the
+        erratum-validated envelope through exact row-splitting
+        (ERRATUM_SAFE_SAMPLES); True forces one compiled program (the raw
+        path — only for erratum tracking); False forces row-splitting.
 
     Returns a :class:`FeatureResult`; for 1-D input the batch axis is
     squeezed away from ``features``/``mask``.
     """
     x, lengths, single = _prep(signal, lengths)
-    if jit and cfg.deltas and _split_worthwhile(cfg, x.shape):
+    if single_program is None:
+        single_program = not jit or _single_program_safe(x.shape)
+    if not single_program:
+        res = _run_row_chunks(make_extractor(cfg), x, lengths, rng,
+                              _rows_per_dispatch(*x.shape))
+    elif jit and cfg.deltas and _split_worthwhile(cfg, x.shape):
         # two programs: the delta tail scheduled alongside the fused signal
         # kernel costs ~1.6x at B=128x30s (XLA large-program scheduling
         # pathology; see features_impl docstring)
@@ -402,7 +454,8 @@ def mfcc(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK):
 
 
 def extract_chunked(signal, lengths, cfg: FeatureConfig = MFCC13_HTK,
-                    rows_per_dispatch: int = 128) -> FeatureResult:
+                    rows_per_dispatch: int = 128,
+                    rng=None) -> FeatureResult:
     """extract() with the batch split into <=rows_per_dispatch dispatches.
 
     The pipeline itself has no cross-utterance coupling, so splitting is
@@ -412,13 +465,15 @@ def extract_chunked(signal, lengths, cfg: FeatureConfig = MFCC13_HTK,
     toolchain, [256, 480000]-shaped pipelines compute corrupted features
     (a periodic ~21 KB read corruption that appears only in large compiled
     programs — every sub-component validates clean in isolation). 128-row
-    dispatches are the validated-safe production shape."""
+    dispatches are the validated-safe production shape — and what plain
+    :func:`extract` now auto-routes through outside the validated envelope
+    (ERRATUM_SAFE_SAMPLES).
+
+    ``rng``: PRNG key for ``cfg.dither > 0`` configs; split into one
+    independent key per row slice."""
     x, lengths, single = _prep(signal, lengths)
-    fn = make_extractor(cfg)
-    parts = [fn(x[i: i + rows_per_dispatch], lengths[i: i + rows_per_dispatch])
-             for i in range(0, x.shape[0], rows_per_dispatch)]
-    res = FeatureResult(*(jnp.concatenate(p, axis=0)
-                          for p in zip(*parts)))
+    res = _run_row_chunks(make_extractor(cfg), x, lengths, rng,
+                          rows_per_dispatch)
     if single:
         res = FeatureResult(res.features[0], res.mask[0], res.num_frames[0])
     return res
@@ -426,15 +481,18 @@ def extract_chunked(signal, lengths, cfg: FeatureConfig = MFCC13_HTK,
 
 @functools.lru_cache(maxsize=None)
 def make_extractor(cfg: FeatureConfig, donate: bool = False):
-    """Build a jitted ``(signal, lengths) -> FeatureResult`` closure for
-    ``cfg``. ``donate=True`` donates the input signal buffer (useful in
-    steady-state serving where the host rewrites it every call).
+    """Build a jitted ``(signal, lengths, rng=None) -> FeatureResult``
+    closure for ``cfg``. ``donate=True`` donates the input signal buffer
+    (useful in steady-state serving where the host rewrites it every call).
+    ``rng`` is required iff ``cfg.dither > 0`` (one key per call; the
+    closure passes it straight to the traced body).
 
     Large delta-config calls run as two compiled programs (base features,
     then the delta/CMVN tail) — measured 1.6x faster than the single
     program on the current XLA:TPU toolchain (features_impl docstring);
     small calls keep one program to avoid the extra ~2 ms relay dispatch
-    (_split_worthwhile)."""
+    (_split_worthwhile). Batches outside the erratum-validated envelope
+    (ERRATUM_SAFE_SAMPLES) are row-split exactly, like :func:`extract`."""
     one = jax.jit(functools.partial(extract_impl, cfg=cfg),
                   donate_argnums=(0,) if donate else ())
     if cfg.deltas:
@@ -442,10 +500,18 @@ def make_extractor(cfg: FeatureConfig, donate: bool = False):
                         donate_argnums=(0,) if donate else ())
         part2 = jax.jit(functools.partial(finish_impl, cfg=cfg))
 
-        def run(x, lengths):
-            if not _split_worthwhile(cfg, x.shape):
-                return one(x, lengths)
-            feat, mask = part1(x, lengths)
+        def run_split(x, lengths, rng=None):
+            feat, mask = part1(x, lengths, rng=rng)
             return part2(feat, mask, lengths)
-        return run
-    return one
+    else:
+        run_split = None
+
+    def run(x, lengths, rng=None):
+        if not _single_program_safe(x.shape):
+            return _run_row_chunks(run, x, lengths, rng,
+                                   _rows_per_dispatch(*x.shape))
+        if run_split is not None and _split_worthwhile(cfg, x.shape):
+            return run_split(x, lengths, rng=rng)
+        return one(x, lengths, rng=rng) if rng is not None \
+            else one(x, lengths)
+    return run
