@@ -19,9 +19,10 @@ from tpufeat.features import (FeatureResult, extract, extract_chunked,
 from tpufeat.io import read_wav, write_wav
 from tpufeat.resampling import resample
 from tpufeat.streaming import (StreamingDeltas, StreamingFrontend,
-                               StreamState, extract_scan, init_state,
-                               process_chunk, process_chunk_static,
-                               scan_chunks, scan_chunks_static)
+                               StreamingPipeline, StreamState,
+                               extract_scan, init_state, process_chunk,
+                               process_chunk_static, scan_chunks,
+                               scan_chunks_static)
 
 __version__ = "0.2.0"
 
@@ -33,6 +34,7 @@ __all__ = [
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
     "process_chunk", "process_chunk_static", "scan_chunks",
-    "scan_chunks_static", "extract_scan", "StreamingDeltas", "resample",
+    "scan_chunks_static", "extract_scan", "StreamingDeltas",
+    "StreamingPipeline", "resample",
     "spec_augment", "energy_vad", "__version__",
 ]

@@ -627,3 +627,119 @@ def load_state(path: str, like) -> "StreamState":
     leaves, treedef = jax.tree_util.tree_flatten(like)
     new = [jnp.asarray(data[f"leaf{i}"]) for i in range(len(leaves))]
     return jax.tree_util.tree_unflatten(treedef, new)
+
+
+class StreamingPipeline:
+    """The composed online config-3 pipeline (BASELINE.json:configs[3]
+    "for online ASR"): front-end -> online Δ -> online ΔΔ -> optional
+    running CMVN, behind one ``process()/flush()`` pair.
+
+    Give it a full 39-dim config (e.g. ``KALDI39``) — the front-end runs
+    the base 13-dim pipeline internally, the two chained
+    :class:`StreamingDeltas` stages add Δ/ΔΔ with the standard
+    ``2*delta_window``-frame lookahead delay, and FIFO alignment emits
+    complete [base | Δ | ΔΔ] rows in stream order. Base columns are
+    bit-exact vs :func:`extract_scan` for hop-aligned plans; the chained
+    Δ/ΔΔ columns match the offline :func:`tpufeat.features.deltas`
+    operator to 1-ulp FMA-contraction noise (~6e-8 — XLA contracts the
+    i*(plus-minus) accumulation differently across chunk shapes; tested
+    end-to-end in tests/test_streaming_pipeline.py).
+
+    CMVN: utterance-global CMVN needs the whole utterance, which a live
+    stream does not have. ``cfg.cmvn != "none"`` therefore applies CAUSAL
+    running normalization (:func:`streaming_cmvn`, Welford stats over all
+    frames seen so far) — it converges to the utterance-global statistics
+    but early frames are normalized by early stats; see docs/STREAMING.md
+    for the divergence characterization. Pass ``cmvn="none"`` and
+    normalize offline for bit-parity with :func:`tpufeat.extract`.
+
+    Like every streaming wrapper here the internal state is pure pytrees +
+    host ints: ``state()``/``set_state()`` round-trip through
+    :func:`save_state`/:func:`load_state` for checkpoint/resume.
+    """
+
+    def __init__(self, cfg: FeatureConfig = None, batch_size: int = 1):
+        import dataclasses
+        from tpufeat.config import KALDI39
+        cfg = KALDI39 if cfg is None else cfg
+        if not cfg.deltas:
+            raise ValueError("StreamingPipeline is the deltas+CMVN "
+                             "composition; use StreamingFrontend for "
+                             "base-feature configs")
+        self.cfg = cfg
+        base_cfg = dataclasses.replace(cfg, deltas=False, cmvn="none")
+        _check_streamable(base_cfg)
+        self.frontend = StreamingFrontend(base_cfg, batch_size)
+        dim = base_cfg.feature_dim
+        w = cfg.delta_window
+        self.d1 = StreamingDeltas(dim, w, batch_size)
+        self.d2 = StreamingDeltas(dim, w, batch_size)
+        self.cmvn_stats = (init_cmvn(batch_size, cfg.feature_dim)
+                           if cfg.cmvn != "none" else None)
+        self._base_fifo = np.zeros((batch_size, 0, dim), np.float32)
+        self._d1_fifo = np.zeros((batch_size, 0, dim), np.float32)
+
+    def _emit(self, d2_rows: jnp.ndarray) -> jnp.ndarray:
+        """Pop n = d2_rows rows off both FIFOs and assemble [base|Δ|ΔΔ]."""
+        n = d2_rows.shape[1]
+        out_b, self._base_fifo = (self._base_fifo[:, :n],
+                                  self._base_fifo[:, n:])
+        out_d, self._d1_fifo = self._d1_fifo[:, :n], self._d1_fifo[:, n:]
+        out = jnp.concatenate([jnp.asarray(out_b), jnp.asarray(out_d),
+                               d2_rows], axis=-1)
+        if self.cmvn_stats is not None and n:
+            self.cmvn_stats, out = streaming_cmvn(
+                self.cmvn_stats, out, jnp.ones(out.shape[:2], bool),
+                norm_vars=(self.cfg.cmvn == "meanvar"))
+        return out
+
+    def process(self, chunk) -> jnp.ndarray:
+        """[B, C] (or [C]) raw samples -> [B, n, feature_dim] complete
+        rows (n lags the input by the 2*delta_window-frame lookahead)."""
+        chunk = jnp.asarray(chunk, jnp.float32)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        base, _ = self.frontend.process(chunk)
+        self._base_fifo = np.concatenate(
+            [self._base_fifo, np.asarray(base)], axis=1)
+        d1 = self.d1.process(base)
+        self._d1_fifo = np.concatenate(
+            [self._d1_fifo, np.asarray(d1)], axis=1)
+        return self._emit(self.d2.process(d1))
+
+    def flush(self) -> jnp.ndarray:
+        """End of stream: drain the delta lookaheads (2*delta_window rows
+        for streams longer than that) with offline edge replication."""
+        d1_tail = self.d1.flush()
+        self._d1_fifo = np.concatenate(
+            [self._d1_fifo, np.asarray(d1_tail)], axis=1)
+        d2_rows = jnp.concatenate(
+            [self.d2.process(d1_tail), self.d2.flush()], axis=1)
+        out = self._emit(d2_rows)
+        assert self._base_fifo.shape[1] == self._d1_fifo.shape[1] == 0, \
+            "FIFO accounting bug: rows left after flush"
+        return out
+
+    def reset(self) -> None:
+        b = self._base_fifo.shape[0]
+        self.__init__(self.cfg, b)
+
+    def state(self) -> dict:
+        """Full pipeline state as one pytree (host counters included) —
+        feed to :func:`save_state` for checkpoint/resume."""
+        return {
+            "frontend": self.frontend.state,
+            "d1": (self.d1.carry, self.d1.n_seen),
+            "d2": (self.d2.carry, self.d2.n_seen),
+            "cmvn": self.cmvn_stats,
+            "base_fifo": self._base_fifo,
+            "d1_fifo": self._d1_fifo,
+        }
+
+    def set_state(self, s: dict) -> None:
+        self.frontend.state = s["frontend"]
+        self.d1.carry, self.d1.n_seen = s["d1"][0], int(s["d1"][1])
+        self.d2.carry, self.d2.n_seen = s["d2"][0], int(s["d2"][1])
+        self.cmvn_stats = s["cmvn"]
+        self._base_fifo = np.asarray(s["base_fifo"])
+        self._d1_fifo = np.asarray(s["d1_fifo"])
