@@ -145,3 +145,83 @@ class TestDataParallel:
         # output stays sharded over the batch axis — no implicit gather
         shard_shapes = {s.data.shape for s in res.features.addressable_shards}
         assert all(s[0] == B // N_DEV for s in shard_shapes)
+
+
+FUSED = dict(use_pallas=True, gemm_dft=True, fused_framing=True)
+
+
+class TestFusedShardedBody:
+    """Round-3 VERDICT item 2: the shard body runs the SAME fully fused
+    signal-level kernel as single-chip production extract() whenever the
+    config's fused flags are set (interpret mode on this CPU mesh)."""
+
+    def test_mfcc13_fused_time_sharded(self):
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        n = sharding.shardable_length(2 * 16000, cfg, N_DEV)
+        sig = make_signal(n, seed=200)
+        got = np.asarray(sharding.extract_time_sharded(sig, cfg))
+        assert_close(got, one_shot(sig, cfg))
+
+    def test_whisper_fused_time_sharded(self):
+        cfg = dataclasses.replace(WHISPER80, **FUSED)
+        n = sharding.shardable_length(2 * 16000, cfg, N_DEV)
+        sig = make_signal(n, seed=201)
+        got = np.asarray(sharding.extract_time_sharded(sig, cfg))
+        assert_close(got, one_shot(sig, cfg), tol=2e-5)
+
+    def test_kaldi39_fused_time_sharded(self):
+        cfg = dataclasses.replace(KALDI39, **FUSED)
+        n = sharding.shardable_length(2 * 16000, cfg, N_DEV)
+        sig = make_signal(n, seed=202)
+        got = np.asarray(sharding.extract_time_sharded(sig, cfg))
+        assert_close(got, one_shot(sig, cfg))
+
+    def test_kaldi_mode_fused_time_sharded(self):
+        """kaldi_mode conditioning is folded into the kernel's DFT matrix
+        — the sharded fused body must match one-shot fused."""
+        cfg = dataclasses.replace(MFCC13_HTK, kaldi_mode=True,
+                                  window="povey", **FUSED)
+        n = sharding.shardable_length(16000, cfg, N_DEV)
+        sig = make_signal(n, seed=203)
+        got = np.asarray(sharding.extract_time_sharded(sig, cfg))
+        assert_close(got, one_shot(sig, cfg))
+
+    @pytest.mark.skipif(N_DEV < 4, reason="needs >=4 devices")
+    def test_fused_2d_mesh(self):
+        import jax
+        from jax.sharding import Mesh
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        devs = np.array(jax.devices()[:4]).reshape(2, 2)
+        mesh = Mesh(devs, ("dp", "time"))
+        n = sharding.shardable_length(16000, cfg, 2)
+        x = np.stack([make_signal(n, seed=210 + b) for b in range(2)])
+        res = sharding.extract_batch_time_sharded(
+            x, np.full((2,), n), cfg, mesh)
+        for b in range(2):
+            one = features.extract(x[b], cfg=cfg)
+            got = np.asarray(res.features[b])[np.asarray(res.mask[b])]
+            assert_close(got, np.asarray(one.features))
+
+
+class TestBatchTimeShardedNoRetrace:
+    @pytest.mark.skipif(N_DEV < 4, reason="needs >=4 devices")
+    def test_second_call_hits_cache(self):
+        """Round-3 fix for the 2-D twin of the round-2 DP retrace bug:
+        extract_batch_time_sharded must not rebuild shard_map + jit per
+        call."""
+        import jax
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[:4]).reshape(2, 2)
+        mesh = Mesh(devs, ("dp", "time"))
+        cfg = MFCC13_HTK
+        n = sharding.shardable_length(16000, cfg, 2)
+        x = np.stack([make_signal(n, seed=220 + b) for b in range(2)])
+        lens = np.full((2,), n)
+        sharding.extract_batch_time_sharded(x, lens, cfg, mesh)
+        fn = sharding._make_batch_time_sharded_fn(cfg, n // 2, mesh,
+                                                  "dp", "time")
+        before = fn._cache_size()
+        sharding.extract_batch_time_sharded(x, lens, cfg, mesh)
+        assert sharding._make_batch_time_sharded_fn(
+            cfg, n // 2, mesh, "dp", "time") is fn
+        assert fn._cache_size() == before == 1

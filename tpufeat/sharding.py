@@ -211,18 +211,30 @@ def extract_batch_time_sharded(signals, lengths, cfg: FeatureConfig,
                          "shard exact-length audio")
     lengths = jnp.asarray(lengths, jnp.int32)
     s_loc = n // n_time
+    nf = framing.num_frames_dynamic(lengths, cfg)
+    fn = _make_batch_time_sharded_fn(cfg, s_loc, mesh, dp_axis, time_axis)
+    feats = fn(x, nf)
+    mask = jnp.arange(feats.shape[1])[None, :] < nf[:, None]
+    return FeatureResult(feats, mask, nf)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_batch_time_sharded_fn(cfg: FeatureConfig, s_loc: int, mesh: Mesh,
+                                dp_axis: str, time_axis: str):
+    """One jitted 2-D (dp x time) extractor per (cfg, shard size, mesh) —
+    building a fresh shard_map + jax.jit wrapper per call would retrace
+    every time (the round-2 DP retrace bug's 2-D twin)."""
     body = functools.partial(_time_shard_body, cfg=cfg, s_loc=s_loc,
-                             f_loc=s_loc // hop, axis_name=time_axis)
+                             f_loc=s_loc // cfg.hop_length,
+                             axis_name=time_axis)
     fn = shard_map(
         jax.vmap(body),                      # vmap over the local batch rows
         mesh=mesh,
         in_specs=(P(dp_axis, time_axis), P(dp_axis)),
         out_specs=P(dp_axis, time_axis),
+        check_vma=False,   # pallas_call outputs carry no vma annotation
     )
-    nf = framing.num_frames_dynamic(lengths, cfg)
-    feats = jax.jit(fn)(x, nf)
-    mask = jnp.arange(feats.shape[1])[None, :] < nf[:, None]
-    return FeatureResult(feats, mask, nf)
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)
@@ -237,6 +249,7 @@ def _make_time_sharded_fn(cfg: FeatureConfig, n: int, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(axis_name), P()),
         out_specs=P(axis_name),
+        check_vma=False,   # pallas_call outputs carry no vma annotation
     )
     return jax.jit(fn)
 
@@ -279,15 +292,28 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
             # so ext[1] is exact on every device.
         ext = ext[1:]                                        # drop carry slot
 
-    frames = framing.frames_from_buffer(ext[None], f_loc, fl, hop)[0]
-    frames = framing.condition_frames(frames, cfg)
+    # ext is exactly a framing buffer (frame j covers ext[j*hop:j*hop+fl]),
+    # so the production configs run the same fully fused signal-level
+    # kernel as single-chip extract() — the staged path (frames
+    # materialized, spectro kernels per stage) is the fallback, measured
+    # ~3x slower at production batch (BASELINE.md round-1 rows)
+    use_fused = (cfg.use_pallas and cfg.gemm_dft and cfg.fused_framing
+                 and f_loc > 0)
+
+    def staged_frames():
+        frames = framing.frames_from_buffer(ext[None], f_loc, fl, hop)[0]
+        return framing.condition_frames(frames, cfg)
 
     # mel/log/dct — whisper normalization handled here with a global pmax
     if cfg.log == "whisper":
-        import dataclasses
-        pre_cfg = dataclasses.replace(cfg, log="log10", n_mfcc=0, lifter=0,
-                                      use_energy=False)
-        ls = spectro_pipeline(frames, mask, pre_cfg)         # log10 mel
+        if use_fused:
+            from tpufeat.pallas import fused
+            ls = fused.signal_features(ext[None], f_loc, cfg)[0]  # log10 mel
+        else:
+            import dataclasses
+            pre_cfg = dataclasses.replace(cfg, log="log10", n_mfcc=0,
+                                          lifter=0, use_energy=False)
+            ls = spectro_pipeline(staged_frames(), mask, pre_cfg)
         neg_inf = jnp.asarray(-jnp.inf, ls.dtype)
         local_max = jnp.max(jnp.where(mask[:, None], ls, neg_inf))
         gmax = jax.lax.pmax(local_max, axis_name)
@@ -298,9 +324,15 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
                                           dct_lifter)
             feat = dct_lifter(feat, cfg)
             if cfg.use_energy:
-                feat = _replace_c0_with_energy(feat, frames, cfg)
+                feat = _replace_c0_with_energy(feat, staged_frames(), cfg)
+    elif use_fused:
+        from tpufeat.pallas import fused
+        feat = fused.signal_features(ext[None], f_loc, cfg)[0]
+        if cfg.use_energy and cfg.n_mfcc > 0:
+            from tpufeat.features import _replace_c0_with_energy
+            feat = _replace_c0_with_energy(feat, staged_frames(), cfg)
     else:
-        feat = spectro_pipeline(frames, mask, cfg)
+        feat = spectro_pipeline(staged_frames(), mask, cfg)
 
     if cfg.deltas:
         d1 = _sharded_deltas(feat, total_valid, f_loc, cfg.delta_window,
