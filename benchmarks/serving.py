@@ -60,20 +60,22 @@ def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8,
     else:
         step = functools.partial(streaming.process_chunk_static,
                                  cfg=cfg, fill=f1)
+        # a REAL [K, B, C] ingest block: every scan step consumes a
+        # distinct chunk, so HBM read traffic is honest (round-3 VERDICT
+        # item 6 — the old loop re-read one [B, C] buffer K times). The
+        # block MUST be a jit argument: closing over it embeds K*B*6.4 KB
+        # as an HLO constant, bloating the remote-compile payload (HTTP
+        # 413 at B=32768 through the relay).
+        xk = jax.device_put(jnp.asarray(
+            (rng.standard_normal((scan_k, batch, chunk)) * 0.1
+             ).astype(np.float32)))
 
         @jax.jit
-        def one_scan(s, chunk):
-            # each scan step re-reads the same device-resident chunk — a
-            # real server would feed a [K, B, C] block instead. The chunk
-            # MUST be a jit argument: closing over it embeds ~B*6.4 KB as
-            # an HLO constant, bloating the remote-compile payload (HTTP
-            # 413 at B=32768 through the relay).
-            s, feats = jax.lax.scan(lambda st, _: step(st, chunk), s, None,
-                                    length=scan_k)
-            return s, feats
+        def one_scan(s, blk):
+            return jax.lax.scan(step, s, blk)
 
         def one(s):
-            return one_scan(s, x)
+            return one_scan(s, xk)
 
     @jax.jit
     def cks(t):

@@ -53,3 +53,52 @@ class TestPipeline:
         import pytest
         with pytest.raises(ValueError, match="resample"):
             list(pipeline.extract_corpus(str(d), MFCC13_HTK))
+
+    def test_stats_collection(self, tmp_path):
+        """Round-3 instrumentation: stats dict reports programs, padding
+        waste, decode/device split."""
+        d, sigs = _make_corpus(tmp_path, [16000, 7000, 23999, 16000, 4000])
+        stats = {}
+        out = dict(
+            (p, f) for p, f in pipeline.extract_corpus(
+                str(d), MFCC13_HTK, batch_size=2, stats=stats))
+        assert len(out) == 5
+        assert stats["files"] == 5
+        assert stats["batches"] >= 3          # 3 buckets at batch<=2
+        assert stats["n_programs"] >= 2       # >=2 distinct shapes
+        assert 0.0 <= stats["padding_waste"] < 0.45
+        assert stats["device_s"] > 0
+        assert stats["audio_s"] > 0
+
+    def test_partial_decode_failure_surfaces_file(self, tmp_path):
+        """A corrupt WAV inside a batch must raise an error naming the
+        file — the threaded/native loader must not silently yield garbage
+        for it (round-2 VERDICT weak item 7)."""
+        import pytest
+        d, _ = _make_corpus(tmp_path, [16000, 16000, 16000])
+        bad = d / "bad.wav"
+        good = open(str(d / "u0.wav"), "rb").read()
+        open(str(bad), "wb").write(good[:40])       # truncated mid-header
+        with pytest.raises(Exception) as ei:
+            list(pipeline.extract_corpus(str(d), MFCC13_HTK, batch_size=4))
+        assert "bad.wav" in str(ei.value)
+
+    def test_native_and_python_decode_agree(self, tmp_path):
+        """The native threaded arena loader and the Python fallback decode
+        the same corpus identically (when the native lib is available)."""
+        from tpufeat import cpp_golden
+        if not cpp_golden.available():
+            import pytest
+            pytest.skip("native loader not built")
+        d, _ = _make_corpus(tmp_path, [9000, 5000, 12345])
+        import os
+        paths = sorted(str(d / p) for p in os.listdir(d)
+                       if p.endswith(".wav"))
+        paths += sorted(str(d / "sub" / p) for p in os.listdir(d / "sub"))
+        arena, lengths, rates = cpp_golden.read_wav_batch(paths, 16000)
+        assert (lengths >= 0).all() and (rates == 16000).all()
+        for i, p in enumerate(paths):
+            s, r = io.read_wav(p)
+            assert r == 16000
+            np.testing.assert_array_equal(arena[i, : len(s)], s)
+            assert lengths[i] == len(s)

@@ -93,12 +93,20 @@ def _decode_batch(entries, width: int, sample_rate: int):
 
 
 def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
+                   stats: dict | None = None,
                    ) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (wav_path, features [F, D]) for every WAV under ``wav_dir``.
 
     Decode of batch k+1 overlaps batch k's device execution (one-deep
     prefetch thread). Batches are length-bucketed; padding frames are
-    stripped before yielding."""
+    stripped before yielding.
+
+    ``stats``: pass a dict to collect pipeline evidence (round-3 VERDICT
+    item 3): ``device_s`` (dispatch + fetch wall time), ``decode_wait_s``
+    (host blocked on WAV decode — 0 means the prefetch thread fully hid
+    I/O), ``n_programs`` (distinct compiled dispatch shapes),
+    ``padding_waste`` (fraction of padded samples that are padding), and
+    ``audio_s``/``files``/``batches``."""
     entries = _scan_corpus(wav_dir)
     if not entries:
         return
@@ -111,6 +119,9 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
     fn = features.make_extractor(cfg)
 
     result = {}
+    shapes = set()
+    device_s = decode_wait_s = 0.0
+    true_samples = padded_samples = 0
 
     def decode(i):
         batch_entries, width = plans[i]
@@ -119,23 +130,41 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
         except Exception as e:          # surfaced at the consuming pop —
             result[i] = e               # thread exceptions must not vanish
 
+    t0 = time.perf_counter()
     decode(0)
+    decode_wait_s += time.perf_counter() - t0   # batch 0 has nothing to hide
     for i, (batch_entries, width) in enumerate(plans):
         got = result.pop(i)
         if isinstance(got, Exception):
             raise got
         arena, lengths = got
+        shapes.add(arena.shape)
+        true_samples += int(lengths.sum())
+        padded_samples += arena.size
         t = None
         if i + 1 < len(plans):
             t = threading.Thread(target=decode, args=(i + 1,))
             t.start()                      # host decodes while device runs
+        t0 = time.perf_counter()
         res = fn(arena, lengths)
         feats = np.asarray(res.features)
         nf = np.asarray(res.num_frames)
+        device_s += time.perf_counter() - t0
         for b, e in enumerate(batch_entries):
             yield e[0], feats[b, : nf[b]]
         if t is not None:
-            t.join()
+            t0 = time.perf_counter()
+            t.join()                       # any remaining decode time was
+            decode_wait_s += time.perf_counter() - t0   # NOT hidden
+    if stats is not None:
+        stats.update(
+            files=len(entries), batches=len(plans),
+            audio_s=round(true_samples / cfg.sample_rate, 1),
+            device_s=round(device_s, 4),
+            decode_wait_s=round(decode_wait_s, 4),
+            n_programs=len(shapes),
+            padding_waste=round(1.0 - true_samples / max(padded_samples, 1),
+                                4))
 
 
 def main(argv=None) -> int:
@@ -157,15 +186,18 @@ def main(argv=None) -> int:
                                   matmul_precision="bf16x3")
     t0 = time.perf_counter()
     out = {}
-    for path, feats in extract_corpus(args.wav_dir, cfg, args.batch):
+    stats: dict = {}
+    for path, feats in extract_corpus(args.wav_dir, cfg, args.batch,
+                                      stats=stats):
         out[os.path.relpath(path, args.wav_dir)] = feats
+    dt = time.perf_counter() - t0          # extraction wall (excl. savez)
     np.savez(args.out_npz, **out)
-    dt = time.perf_counter() - t0
     audio_s = sum(f.shape[0] for f in out.values()) * cfg.hop_length \
         / cfg.sample_rate
     print(json.dumps({"files": len(out), "audio_s": round(audio_s, 1),
                       "wall_s": round(dt, 3),
-                      "rtfx": round(audio_s / max(dt, 1e-9), 1)}))
+                      "rtfx": round(audio_s / max(dt, 1e-9), 1),
+                      **stats}))
     print(f"wrote {args.out_npz}: {len(out)} utterances", file=sys.stderr)
     return 0
 
