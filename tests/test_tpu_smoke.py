@@ -304,3 +304,122 @@ class TestShardingDegenerate:
         want = features.extract(x, lens, MFCC13_HTK)
         assert np.abs(np.asarray(got.features)
                       - np.asarray(want.features)).max() < 2e-5
+
+
+class TestAuxOnChip:
+    """Round-3 sideways growth of the on-chip matrix (VERDICT item 9):
+    resampling, interchange formats, the corpus pipeline, the composed
+    online pipeline, the fused sharded body, and augmentation — all on
+    hardware, not just the CPU mesh."""
+
+    def test_resample_8k_to_16k_parity(self):
+        import math
+        import scipy.signal
+        from tpufeat import resampling
+        sig = make_signal(8137, seed=301)
+        got = np.asarray(resampling.resample(sig, 8000, 16000))
+        want = scipy.signal.resample_poly(sig.astype(np.float64), 2, 1)
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(got - want).max() / scale < 2e-5
+
+    def test_resample_44k1_to_16k_parity(self):
+        import scipy.signal
+        from tpufeat import resampling
+        sig = make_signal(44100 // 2, seed=302)
+        got = np.asarray(resampling.resample(sig, 44100, 16000))
+        want = scipy.signal.resample_poly(sig.astype(np.float64), 160, 441)
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(got - want).max() / scale < 2e-5
+
+    def test_feats_io_round_trip_on_chip(self, tmp_path):
+        """On-chip fused features -> HTK + ark files -> read back exact
+        (f32 -> big-endian f32 -> f32 is lossless)."""
+        from tpufeat import feats_io
+        cfg = dataclasses.replace(KALDI39, **FUSED)
+        sig = make_signal(16000, seed=303)
+        feats = np.asarray(features.extract(sig, cfg=cfg).features)
+        htk = str(tmp_path / "u.htk")
+        feats_io.write_htk(htk, feats_io.to_htk_order(feats, 13),
+                           kind=feats_io.parm_kind(
+                               feats_io.HTK_MFCC, "0", "D", "A", "Z"))
+        got, shift, _ = feats_io.read_htk(htk)
+        np.testing.assert_array_equal(
+            feats_io.from_htk_order(got, 13), feats)
+        ark = str(tmp_path / "u.ark")
+        feats_io.write_kaldi_ark(ark, {"u": feats})
+        np.testing.assert_array_equal(
+            feats_io.read_kaldi_ark(ark)["u"], feats)
+
+    def test_corpus_pipeline_fused_on_chip(self, tmp_path):
+        """extract_corpus with production flags on hardware: output
+        matches direct extract per file; stats populated."""
+        from tpufeat import io as tio, pipeline
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        d = tmp_path / "wavs"
+        d.mkdir()
+        lens = [16000, 9000, 23999, 12000, 16000, 7001]
+        for i, n in enumerate(lens):
+            tio.write_wav(str(d / f"u{i}.wav"),
+                          make_signal(n, seed=310 + i), 16000)
+        stats = {}
+        got = dict(pipeline.extract_corpus(str(d), cfg, batch_size=3,
+                                           stats=stats))
+        assert len(got) == len(lens)
+        assert stats["device_s"] > 0 and stats["n_programs"] >= 2
+        for i, n in enumerate(lens):
+            x, _ = tio.read_wav(str(d / f"u{i}.wav"))
+            want = np.asarray(features.extract(x, cfg=cfg).features)
+            np.testing.assert_allclose(got[str(d / f"u{i}.wav")], want,
+                                       atol=2e-5)
+
+    def test_streaming_pipeline_online39_on_chip(self):
+        """The composed online config-3 pipeline on hardware vs offline."""
+        cfg = dataclasses.replace(KALDI39, cmvn="none", **FUSED)
+        x = (np.random.default_rng(320).standard_normal((2, 24000))
+             * 0.1).astype(np.float32)
+        pipe = streaming.StreamingPipeline(cfg, batch_size=2)
+        outs = [np.asarray(pipe.process(x[:, p: p + 4800]))
+                for p in range(0, 24000, 4800)]
+        outs.append(np.asarray(pipe.flush()))
+        got = np.concatenate(outs, axis=1)
+        want = np.asarray(features.extract(x, cfg=cfg).features)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 5e-4   # bf16x3 cross-path noise
+
+    def test_fused_time_sharded_one_device(self):
+        """The production-kernel shard body (round-3 VERDICT item 2) on
+        hardware — 1-device mesh degenerate, must match one-shot."""
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        mesh = sharding.default_mesh("time", jax.devices()[:1])
+        n = sharding.shardable_length(4 * 16000, cfg, 1)
+        sig = make_signal(n, seed=321)
+        got = np.asarray(sharding.extract_time_sharded(sig, cfg, mesh=mesh))
+        want = np.asarray(features.extract(sig, cfg=cfg).features)
+        assert np.abs(got - want).max() < 2e-5
+
+    def test_spec_augment_on_chip(self):
+        from tpufeat import augment
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        x = np.stack([make_signal(16000, seed=330),
+                      make_signal(16000, seed=331)])
+        res = features.extract(x, cfg=cfg)
+        aug = augment.spec_augment(res.features, res.num_frames,
+                                   jax.random.key(0))
+        a, f = np.asarray(aug), np.asarray(res.features)
+        assert a.shape == f.shape
+        assert not np.array_equal(a, f)          # masks applied
+        changed = np.any(a != f, axis=-1)
+        nf = np.asarray(res.num_frames)
+        for b in range(2):                        # never beyond valid frames
+            assert not changed[b, nf[b]:].any()
+
+    def test_energy_vad_on_chip(self):
+        from tpufeat import augment
+        sil = np.zeros(8000, np.float32)
+        speech = make_signal(8000, seed=332)
+        x = np.concatenate([sil, speech])[None]
+        mask = np.asarray(augment.energy_vad(x, np.array([16000])))
+        F = MFCC13_HTK.num_frames(16000)
+        assert mask.shape == (1, F)
+        assert mask[0, 60:].mean() > 0.5          # speech half active
+        assert mask[0, :40].mean() < 0.2          # silence half quiet
