@@ -2,9 +2,9 @@
 
 BASELINE.md documents an upstream XLA:TPU miscompilation at [256, 480000]:
 ~8% of frames corrupt in a 33-frame periodic pattern, every sub-stage
-clean in isolation. The public API now guards on ERRATUM_SAFE_SAMPLES
-(B*N per dispatch); this script maps where corruption actually occurs so
-the guard threshold is measured, not guessed:
+clean in isolation. The public API guards on a
+measured-clean region (features._single_program_safe); this script maps
+where corruption actually occurs so the guard is measured, not guessed:
 
 - batch extent at 30 s (250..512 rows),
 - length-dependence at fixed B*N (128x60 s vs 256x30 s),
@@ -40,6 +40,13 @@ POINTS = [                      # (B, seconds) in priority order
     (512, 15),                  # revalidate the clean 15 s column
     (256, 60),                  # far region
     (1, 7200),                  # single 2 h row (guard exempts B=1)
+    # round-1 results localized corruption to a B~=256 band (250/252/320
+    # clean, 256x{24,30} corrupt, 128x60 s clean at identical B*N): pin
+    # the band's row-extent edges and its length extent.
+    (254, 30), (255, 30),       # lower edge (clean at 252)
+    (257, 30), (264, 30), (288, 30),   # upper edge (clean at 320)
+    (256, 15), (256, 20),       # shortest corrupt length at B=256
+    (256, 8),
 ]
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(

@@ -44,9 +44,11 @@ def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8,
     cfg = _cfg(fused)
     f1 = streaming.next_fill(0, chunk, cfg)
     assert streaming.next_fill(f1, chunk, cfg) == f1
-    rng = np.random.default_rng(0)
-    x = jax.device_put(jnp.asarray(
-        (rng.standard_normal((batch, chunk)) * 0.1).astype(np.float32)))
+    # device-generated: a host standard_normal + device_put is a
+    # 420 MB relay transfer at B=65536 (630 MB at 98304)
+    x = jax.jit(lambda k: 0.1 * jax.random.normal(
+        k, (batch, chunk), jnp.float32))(jax.random.key(1))
+    x.block_until_ready()
 
     # steady-state warm start (fill == f1)
     state, _ = streaming.make_stream_fn_static(cfg, 0)(
@@ -65,10 +67,12 @@ def measure(batch: int, chunk: int, iters: int = 20, chain: int = 8,
         # item 6 — the old loop re-read one [B, C] buffer K times). The
         # block MUST be a jit argument: closing over it embeds K*B*6.4 KB
         # as an HLO constant, bloating the remote-compile payload (HTTP
-        # 413 at B=32768 through the relay).
-        xk = jax.device_put(jnp.asarray(
-            (rng.standard_normal((scan_k, batch, chunk)) * 0.1
-             ).astype(np.float32)))
+        # 413 at B=32768 through the relay). Generated ON device: the
+        # host-side equivalent is a multi-GB relay transfer at B>=32768
+        # (timed out in practice); timing only needs distinct HBM reads.
+        xk = jax.jit(lambda k: 0.1 * jax.random.normal(
+            k, (scan_k, batch, chunk), jnp.float32))(jax.random.key(0))
+        xk.block_until_ready()
 
         @jax.jit
         def one_scan(s, blk):
@@ -118,7 +122,8 @@ def main(argv=None):
 
     rows = []
     best = 0
-    for batch in (64, 256, 1024, 4096, 8192, 16384, 32768, 65536):
+    for batch in (64, 256, 1024, 4096, 8192, 16384, 32768, 65536,
+                  98304, 131072):
         dt = measure(batch, chunk, iters=args.iters, scan_k=args.scan,
                      fused=not args.no_fused)
         rt = dt <= budget

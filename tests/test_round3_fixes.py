@@ -19,23 +19,38 @@ from tpufeat.config import KALDI39, MFCC13_HTK
 
 class TestErratumGuardMechanics:
     def test_rows_per_dispatch_balanced(self):
-        # 256 x 30 s must split 128+128, not 248+8
+        # 256 x 30 s must split 128+128, not 252+4
         assert features._rows_per_dispatch(256, 480000) == 128
-        assert features._rows_per_dispatch(250, 480000) == 125
-        # one row per dispatch when a single row fills the envelope
+        # 512 x 30 s: three balanced dispatches under the 252-row cap
+        assert features._rows_per_dispatch(512, 480000) == 171
+        # one row per dispatch when a single row fills the clean region
         assert features._rows_per_dispatch(
-            3, features.ERRATUM_SAFE_SAMPLES) == 1
+            3, features.ERRATUM_MAX_TOTAL) == 1
 
-    def test_rows_per_dispatch_stays_in_envelope(self):
-        for b in (249, 256, 300, 511, 512, 1000):
-            r = features._rows_per_dispatch(b, 480000)
-            assert r * 480000 <= features.ERRATUM_SAFE_SAMPLES
-            assert 1 <= r <= b
+    def test_rows_per_dispatch_stays_in_clean_region(self):
+        for b in (256, 300, 511, 512, 1000):
+            for n in (480000, 960000, 240000, 1600):
+                r = features._rows_per_dispatch(b, n)
+                assert 1 <= r <= b
+                assert features._single_program_safe((r, n))
+                if b % r:                    # the smaller remainder dispatch
+                    assert features._single_program_safe((b % r, n))
 
     def test_safe_predicate(self):
-        s = features.ERRATUM_SAFE_SAMPLES
+        # measured-clean points stay single-program
         assert features._single_program_safe((248, 480000))
+        assert features._single_program_safe((252, 480000))
+        assert features._single_program_safe((128, 960000))
+        assert features._single_program_safe((512, 240000))   # 512 x 15 s
+        # measured-corrupt points route to row-splitting
         assert not features._single_program_safe((256, 480000))
+        assert not features._single_program_safe((256, 384000))  # 24 s
+        assert not features._single_program_safe((384, 480000))
+        # unmeasured territory beyond the clean region splits conservatively
+        # (320 x 30 s probed clean once, but B > 252 at long N is where the
+        # corrupt points live — splitting is exact and ~free)
+        assert not features._single_program_safe((320, 480000))
+        s = features.ERRATUM_MAX_TOTAL
         # single rows are never split (no known single-row corruption;
         # row-splitting could not help anyway)
         assert features._single_program_safe((1, 10 * s))
@@ -49,7 +64,7 @@ class TestErratumGuardMechanics:
         x = (rng.standard_normal((6, 4000)) * 0.1).astype(np.float32)
         lens = np.array([4000, 3500, 1200, 4000, 2000, 399], np.int32)
         want = features.extract(x, lens, MFCC13_HTK, single_program=True)
-        monkeypatch.setattr(features, "ERRATUM_SAFE_SAMPLES", 2 * 4000)
+        monkeypatch.setattr(features, "ERRATUM_SHORT_TOTAL", 2 * 4000)
         assert not features._single_program_safe(x.shape)
         got = features.extract(x, lens, MFCC13_HTK)      # auto-routed
         assert got.features.shape == want.features.shape
@@ -68,7 +83,7 @@ class TestErratumGuardMechanics:
         x = (rng.standard_normal((4, 4000)) * 0.1).astype(np.float32)
         lens = np.full((4,), 4000, np.int32)
         want = features.extract(x, lens, KALDI39, single_program=True)
-        monkeypatch.setattr(features, "ERRATUM_SAFE_SAMPLES", 4000)
+        monkeypatch.setattr(features, "ERRATUM_SHORT_TOTAL", 4000)
         got = features.make_extractor(KALDI39)(x, lens)  # 1-row dispatches
         np.testing.assert_allclose(np.asarray(got.features),
                                    np.asarray(want.features),
@@ -129,7 +144,7 @@ class TestDitherRngPlumbing:
     def test_guard_plus_dither_compose(self, monkeypatch):
         """Auto-routed extract() with dither splits the key per slice."""
         x, lens = self._sig(b=4)
-        monkeypatch.setattr(features, "ERRATUM_SAFE_SAMPLES", 2 * 4000)
+        monkeypatch.setattr(features, "ERRATUM_SHORT_TOTAL", 2 * 4000)
         res = features.extract(x, lens, self.DITHER, rng=jax.random.key(9))
         assert res.features.shape[0] == 4
         with pytest.raises(ValueError, match="PRNG"):

@@ -285,29 +285,46 @@ def _split_worthwhile(cfg: FeatureConfig, shape) -> bool:
 
 # --- large-batch erratum guard (BASELINE.md "Large-batch erratum") ---
 # The current XLA:TPU toolchain miscompiles sufficiently large single
-# programs: [256, 480000] pipelines silently corrupt ~8% of frames while
-# every sub-stage validates clean in isolation. The public API must never
-# return wrong numbers without an error, so extract()/make_extractor()
-# auto-route any batch whose single dispatch would leave the envelope
-# validated clean through exact row-splitting (the pipeline has no
-# cross-utterance coupling). The envelope is expressed in raw samples per
-# dispatch (B*N): 248x30 s = 119,040,000 is the largest clean point
-# measured; the corrupt point is 122,880,000. Mapped on chip by
-# benchmarks/experiments/erratum_envelope.py; re-probe after toolchain
-# updates (tests/test_tpu_smoke.py::TestLargeBatchErratum flips to pass).
-ERRATUM_SAFE_SAMPLES = 119_040_000
+# programs: [256, 480000] and [384, 480000] pipelines silently corrupt
+# ~8% of frames while every sub-stage validates clean in isolation. The
+# public API must never return wrong numbers without an error, so
+# extract()/make_extractor() auto-route any batch whose single dispatch
+# would leave the measured-clean region through exact row-splitting (the
+# pipeline has no cross-utterance coupling). The clean region, mapped on
+# chip by benchmarks/experiments/erratum_envelope.py (full table in
+# BASELINE.md — corruption is NOT a simple sample-count threshold:
+# 256x24 s corrupts at 98M samples while 320x30 s ran clean at 154M):
+#   - any single row (row-splitting could not help anyway);
+#   - batch <= 252 rows up to 122,880,000 total samples (252x30 s and
+#     128x60 s / 64x120 s measured clean; 256x{24,30} s corrupt);
+#   - short rows (<= 15 s) up to 512x15 s total (measured clean).
+# Both sub-regions are downward-closed in B, so balanced row-splitting
+# with per-dispatch shapes inside the region is always safe. Re-probe
+# after toolchain updates (tests/test_tpu_smoke.py::TestLargeBatchErratum
+# flips to pass).
+ERRATUM_MAX_ROWS = 252               # largest clean batch at >15 s rows
+ERRATUM_MAX_TOTAL = 122_880_000      # 128 x 60 s == 64 x 120 s
+ERRATUM_SHORT_ROW = 240_000          # 15 s at 16 kHz
+ERRATUM_SHORT_TOTAL = 122_880_000    # 512 x 15 s
 
 
 def _single_program_safe(shape) -> bool:
     B, N = shape
-    return B <= 1 or B * N <= ERRATUM_SAFE_SAMPLES
+    if B <= 1:
+        return True
+    if N <= ERRATUM_SHORT_ROW:
+        return B * N <= ERRATUM_SHORT_TOTAL
+    return B <= ERRATUM_MAX_ROWS and B * N <= ERRATUM_MAX_TOTAL
 
 
 def _rows_per_dispatch(B: int, N: int) -> int:
     """Largest balanced row count keeping every dispatch inside the
-    validated envelope (256x30 s -> 128+128, not 248+8)."""
-    r = max(1, min(B, ERRATUM_SAFE_SAMPLES // max(N, 1)))
-    n_splits = -(-B // r)
+    measured-clean region (256x30 s -> 128+128, not 252+4)."""
+    if N <= ERRATUM_SHORT_ROW:
+        cap = max(1, ERRATUM_SHORT_TOTAL // max(N, 1))
+    else:
+        cap = max(1, min(ERRATUM_MAX_ROWS, ERRATUM_MAX_TOTAL // N))
+    n_splits = -(-B // min(B, cap))
     return -(-B // n_splits)
 
 
@@ -338,7 +355,7 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
       rng: PRNG key, required iff ``cfg.dither > 0``.
       single_program: None (default) auto-routes batches outside the
         erratum-validated envelope through exact row-splitting
-        (ERRATUM_SAFE_SAMPLES); True forces one compiled program (the raw
+        (_single_program_safe); True forces one compiled program (the raw
         path — only for erratum tracking); False forces row-splitting.
 
     Returns a :class:`FeatureResult`; for 1-D input the batch axis is
@@ -467,7 +484,7 @@ def extract_chunked(signal, lengths, cfg: FeatureConfig = MFCC13_HTK,
     programs — every sub-component validates clean in isolation). 128-row
     dispatches are the validated-safe production shape — and what plain
     :func:`extract` now auto-routes through outside the validated envelope
-    (ERRATUM_SAFE_SAMPLES).
+    (_single_program_safe).
 
     ``rng``: PRNG key for ``cfg.dither > 0`` configs; split into one
     independent key per row slice."""
@@ -492,7 +509,7 @@ def make_extractor(cfg: FeatureConfig, donate: bool = False):
     program on the current XLA:TPU toolchain (features_impl docstring);
     small calls keep one program to avoid the extra ~2 ms relay dispatch
     (_split_worthwhile). Batches outside the erratum-validated envelope
-    (ERRATUM_SAFE_SAMPLES) are row-split exactly, like :func:`extract`."""
+    (_single_program_safe) are row-split exactly, like :func:`extract`."""
     one = jax.jit(functools.partial(extract_impl, cfg=cfg),
                   donate_argnums=(0,) if donate else ())
     if cfg.deltas:

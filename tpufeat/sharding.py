@@ -211,10 +211,8 @@ def extract_batch_time_sharded(signals, lengths, cfg: FeatureConfig,
                          "shard exact-length audio")
     lengths = jnp.asarray(lengths, jnp.int32)
     s_loc = n // n_time
-    nf = framing.num_frames_dynamic(lengths, cfg)
     fn = _make_batch_time_sharded_fn(cfg, s_loc, mesh, dp_axis, time_axis)
-    feats = fn(x, nf)
-    mask = jnp.arange(feats.shape[1])[None, :] < nf[:, None]
+    feats, mask, nf = fn(x, lengths)
     return FeatureResult(feats, mask, nf)
 
 
@@ -227,13 +225,24 @@ def _make_batch_time_sharded_fn(cfg: FeatureConfig, s_loc: int, mesh: Mesh,
     body = functools.partial(_time_shard_body, cfg=cfg, s_loc=s_loc,
                              f_loc=s_loc // cfg.hop_length,
                              axis_name=time_axis)
-    fn = shard_map(
+    smfn = shard_map(
         jax.vmap(body),                      # vmap over the local batch rows
         mesh=mesh,
         in_specs=(P(dp_axis, time_axis), P(dp_axis)),
         out_specs=P(dp_axis, time_axis),
         check_vma=False,   # pallas_call outputs carry no vma annotation
     )
+
+    def fn(x, lengths):
+        # frame counts + mask live INSIDE the jit: each eager op outside
+        # would be a separate ~2 ms relay dispatch per call (BASELINE.md
+        # dispatch floor), which at production batch is the same order as
+        # the extraction itself
+        nf = framing.num_frames_dynamic(lengths, cfg)
+        feats = smfn(x, nf)
+        mask = jnp.arange(feats.shape[1])[None, :] < nf[:, None]
+        return feats, mask, nf
+
     return jax.jit(fn)
 
 
