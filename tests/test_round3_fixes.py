@@ -41,15 +41,19 @@ class TestErratumGuardMechanics:
         assert features._single_program_safe((248, 480000))
         assert features._single_program_safe((252, 480000))
         assert features._single_program_safe((128, 960000))
-        assert features._single_program_safe((512, 240000))   # 512 x 15 s
         # measured-corrupt points route to row-splitting
         assert not features._single_program_safe((256, 480000))
         assert not features._single_program_safe((256, 384000))  # 24 s
         assert not features._single_program_safe((384, 480000))
+        assert not features._single_program_safe((512, 240000))  # 15 s
         # unmeasured territory beyond the clean region splits conservatively
         # (320 x 30 s probed clean once, but B > 252 at long N is where the
         # corrupt points live — splitting is exact and ~free)
         assert not features._single_program_safe((320, 480000))
+        # small many-stream dispatches stay single-shot (tiny-total
+        # exemption, 6x under the smallest corrupt point)
+        assert features._single_program_safe((1024, 1600))
+        assert not features._single_program_safe((65536, 1600))
         s = features.ERRATUM_MAX_TOTAL
         # single rows are never split (no known single-row corruption;
         # row-splitting could not help anyway)
@@ -64,7 +68,8 @@ class TestErratumGuardMechanics:
         x = (rng.standard_normal((6, 4000)) * 0.1).astype(np.float32)
         lens = np.array([4000, 3500, 1200, 4000, 2000, 399], np.int32)
         want = features.extract(x, lens, MFCC13_HTK, single_program=True)
-        monkeypatch.setattr(features, "ERRATUM_SHORT_TOTAL", 2 * 4000)
+        monkeypatch.setattr(features, "ERRATUM_TINY_TOTAL", 2 * 4000)
+        monkeypatch.setattr(features, "ERRATUM_MAX_TOTAL", 2 * 4000)
         assert not features._single_program_safe(x.shape)
         got = features.extract(x, lens, MFCC13_HTK)      # auto-routed
         assert got.features.shape == want.features.shape
@@ -83,7 +88,8 @@ class TestErratumGuardMechanics:
         x = (rng.standard_normal((4, 4000)) * 0.1).astype(np.float32)
         lens = np.full((4,), 4000, np.int32)
         want = features.extract(x, lens, KALDI39, single_program=True)
-        monkeypatch.setattr(features, "ERRATUM_SHORT_TOTAL", 4000)
+        monkeypatch.setattr(features, "ERRATUM_TINY_TOTAL", 4000)
+        monkeypatch.setattr(features, "ERRATUM_MAX_TOTAL", 4000)
         got = features.make_extractor(KALDI39)(x, lens)  # 1-row dispatches
         np.testing.assert_allclose(np.asarray(got.features),
                                    np.asarray(want.features),
@@ -144,7 +150,8 @@ class TestDitherRngPlumbing:
     def test_guard_plus_dither_compose(self, monkeypatch):
         """Auto-routed extract() with dither splits the key per slice."""
         x, lens = self._sig(b=4)
-        monkeypatch.setattr(features, "ERRATUM_SHORT_TOTAL", 2 * 4000)
+        monkeypatch.setattr(features, "ERRATUM_TINY_TOTAL", 2 * 4000)
+        monkeypatch.setattr(features, "ERRATUM_MAX_TOTAL", 2 * 4000)
         res = features.extract(x, lens, self.DITHER, rng=jax.random.key(9))
         assert res.features.shape[0] == 4
         with pytest.raises(ValueError, match="PRNG"):

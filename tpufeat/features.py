@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpufeat import framing, matrices, spectrum
+from tpufeat import framing, matrices, plp, spectrum
 from tpufeat.config import MFCC13_HTK, FeatureConfig
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -176,6 +176,11 @@ def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
                         frames.dtype)
         spec = spectrum.power_spectrum_rfft(frames * w, cfg)
         feat = mel_log_dct_xla(spec, mask, cfg)
+    if cfg.plp_order > 0:
+        # PLP consumes the raw filterbank energies the kernels just
+        # produced (log="none" is enforced by the config); the tail is
+        # frame-local VPU work, negligible next to the spectro stage
+        feat = plp.plp_from_energies(feat, cfg)
     if cfg.use_energy and cfg.n_mfcc > 0:
         feat = _replace_c0_with_energy(feat, frames, cfg)
     return feat
@@ -223,6 +228,8 @@ def features_impl(x: jnp.ndarray, lengths: jnp.ndarray,
             feat = whisper_normalize(feat, mask)
             if cfg.n_mfcc > 0:
                 feat = dct_lifter(feat, cfg)
+        if cfg.plp_order > 0:
+            feat = plp.plp_from_energies(feat, cfg)
         if cfg.use_energy and cfg.n_mfcc > 0:
             frames = framing.frames_from_buffer(
                 buf, F, cfg.frame_length, cfg.hop_length)
@@ -293,37 +300,37 @@ def _split_worthwhile(cfg: FeatureConfig, shape) -> bool:
 # pipeline has no cross-utterance coupling). The clean region, mapped on
 # chip by benchmarks/experiments/erratum_envelope.py (full table in
 # BASELINE.md — corruption is NOT a simple sample-count threshold:
-# 256x24 s corrupts at 98M samples while 320x30 s ran clean at 154M):
+# 256x24 s corrupts at 98M samples while 320x30 s ran clean at 154M, and
+# NOT confined to long rows: 512x15 s corrupts too, despite a round-2
+# probe of the same shape running clean on the pre-v5-kernel program —
+# the envelope is program-dependent, so only same-toolchain measurements
+# count):
 #   - any single row (row-splitting could not help anyway);
 #   - batch <= 252 rows up to 122,880,000 total samples (252x30 s and
-#     128x60 s / 64x120 s measured clean; 256x{24,30} s corrupt);
-#   - short rows (<= 15 s) up to 512x15 s total (measured clean).
-# Both sub-regions are downward-closed in B, so balanced row-splitting
-# with per-dispatch shapes inside the region is always safe. Re-probe
-# after toolchain updates (tests/test_tpu_smoke.py::TestLargeBatchErratum
-# flips to pass).
-ERRATUM_MAX_ROWS = 252               # largest clean batch at >15 s rows
+#     128x60 s / 64x120 s measured clean; 256/384/512 x 30 s corrupt);
+#   - any batch up to a tiny per-dispatch total, far below the smallest
+#     corrupt point (98.3M) — keeps small many-stream calls single-shot.
+# The region is downward-closed in B, so balanced row-splitting with
+# per-dispatch shapes inside it is always safe. Re-probe after toolchain
+# updates (tests/test_tpu_smoke.py::TestLargeBatchErratum flips to pass).
+ERRATUM_MAX_ROWS = 252               # largest measured-clean batch extent
 ERRATUM_MAX_TOTAL = 122_880_000      # 128 x 60 s == 64 x 120 s
-ERRATUM_SHORT_ROW = 240_000          # 15 s at 16 kHz
-ERRATUM_SHORT_TOTAL = 122_880_000    # 512 x 15 s
+ERRATUM_TINY_TOTAL = 16_000_000      # ~1000 s of audio; 6x under the
+#                                      smallest corrupt point measured
 
 
 def _single_program_safe(shape) -> bool:
     B, N = shape
-    if B <= 1:
+    if B <= 1 or B * N <= ERRATUM_TINY_TOTAL:
         return True
-    if N <= ERRATUM_SHORT_ROW:
-        return B * N <= ERRATUM_SHORT_TOTAL
     return B <= ERRATUM_MAX_ROWS and B * N <= ERRATUM_MAX_TOTAL
 
 
 def _rows_per_dispatch(B: int, N: int) -> int:
     """Largest balanced row count keeping every dispatch inside the
     measured-clean region (256x30 s -> 128+128, not 252+4)."""
-    if N <= ERRATUM_SHORT_ROW:
-        cap = max(1, ERRATUM_SHORT_TOTAL // max(N, 1))
-    else:
-        cap = max(1, min(ERRATUM_MAX_ROWS, ERRATUM_MAX_TOTAL // N))
+    cap = max(1, min(ERRATUM_MAX_ROWS, ERRATUM_MAX_TOTAL // max(N, 1)),
+              ERRATUM_TINY_TOTAL // max(N, 1))
     n_splits = -(-B // min(B, cap))
     return -(-B // n_splits)
 
