@@ -151,6 +151,127 @@ long tpufeat_mfcc_f64(const double* signal, long n, int sample_rate,
   return n_frames;
 }
 
+// Full PLP pipeline (beyond-reference family; conventions documented in
+// tpufeat/plp.py): signal-level pre-emphasis, Hamming window, HTK
+// integer-bin mel filterbank energies, equal-loudness weighting at band
+// centers, (.)^compress power law, even-symmetric IDFT autocorrelation,
+// Levinson-Durbin, LPC-to-cepstrum; c0 = ln(residual energy); optional
+// sinusoidal lifter over all order+1 outputs. `out` must hold
+// num_frames * (order+1) doubles. Returns the frame count.
+long tpufeat_plp_f64(const double* signal, long n, int sample_rate,
+                     int frame_len, int hop, int n_fft, double preemph,
+                     int n_mels, int order, double fmin, double fmax,
+                     double log_floor, double compress, int lifter,
+                     double* out) {
+  const long n_frames = tpufeat_num_frames(n, frame_len, hop);
+  if (n_frames <= 0) return 0;
+  const int n_bins = n_fft / 2 + 1;
+  const int dim = order + 1;
+
+  std::vector<double> y(n);
+  y[0] = signal[0];
+  for (long t = 1; t < n; ++t) y[t] = signal[t] - preemph * signal[t - 1];
+
+  std::vector<double> win(frame_len);
+  for (int i = 0; i < frame_len; ++i)
+    win[i] = 0.54 - 0.46 * std::cos(2.0 * kPi * i / (frame_len - 1));
+
+  // HTK mel filterbank (integer-bin triangles) + band-center equal loudness
+  std::vector<double> fb(static_cast<size_t>(n_bins) * n_mels, 0.0);
+  std::vector<double> eql(n_mels);
+  {
+    const double mlo = hz_to_mel(fmin), mhi = hz_to_mel(fmax);
+    std::vector<long> bins(n_mels + 2);
+    for (int m = 0; m < n_mels + 2; ++m) {
+      const double f = mel_to_hz(mlo + (mhi - mlo) * m / (n_mels + 1));
+      bins[m] = static_cast<long>(std::floor((n_fft + 1) * f / sample_rate));
+      if (m >= 1 && m <= n_mels) {
+        const double f2 = f * f;
+        const double t1 = f2 / (f2 + 1.6e5);
+        eql[m - 1] = t1 * t1 * (f2 + 1.44e6) / (f2 + 9.61e6);
+      }
+    }
+    for (int m = 0; m < n_mels; ++m) {
+      for (long k = bins[m]; k < bins[m + 1]; ++k)
+        if (bins[m + 1] > bins[m])
+          fb[k * n_mels + m] =
+              static_cast<double>(k - bins[m]) / (bins[m + 1] - bins[m]);
+      for (long k = bins[m + 1]; k < bins[m + 2]; ++k)
+        if (bins[m + 2] > bins[m + 1])
+          fb[k * n_mels + m] =
+              static_cast<double>(bins[m + 2] - k) / (bins[m + 2] - bins[m + 1]);
+    }
+  }
+
+  // IDFT-to-autocorrelation matrix [n_mels+2 x order+1] (even-symmetric
+  // extension of period 2*(n_mels+1); same closed form as
+  // matrices.plp_idft_matrix)
+  const int m2 = n_mels + 2;
+  const double m1 = n_mels + 1.0;
+  std::vector<double> idft(static_cast<size_t>(m2) * dim);
+  for (int j = 0; j < m2; ++j)
+    for (int k = 0; k < dim; ++k) {
+      double v = 2.0 * std::cos(kPi * k * j / m1);
+      if (j == 0) v = 1.0;
+      if (j == m2 - 1) v = (k % 2 == 0) ? 1.0 : -1.0;
+      idft[static_cast<size_t>(j) * dim + k] = v / (2.0 * m1);
+    }
+
+  std::vector<double> lift(dim, 1.0);
+  if (lifter > 0)
+    for (int i = 0; i < dim; ++i)
+      lift[i] = 1.0 + (lifter / 2.0) * std::sin(kPi * i / lifter);
+
+  std::vector<double> re(n_fft), im(n_fft), power(n_bins), band(m2),
+      r(dim), a(order, 0.0), anew(order), c(order);
+  for (long f = 0; f < n_frames; ++f) {
+    const double* frame = y.data() + f * hop;
+    std::fill(re.begin(), re.end(), 0.0);
+    std::fill(im.begin(), im.end(), 0.0);
+    for (int i = 0; i < frame_len; ++i) re[i] = frame[i] * win[i];
+    fft_radix2(re, im);
+    for (int k = 0; k < n_bins; ++k) power[k] = re[k] * re[k] + im[k] * im[k];
+    for (int m = 0; m < n_mels; ++m) {
+      double acc = 0.0;
+      for (int k = 0; k < n_bins; ++k) acc += power[k] * fb[k * n_mels + m];
+      acc *= eql[m];
+      band[m + 1] = std::pow(acc > log_floor ? acc : log_floor, compress);
+    }
+    band[0] = band[1];
+    band[m2 - 1] = band[m2 - 2];
+    for (int k = 0; k < dim; ++k) {
+      double acc = 0.0;
+      for (int j = 0; j < m2; ++j)
+        acc += band[j] * idft[static_cast<size_t>(j) * dim + k];
+      r[k] = acc;
+    }
+    // Levinson-Durbin with the same per-step error floor as the
+    // accelerated path (silence degrades to zero reflections, not NaN)
+    double e = r[0] > log_floor ? r[0] : log_floor;
+    std::fill(a.begin(), a.end(), 0.0);
+    for (int m = 1; m <= order; ++m) {
+      double acc = r[m];
+      for (int i = 1; i < m; ++i) acc -= a[i - 1] * r[m - i];
+      const double k = acc / e;
+      for (int i = 1; i < m; ++i) anew[i - 1] = a[i - 1] - k * a[m - i - 1];
+      anew[m - 1] = k;
+      std::copy(anew.begin(), anew.begin() + m, a.begin());
+      e *= (1.0 - k * k);
+      if (e < log_floor) e = log_floor;
+    }
+    // LPC -> cepstra (minimum-phase model; see tpufeat/plp.py)
+    for (int nn = 1; nn <= order; ++nn) {
+      double acc = a[nn - 1];
+      for (int k = 1; k < nn; ++k)
+        acc += (static_cast<double>(k) / nn) * c[k - 1] * a[nn - k - 1];
+      c[nn - 1] = acc;
+    }
+    out[f * dim] = std::log(e > log_floor ? e : log_floor) * lift[0];
+    for (int i = 1; i < dim; ++i) out[f * dim + i] = c[i - 1] * lift[i];
+  }
+  return n_frames;
+}
+
 // ---- native WAV (RIFF) decoder: chunk-walking parser ----
 // Formats: PCM 8/16/24/32-bit and IEEE float 32/64-bit, including
 // WAVE_FORMAT_EXTENSIBLE headers (the real tag is read from the SubFormat

@@ -46,6 +46,34 @@ class TestThreeWayParity:
         with pytest.raises(ValueError):
             cpp_golden.mfcc_native(np.zeros(1000), WHISPER80)
 
+    def test_plp_cpp_vs_numpy_golden(self):
+        """PLP three-way leg 1: C++ double (its own FFT + Durbin) vs the
+        NumPy float64 golden (np.fft.ifft autocorrelation + direct scipy
+        Toeplitz solves) — three fully independent algorithm choices."""
+        from tpufeat.config import PLP13
+        sig = make_signal(16000, seed=63).astype(np.float64)
+        a = cpp_golden.plp_native(sig, PLP13)
+        b = cpu.plp(sig, PLP13)
+        assert a.shape == b.shape == (98, 13)
+        assert np.abs(a - b).max() < 1e-8
+
+    def test_plp_cpp_vs_tpu_path(self):
+        from tpufeat.config import PLP13
+        sig = make_signal(8000, seed=64)
+        a = cpp_golden.plp_native(sig.astype(np.float64), PLP13)
+        b = np.asarray(features.extract(sig, cfg=PLP13).features)
+        assert np.abs(a - b).max() < 2e-3
+
+    def test_plp_lifter_and_silence(self):
+        import dataclasses
+        from tpufeat.config import PLP13
+        cfg = dataclasses.replace(PLP13, lifter=22)
+        sig = make_signal(4000, seed=65).astype(np.float64)
+        assert np.abs(cpp_golden.plp_native(sig, cfg)
+                      - cpu.plp(sig, cfg)).max() < 1e-8
+        out = cpp_golden.plp_native(np.zeros(4000), PLP13)
+        assert np.isfinite(out).all()
+
 
 class TestNativeWav:
     def test_matches_python_reader(self, tmp_path):

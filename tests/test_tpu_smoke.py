@@ -312,6 +312,27 @@ class TestAuxOnChip:
     online pipeline, the fused sharded body, and augmentation — all on
     hardware, not just the CPU mesh."""
 
+    def test_plp_fused_golden_parity(self):
+        """PLP (beyond-reference family) on the production fused kernel:
+        hardware output vs the float64 golden."""
+        from tpufeat.config import PLP13
+        cfg = dataclasses.replace(PLP13, **FUSED)
+        sig = make_signal(32000, seed=305)
+        got = np.asarray(features.extract(sig, cfg=cfg).features)
+        want = cpu.plp(sig.astype(np.float64), PLP13)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 5e-3
+
+    def test_plp_deltas_cmvn_on_chip(self):
+        from tpufeat.config import PLP13
+        cfg = dataclasses.replace(PLP13, deltas=True, cmvn="mean", **FUSED)
+        sig = make_signal(16000, seed=306)
+        got = np.asarray(features.extract(sig, cfg=cfg).features)
+        want = cpu.extract(sig.astype(np.float64), dataclasses.replace(
+            PLP13, deltas=True, cmvn="mean"))
+        assert got.shape == want.shape == (98, 39)
+        assert np.abs(got - want).max() < 5e-3
+
     def test_resample_8k_to_16k_parity(self):
         import math
         import scipy.signal

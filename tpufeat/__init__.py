@@ -12,7 +12,7 @@ out — designed TPU-first per SURVEY.md. Public API:
 
 from tpufeat.augment import energy_vad, spec_augment
 from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
-                            PRESETS, STREAMING160, WHISPER80)
+                            PLP13, PRESETS, STREAMING160, WHISPER80)
 from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               frames, logmel, make_extractor,
                               mel_spectrogram, mfcc, spectrogram)
@@ -28,7 +28,7 @@ __version__ = "0.2.0"
 
 __all__ = [
     "FeatureConfig", "MFCC13_HTK", "WHISPER80", "KALDI39", "STREAMING160",
-    "FBANK80",
+    "FBANK80", "PLP13",
     "PRESETS", "FeatureResult", "extract", "extract_chunked", "frames",
     "spectrogram",
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",

@@ -157,7 +157,14 @@ def main(argv=None) -> int:
             quals += ["D", "A"]
         if cfg.cmvn != "none":
             quals += ["Z"]
-        if cfg.n_mfcc > 0:
+        if cfg.plp_order > 0:
+            # PLP base kind (HTKBook kind 11); c0 is the residual
+            # log-energy, so stamp _E and move it last per HTK block order
+            quals = ["E"] + quals
+            kind = feats_io.parm_kind(feats_io.HTK_PLP, *quals)
+            reorder = lambda f: feats_io.to_htk_order(  # noqa: E731
+                f, cfg.plp_order + 1)
+        elif cfg.n_mfcc > 0:
             # E (c0 := log-energy) or 0 (c0 kept); HTKBook puts that term
             # LAST in each static/delta/accel block, so reorder from this
             # package's c0-first (Kaldi) layout to match the parmKind

@@ -78,6 +78,17 @@ class FeatureConfig:
     #                                  frame energy log(max(sum x^2, floor)),
     #                                  computed on the conditioned frame
 
+    # --- PLP (beyond-reference capability; tpufeat/plp.py) ---
+    plp_order: int = 0               # LPC model order p; 0 = PLP off.
+    #                                  When > 0 the cepstrum stage is
+    #                                  replaced by the PLP chain (equal
+    #                                  loudness -> (.)^plp_compress -> IDFT
+    #                                  autocorrelation -> Levinson-Durbin ->
+    #                                  LPC cepstra), output dim p+1 with
+    #                                  c0 = ln(residual energy). Requires
+    #                                  log="none", n_mfcc=0, use_energy off.
+    plp_compress: float = 1.0 / 3.0  # intensity-loudness power law
+
     # --- post (reference C16, config 3) ---
     deltas: bool = False             # append delta + delta-delta
     delta_window: int = 2
@@ -132,6 +143,17 @@ class FeatureConfig:
         if self.matmul_precision not in ("highest", "bf16x3", "default"):
             raise ValueError(
                 f"unknown matmul_precision {self.matmul_precision!r}")
+        if self.plp_order > 0:
+            if self.log != "none" or self.n_mfcc != 0 or self.use_energy:
+                raise ValueError(
+                    "PLP configs define their own compression/cepstrum: "
+                    "set log='none', n_mfcc=0, use_energy=False "
+                    f"(got log={self.log!r}, n_mfcc={self.n_mfcc}, "
+                    f"use_energy={self.use_energy})")
+            if not 0.0 < self.plp_compress <= 1.0:
+                raise ValueError(
+                    f"plp_compress must be in (0, 1], got "
+                    f"{self.plp_compress}")
         if self.gemm_dft and self.n_fft % 2:
             # the combined Re/Im DFT matrix drops Im(X_0) and Im(X_{n/2}),
             # which are only identically zero for EVEN n_fft
@@ -152,7 +174,10 @@ class FeatureConfig:
 
     @property
     def feature_dim(self) -> int:
-        base = self.n_mfcc if self.n_mfcc > 0 else self.n_mels
+        if self.plp_order > 0:
+            base = self.plp_order + 1
+        else:
+            base = self.n_mfcc if self.n_mfcc > 0 else self.n_mels
         return base * 3 if self.deltas else base
 
     def num_frames(self, n_samples: int) -> int:
@@ -205,10 +230,16 @@ STREAMING160 = FeatureConfig()
 #: the common neural-ASR input when not using the Whisper normalization.
 FBANK80 = FeatureConfig(n_mels=80, n_mfcc=0)
 
+#: Kaldi-style 13-dim PLP (beyond the reference's feature families):
+#: 23 HTK mel bands -> equal loudness -> cube root -> order-12 LPC
+#: cepstra + residual-log-energy c0 (tpufeat/plp.py).
+PLP13 = FeatureConfig(n_mels=23, n_mfcc=0, log="none", plp_order=12)
+
 PRESETS = {
     "mfcc13": MFCC13_HTK,
     "whisper80": WHISPER80,
     "kaldi39": KALDI39,
     "streaming160": STREAMING160,
     "fbank80": FBANK80,
+    "plp13": PLP13,
 }

@@ -38,6 +38,13 @@ def _lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+    lib.tpufeat_plp_f64.restype = ctypes.c_long
+    lib.tpufeat_plp_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_num_frames.restype = ctypes.c_long
     lib.tpufeat_num_frames.argtypes = [ctypes.c_long, ctypes.c_int,
                                        ctypes.c_int]
@@ -81,6 +88,30 @@ def mfcc_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
             cfg.sample_rate, cfg.frame_length, cfg.hop_length, cfg.n_fft,
             cfg.preemphasis, cfg.n_mels, cfg.n_mfcc, cfg.fmin, cfg.fmax_hz,
             cfg.log_floor, cfg.lifter,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        assert got == nf
+    return out
+
+
+def plp_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Run the C++ double-precision PLP pipeline (classic framing
+    semantics, like :func:`mfcc_native`): the third independent
+    implementation of the PLP chain (vs tpufeat/plp.py's f32 unrolled
+    recursions and reference/cpu.py's ifft + Toeplitz solves)."""
+    if cfg.center or cfg.window != "hamming" or cfg.mel_scale != "htk" \
+            or cfg.mel_bin_style != "bin" or cfg.kaldi_mode \
+            or cfg.plp_order <= 0:
+        raise ValueError("C++ golden covers the classic PLP configuration")
+    lib = _lib()
+    x = np.ascontiguousarray(signal, dtype=np.float64)
+    nf = lib.tpufeat_num_frames(len(x), cfg.frame_length, cfg.hop_length)
+    out = np.zeros((max(nf, 0), cfg.plp_order + 1), dtype=np.float64)
+    if nf > 0:
+        got = lib.tpufeat_plp_f64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
+            cfg.sample_rate, cfg.frame_length, cfg.hop_length, cfg.n_fft,
+            cfg.preemphasis, cfg.n_mels, cfg.plp_order, cfg.fmin,
+            cfg.fmax_hz, cfg.log_floor, cfg.plp_compress, cfg.lifter,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         assert got == nf
     return out

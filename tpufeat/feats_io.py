@@ -24,12 +24,14 @@ import numpy as np
 
 __all__ = ["write_htk", "read_htk", "write_kaldi_ark", "read_kaldi_ark",
            "to_htk_order", "from_htk_order",
-           "HTK_MFCC", "HTK_FBANK", "HTK_USER", "HTK_QUALIFIERS"]
+           "HTK_MFCC", "HTK_FBANK", "HTK_USER", "HTK_PLP",
+           "HTK_QUALIFIERS"]
 
 # HTKBook table of base parameter kinds and qualifier bits.
 HTK_MFCC = 6
 HTK_FBANK = 7
 HTK_USER = 9
+HTK_PLP = 11
 HTK_QUALIFIERS = {
     "E": 0o000100, "N": 0o000200, "D": 0o000400, "A": 0o001000,
     "C": 0o002000, "Z": 0o004000, "K": 0o010000, "0": 0o020000,

@@ -149,6 +149,48 @@ def mel_filterbank(
 
 
 @functools.lru_cache(maxsize=None)
+def mel_center_freqs(n_mels: int, fmin: float, fmax: float,
+                     scale: str = "htk") -> np.ndarray:
+    """Center frequency (Hz) of each filterbank band, float64 [n_mels] —
+    the same mel-spaced grid :func:`mel_filterbank` builds its triangles
+    on (points 1..n_mels of the n_mels+2 linspace)."""
+    mel_pts = np.linspace(
+        hz_to_mel(fmin, scale), hz_to_mel(fmax, scale), n_mels + 2)
+    return mel_to_hz(mel_pts, scale)[1: n_mels + 1]
+
+
+@functools.lru_cache(maxsize=None)
+def equal_loudness_vector(n_mels: int, fmin: float, fmax: float,
+                          scale: str = "htk") -> np.ndarray:
+    """Equal-loudness weight El(f) at each band center, float64 [n_mels]
+    (PLP step 2; Hermansky 1990 eq. 4 / the Kaldi-HTK approximation):
+
+        El(f) = (f^2/(f^2+1.6e5))^2 * (f^2+1.44e6)/(f^2+9.61e6)
+    """
+    f2 = mel_center_freqs(n_mels, fmin, fmax, scale) ** 2
+    return ((f2 / (f2 + 1.6e5)) ** 2) * (f2 + 1.44e6) / (f2 + 9.61e6)
+
+
+@functools.lru_cache(maxsize=None)
+def plp_idft_matrix(n_mels: int, order: int) -> np.ndarray:
+    """IDFT-to-autocorrelation matrix, float64 [n_mels + 2, order + 1].
+
+    ``r = a @ M`` with ``a`` the compressed band spectrum extended by
+    duplicated endpoints (a_0 := E_1, a_{M+1} := E_M). Columns evaluate
+    the inverse DFT of the even-symmetric period-N extension (N = 2(M+1)):
+
+        r_k = (1/N) [a_0 + (-1)^k a_{M+1} + 2 sum_{j=1..M} a_j cos(pi k j / (M+1))]
+    """
+    m1 = n_mels + 1
+    j = np.arange(n_mels + 2, dtype=np.float64).reshape(-1, 1)
+    k = np.arange(order + 1, dtype=np.float64).reshape(1, -1)
+    mat = 2.0 * np.cos(np.pi * k * j / m1)
+    mat[0, :] = 1.0
+    mat[-1, :] = (-1.0) ** np.arange(order + 1)
+    return mat / (2.0 * m1)
+
+
+@functools.lru_cache(maxsize=None)
 def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
     """Orthonormal DCT-II matrix, float64, shape [n_in, n_out].
 

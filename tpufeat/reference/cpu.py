@@ -29,6 +29,7 @@ __all__ = [
     "spectrogram",
     "logmel",
     "mfcc",
+    "plp",
     "deltas",
     "cmvn",
     "frame_energy",
@@ -219,6 +220,47 @@ def mfcc(x: np.ndarray, cfg: FeatureConfig,
     return out
 
 
+def plp(x: np.ndarray, cfg: FeatureConfig,
+        preemph_prev: float = 0.0) -> np.ndarray:
+    """Signal -> PLP cepstra [n_frames, plp_order+1] (beyond-reference
+    family; formula conventions in tpufeat/plp.py's docstring).
+
+    Deliberately implemented with DIFFERENT algorithms than the
+    accelerated path so agreement is meaningful: the autocorrelation is
+    an explicit even-symmetric extension + np.fft.ifft (vs the cos-matrix
+    matmul), and the LPC solve is a direct per-frame Toeplitz system via
+    scipy (vs the unrolled Levinson-Durbin recursion)."""
+    from scipy.linalg import solve_toeplitz
+
+    order = cfg.plp_order
+    spec = spectrogram(x, cfg, preemph_prev)
+    fb = matrices.mel_filterbank(
+        cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+    mel = spec @ fb
+    el = matrices.equal_loudness_vector(
+        cfg.n_mels, cfg.fmin, cfg.fmax_hz, cfg.mel_scale)
+    p = np.maximum(mel * el, cfg.log_floor) ** cfg.plp_compress
+    a = np.concatenate([p[:, :1], p, p[:, -1:]], axis=1)   # [F, M+2]
+    sym = np.concatenate([a, a[:, -2:0:-1]], axis=1)       # period 2(M+1)
+    r = np.fft.ifft(sym, axis=1).real[:, : order + 1]
+    lpc = np.zeros((r.shape[0], order))
+    for f in range(r.shape[0]):
+        lpc[f] = solve_toeplitz(r[f, :order], r[f, 1: order + 1])
+    err = r[:, 0] - (lpc * r[:, 1:]).sum(axis=1)
+    c = np.zeros_like(lpc)
+    for n in range(1, order + 1):
+        acc = lpc[:, n - 1].copy()
+        for k in range(1, n):
+            acc += (k / n) * c[:, k - 1] * lpc[:, n - k - 1]
+        c[:, n - 1] = acc
+    out = np.concatenate(
+        [np.log(np.maximum(err, cfg.log_floor))[:, None], c], axis=1)
+    if cfg.lifter > 0:
+        out = out * matrices.lifter_vector(order + 1, cfg.lifter)
+    return out
+
+
 def deltas(feat: np.ndarray, window: int = 2) -> np.ndarray:
     """Regression deltas d_t = sum_n n*(c_{t+n}-c_{t-n}) / (2*sum_n n^2)
     with replicated edge padding (reference C16 / SURVEY.md §2.1 config 3)."""
@@ -247,8 +289,12 @@ def extract(x: np.ndarray, cfg: FeatureConfig,
     """Full golden pipeline: signal -> features [n_frames, feature_dim].
 
     The float64 oracle for the end-to-end parity tests (SURVEY.md §4)."""
-    base = mfcc(x, cfg, preemph_prev) if cfg.n_mfcc > 0 else \
-        logmel(x, cfg, preemph_prev)
+    if cfg.plp_order > 0:
+        base = plp(x, cfg, preemph_prev)
+    elif cfg.n_mfcc > 0:
+        base = mfcc(x, cfg, preemph_prev)
+    else:
+        base = logmel(x, cfg, preemph_prev)
     if cfg.deltas:
         d1 = deltas(base, cfg.delta_window)
         d2 = deltas(d1, cfg.delta_window)

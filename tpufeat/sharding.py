@@ -337,6 +337,9 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
     elif use_fused:
         from tpufeat.pallas import fused
         feat = fused.signal_features(ext[None], f_loc, cfg)[0]
+        if cfg.plp_order > 0:       # frame-local tail; shards untouched
+            from tpufeat import plp
+            feat = plp.plp_from_energies(feat, cfg)
         if cfg.use_energy and cfg.n_mfcc > 0:
             from tpufeat.features import _replace_c0_with_energy
             feat = _replace_c0_with_energy(feat, staged_frames(), cfg)

@@ -168,6 +168,9 @@ def process_chunk_static(state: StreamState, chunk: jnp.ndarray,
         # bit-exact chunk-plan contract above. Pinning the streaming step
         # to one layout keeps every plan bitwise identical.
         feats = fused.signal_features(data, n_new, cfg, layout="v4")
+        if cfg.plp_order > 0:
+            from tpufeat import plp
+            feats = plp.plp_from_energies(feats, cfg)
     else:
         frames = framing.frames_from_buffer(data, n_new, fl, hop)
         frames = framing.condition_frames(frames, cfg)
