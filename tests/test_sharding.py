@@ -50,6 +50,15 @@ class TestTimeSharded:
         got = np.asarray(sharding.extract_time_sharded(sig, KALDI39))
         assert_close(got, one_shot(sig, KALDI39))
 
+    def test_plp_matches_oneshot(self):
+        """PLP's frame-local tail must shard transparently (round-3
+        feature family; staged and fused shard bodies both apply it)."""
+        from tpufeat.config import PLP13
+        n = sharding.shardable_length(5 * 16000, PLP13, N_DEV)
+        sig = make_signal(n, seed=94)
+        got = np.asarray(sharding.extract_time_sharded(sig, PLP13))
+        assert_close(got, one_shot(sig, PLP13), tol=2e-4)
+
     def test_padded_tail_masked(self):
         """Zero-padding up to a shardable length must not distort CMVN or
         the Whisper max (masked collectives)."""

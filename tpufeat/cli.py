@@ -228,7 +228,9 @@ def main(argv=None) -> int:
                                     float(np.abs(got - gold).max()))
             try:
                 from tpufeat import cpp_golden
-                g2 = cpp_golden.mfcc_native(s.astype(np.float64), cfg)
+                native = cpp_golden.plp_native if cfg.plp_order > 0 \
+                    else cpp_golden.mfcc_native
+                g2 = native(s.astype(np.float64), cfg)
                 errs["cpp_golden"] = max(errs.get("cpp_golden", 0.0),
                                          float(np.abs(got - g2).max()))
             except Exception:
