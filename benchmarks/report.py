@@ -151,14 +151,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
-    from tpufeat.config import KALDI39, MFCC13_HTK, WHISPER80
+    from tpufeat.config import KALDI39, MFCC13_HTK, PLP13, WHISPER80
     log(f"backend={jax.default_backend()}")
 
     flags = dict(use_pallas=not args.no_pallas, gemm_dft=args.gemm,
                  fused_framing=args.fused, matmul_precision=args.precision)
     rows = []
     for name, cfg in [("mfcc13", MFCC13_HTK), ("whisper80", WHISPER80),
-                      ("kaldi39", KALDI39)]:
+                      ("kaldi39", KALDI39), ("plp13", PLP13)]:
         cfg = dataclasses.replace(cfg, **flags)
         row = bench_config(name, cfg, args.batch, args.seconds, args.iters)
         log(f"{name:10s} rtfx={row['rtfx']:>12,.0f} "
