@@ -102,3 +102,36 @@ class TestPipeline:
             assert r == 16000
             np.testing.assert_array_equal(arena[i, : len(s)], s)
             assert lengths[i] == len(s)
+
+
+class TestBatchPadding:
+    def test_remainder_batches_reuse_full_shape(self, tmp_path):
+        """A bucket with >= one full batch pads its remainder batch up to
+        batch_size rows (masked zero rows), so the whole bucket runs ONE
+        compiled shape; under-full buckets keep their exact row count."""
+        # 5 same-bucket files at batch 2 -> two full + one remainder
+        # (the bucket grid floors at 16000 samples, so use 32000 for the
+        # second, under-full bucket)
+        d, sigs = _make_corpus(tmp_path, [16000] * 5 + [32000])
+        plans = pipeline._plan_batches(
+            pipeline._scan_corpus(str(d)), 2)
+        rows = sorted((len(p[0]), p[2]) for p in plans)
+        # the 32000-sample bucket has a single file -> exact (1, 1);
+        # the 16000 bucket: (2,2), (2,2), (1,2) padded
+        assert (1, 1) in rows
+        assert (1, 2) in rows
+        import os
+        stats = {}
+        out = {}
+        for path, feats in pipeline.extract_corpus(str(d), MFCC13_HTK,
+                                                   batch_size=2,
+                                                   stats=stats):
+            out[os.path.relpath(path, str(d))] = feats
+        assert len(out) == 6
+        assert stats["n_programs"] == 2          # one per length bucket
+        # padded rows must not change results (WAV int16 round trip, so
+        # compare vs the decoded samples like test_matches_direct_extract)
+        for rel in sigs:
+            x, _ = io.read_wav(str(d / rel))
+            want = np.asarray(features.extract(x, cfg=MFCC13_HTK).features)
+            np.testing.assert_allclose(out[rel], want, rtol=0, atol=2e-5)

@@ -54,9 +54,17 @@ def _scan_corpus(wav_dir: str) -> list[tuple[str, int, int]]:
     return out
 
 
-def _plan_batches(entries, batch_size: int) -> list[tuple[list, int]]:
-    """Bucket by padded length, largest buckets first (compile once per
-    bucket, then stream)."""
+def _plan_batches(entries, batch_size: int) -> list[tuple[list, int, int]]:
+    """Bucket by padded length -> [(entries, padded_len, padded_rows)].
+
+    Remainder batches of a bucket that already has a full batch are padded
+    UP to ``batch_size`` rows (zero rows, length 0 — masked out by the
+    extractor), so they reuse the bucket's compiled program instead of
+    compiling a fresh (B_remainder, len) shape: measured on chip, each
+    distinct shape costs ~13 s of XLA compile, which dominated a 2,000-file
+    corpus run (17 programs, 65x RTFx cold). Buckets with no full batch
+    keep their exact row count (padding would compile a new shape anyway,
+    plus compute waste)."""
     buckets: dict[int, list] = {}
     for e in entries:
         key = data.bucket_length(e[1])
@@ -65,23 +73,33 @@ def _plan_batches(entries, batch_size: int) -> list[tuple[list, int]]:
     for key in sorted(buckets):
         group = buckets[key]
         for i in range(0, len(group), batch_size):
-            plans.append((group[i: i + batch_size], key))
+            part = group[i: i + batch_size]
+            rows = batch_size if len(group) >= batch_size else len(part)
+            plans.append((part, key, rows))
     return plans
 
 
-def _decode_batch(entries, width: int, sample_rate: int):
-    """Native threaded decode into a zero-padded arena; Python fallback."""
+def _decode_batch(entries, width: int, sample_rate: int, rows: int):
+    """Native threaded decode into a zero-padded [rows, width] arena
+    (rows >= len(entries); extra rows stay zero with length 0); Python
+    fallback."""
     paths = [e[0] for e in entries]
     try:
         from tpufeat import cpp_golden
         if cpp_golden.available():
             arena, lengths, rates = cpp_golden.read_wav_batch(paths, width)
             if (lengths >= 0).all() and (rates == sample_rate).all():
+                if rows > len(paths):
+                    pad = rows - len(paths)
+                    arena = np.concatenate(
+                        [arena, np.zeros((pad, width), np.float32)])
+                    lengths = np.concatenate(
+                        [lengths, np.zeros(pad, lengths.dtype)])
                 return arena, lengths.astype(np.int32)
     except Exception:
         pass
-    arena = np.zeros((len(paths), width), np.float32)
-    lengths = np.zeros(len(paths), np.int32)
+    arena = np.zeros((rows, width), np.float32)
+    lengths = np.zeros(rows, np.int32)
     for b, p in enumerate(paths):
         s, r = io.read_wav(p)
         if r != sample_rate:
@@ -124,16 +142,17 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
     true_samples = padded_samples = 0
 
     def decode(i):
-        batch_entries, width = plans[i]
+        batch_entries, width, rows = plans[i]
         try:
-            result[i] = _decode_batch(batch_entries, width, cfg.sample_rate)
+            result[i] = _decode_batch(batch_entries, width,
+                                      cfg.sample_rate, rows)
         except Exception as e:          # surfaced at the consuming pop —
             result[i] = e               # thread exceptions must not vanish
 
     t0 = time.perf_counter()
     decode(0)
     decode_wait_s += time.perf_counter() - t0   # batch 0 has nothing to hide
-    for i, (batch_entries, width) in enumerate(plans):
+    for i, (batch_entries, width, _rows) in enumerate(plans):
         got = result.pop(i)
         if isinstance(got, Exception):
             raise got
@@ -178,25 +197,36 @@ def main(argv=None) -> int:
     p.add_argument("--fused", action="store_true",
                    help="production TPU kernels (pallas + gemm + fused "
                         "framing + bf16x3)")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="extra passes over the corpus: pass 1 pays the "
+                        "per-shape XLA compiles (~13 s each through the "
+                        "relay), later passes measure the steady state a "
+                        "long-running production job sees")
     args = p.parse_args(argv)
     cfg = PRESETS[args.preset]
     if args.fused:
         cfg = dataclasses.replace(cfg, use_pallas=True, gemm_dft=True,
                                   fused_framing=True,
                                   matmul_precision="bf16x3")
-    t0 = time.perf_counter()
+    passes = []
     out = {}
     stats: dict = {}
-    for path, feats in extract_corpus(args.wav_dir, cfg, args.batch,
-                                      stats=stats):
-        out[os.path.relpath(path, args.wav_dir)] = feats
-    dt = time.perf_counter() - t0          # extraction wall (excl. savez)
+    for _ in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        out = {}
+        stats = {}
+        for path, feats in extract_corpus(args.wav_dir, cfg, args.batch,
+                                          stats=stats):
+            out[os.path.relpath(path, args.wav_dir)] = feats
+        passes.append(time.perf_counter() - t0)   # extraction wall
+    dt = passes[-1]                    # steady-state (or only) pass
     np.savez(args.out_npz, **out)
     audio_s = sum(f.shape[0] for f in out.values()) * cfg.hop_length \
         / cfg.sample_rate
     print(json.dumps({"files": len(out), "audio_s": round(audio_s, 1),
                       "wall_s": round(dt, 3),
                       "rtfx": round(audio_s / max(dt, 1e-9), 1),
+                      "pass_wall_s": [round(t, 3) for t in passes],
                       **stats}))
     print(f"wrote {args.out_npz}: {len(out)} utterances", file=sys.stderr)
     return 0
