@@ -135,3 +135,22 @@ class TestBatchPadding:
             x, _ = io.read_wav(str(d / rel))
             want = np.asarray(features.extract(x, cfg=MFCC13_HTK).features)
             np.testing.assert_allclose(out[rel], want, rtol=0, atol=2e-5)
+
+    def test_corpus_dither_rng(self, tmp_path):
+        """Dither configs work through the corpus path with an explicit
+        key (round-2 VERDICT weak item 5's last gap) and require one."""
+        import dataclasses
+        import jax
+        import pytest
+        from tpufeat.config import FeatureConfig
+        d, _ = _make_corpus(tmp_path, [8000, 8000, 8000])
+        cfg = dataclasses.replace(FeatureConfig(), dither=1e-3)
+        with pytest.raises(ValueError, match="PRNG"):
+            list(pipeline.extract_corpus(str(d), cfg, batch_size=2))
+        out = dict(pipeline.extract_corpus(str(d), cfg, batch_size=2,
+                                           rng=jax.random.key(11)))
+        clean = dict(pipeline.extract_corpus(str(d), FeatureConfig(),
+                                             batch_size=2))
+        for k in out:
+            d_ = np.abs(out[k] - clean[k])
+            assert 0 < d_.max() < 0.5            # noise present, small

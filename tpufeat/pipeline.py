@@ -111,7 +111,7 @@ def _decode_batch(entries, width: int, sample_rate: int, rows: int):
 
 
 def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
-                   stats: dict | None = None,
+                   stats: dict | None = None, rng=None,
                    ) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (wav_path, features [F, D]) for every WAV under ``wav_dir``.
 
@@ -135,6 +135,14 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
             f"{bad[0][0]} @ {bad[0][2]}); resample first")
     plans = _plan_batches(entries, batch_size)
     fn = features.make_extractor(cfg)
+    if cfg.dither > 0:
+        import jax
+        if rng is None:
+            raise ValueError("cfg.dither > 0 requires a PRNG key: "
+                             "extract_corpus(..., rng=jax.random.key(s))")
+        keys = jax.random.split(rng, len(plans))   # one key per batch
+    else:
+        keys = [None] * len(plans)
 
     result = {}
     shapes = set()
@@ -165,7 +173,8 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
             t = threading.Thread(target=decode, args=(i + 1,))
             t.start()                      # host decodes while device runs
         t0 = time.perf_counter()
-        res = fn(arena, lengths)
+        res = fn(arena, lengths, rng=keys[i]) if keys[i] is not None \
+            else fn(arena, lengths)
         feats = np.asarray(res.features)
         nf = np.asarray(res.num_frames)
         device_s += time.perf_counter() - t0
