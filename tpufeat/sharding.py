@@ -111,37 +111,53 @@ def _check_time_shardable(cfg: FeatureConfig) -> None:
             f"drop_last_frame={cfg.drop_last_frame}")
 
 
-def _right_halo(x_local: jnp.ndarray, size: int, axis_name: str) -> jnp.ndarray:
-    """First ``size`` samples of the right neighbor (zeros on the last
-    device — matches one-shot zero padding beyond the signal)."""
+def _right_halo(x_local: jnp.ndarray, size: int, axis_name: str,
+                axis: int = -1) -> jnp.ndarray:
+    """First ``size`` elements (along ``axis``) of the right neighbor
+    (zeros on the last device — matches one-shot zero padding beyond the
+    signal)."""
     n = jax.lax.axis_size(axis_name)
     perm = [(i, i - 1) for i in range(1, n)]
-    return jax.lax.ppermute(x_local[:size], axis_name, perm)
+    sl = jax.lax.slice_in_dim(x_local, 0, size, axis=axis)
+    return jax.lax.ppermute(sl, axis_name, perm)
 
 
-def _left_edge(x_local: jnp.ndarray, size: int, axis_name: str) -> jnp.ndarray:
-    """Last ``size`` samples of the left neighbor (zeros on device 0)."""
+def _left_edge(x_local: jnp.ndarray, size: int, axis_name: str,
+               axis: int = -1) -> jnp.ndarray:
+    """Last ``size`` elements (along ``axis``) of the left neighbor
+    (zeros on device 0)."""
     n = jax.lax.axis_size(axis_name)
     perm = [(i, i + 1) for i in range(n - 1)]
-    return jax.lax.ppermute(x_local[-size:], axis_name, perm)
+    dim = x_local.shape[axis]
+    sl = jax.lax.slice_in_dim(x_local, dim - size, dim, axis=axis)
+    return jax.lax.ppermute(sl, axis_name, perm)
 
 
-def _sharded_deltas(feat: jnp.ndarray, total_valid: int, f_loc: int,
+def _sharded_deltas(feat: jnp.ndarray, total_valid, f_loc: int,
                     window: int, axis_name: str) -> jnp.ndarray:
     """Regression deltas across shard boundaries: exchange ``window`` feature
     frames with both neighbors, then gather with globally clipped indices so
-    edge replication happens at the true utterance ends."""
+    edge replication happens at the true utterance ends.
+
+    Rank-polymorphic: ``feat`` is [..., f_loc, D] with ``total_valid``
+    broadcastable to the leading dims (scalar for the 1-D path, [B_local]
+    for the batched 2-D body)."""
     d = jax.lax.axis_index(axis_name)
-    left = _left_edge(feat, window, axis_name)      # [w, D] from d-1
-    right = _right_halo(feat, window, axis_name)    # [w, D] from d+1
-    ext = jnp.concatenate([left, feat, right], axis=0)   # [f_loc + 2w, D]
-    g = d * f_loc + jnp.arange(f_loc)                    # global frame ids
+    left = _left_edge(feat, window, axis_name, axis=-2)   # [..., w, D]
+    right = _right_halo(feat, window, axis_name, axis=-2)
+    ext = jnp.concatenate([left, feat, right], axis=-2)   # [..., f_loc+2w, D]
+    g = d * f_loc + jnp.arange(f_loc)                     # global frame ids
+    tv = jnp.asarray(total_valid)[..., None]              # [..., 1]
     denom = 2.0 * sum(i * i for i in range(1, window + 1))
     out = jnp.zeros_like(feat)
+    D = feat.shape[-1]
     for i in range(1, window + 1):
-        gp = jnp.clip(g + i, 0, total_valid - 1) - d * f_loc + window
-        gm = jnp.clip(g - i, 0, total_valid - 1) - d * f_loc + window
-        out = out + i * (jnp.take(ext, gp, axis=0) - jnp.take(ext, gm, axis=0))
+        gp = jnp.clip(g + i, 0, tv - 1) - d * f_loc + window
+        gm = jnp.clip(g - i, 0, tv - 1) - d * f_loc + window
+        gp = jnp.broadcast_to(gp[..., None], gp.shape + (D,))
+        gm = jnp.broadcast_to(gm[..., None], gm.shape + (D,))
+        out = out + i * (jnp.take_along_axis(ext, gp, axis=-2)
+                         - jnp.take_along_axis(ext, gm, axis=-2))
     return out / denom
 
 
@@ -226,10 +242,10 @@ def _make_batch_time_sharded_fn(cfg: FeatureConfig, s_loc: int, mesh: Mesh,
                              f_loc=s_loc // cfg.hop_length,
                              axis_name=time_axis)
     smfn = shard_map(
-        jax.vmap(body),                      # vmap over the local batch rows
-        mesh=mesh,
-        in_specs=(P(dp_axis, time_axis), P(dp_axis)),
-        out_specs=P(dp_axis, time_axis),
+        body,              # rank-polymorphic body handles [B_local, s_loc]
+        mesh=mesh,         # directly — ONE kernel call per device (a vmap
+        in_specs=(P(dp_axis, time_axis), P(dp_axis)),   # -per-row variant
+        out_specs=P(dp_axis, time_axis),   # measured ~4x slower on chip)
         check_vma=False,   # pallas_call outputs carry no vma annotation
     )
 
@@ -266,40 +282,46 @@ def _make_time_sharded_fn(cfg: FeatureConfig, n: int, mesh: Mesh,
 def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
                      cfg: FeatureConfig, s_loc: int,
                      f_loc: int, axis_name: str):
-    """Per-device body under shard_map. x_local: [s_loc]; total_valid: the
-    utterance's true frame count (traced scalar, so one program serves every
-    length and the body vmaps over batch rows for the 2-D dp x time mesh)."""
+    """Per-device body under shard_map, rank-polymorphic over a leading
+    batch dim: x_local [s_loc] (1-D path) or [B_local, s_loc] (2-D dp x
+    time mesh); total_valid — the true frame count(s) — a traced scalar or
+    [B_local]. The batched form runs the fused kernel ONCE on the whole
+    local batch: the earlier vmap-per-row formulation compiled a
+    grid-per-row program that measured ~4x slower than single-chip
+    (benchmarks/experiments/shard_body_anatomy.py)."""
     fl, hop = cfg.frame_length, cfg.hop_length
+    batched = x_local.ndim == 2
     d = jax.lax.axis_index(axis_name)
     n_dev = jax.lax.axis_size(axis_name)
-    mask = (d * f_loc + jnp.arange(f_loc)) < total_valid    # [f_loc]
+    tv = jnp.asarray(total_valid)
+    mask = (d * f_loc + jnp.arange(f_loc)) < tv[..., None]  # [..., f_loc]
 
     if cfg.center:
         pad = cfg.n_fft // 2
         halo_r = fl - hop - pad                              # e.g. 40
-        left = _left_edge(x_local, pad, axis_name)           # [pad]
+        left = _left_edge(x_local, pad, axis_name)           # [..., pad]
         right = _right_halo(x_local, max(halo_r, 0), axis_name)
         # reflect at the GLOBAL edges only (device 0 left, last device right)
-        refl_l = x_local[1: pad + 1][::-1]
+        refl_l = x_local[..., 1: pad + 1][..., ::-1]
         left = jnp.where(d == 0, refl_l, left)
         if halo_r > 0:
-            refl_r = x_local[-halo_r - 1: -1][::-1]
+            refl_r = x_local[..., -halo_r - 1: -1][..., ::-1]
             right = jnp.where(d == n_dev - 1, refl_r, right)
-            ext = jnp.concatenate([left, x_local, right])
+            ext = jnp.concatenate([left, x_local, right], axis=-1)
         else:
-            ext = jnp.concatenate([left, x_local])
+            ext = jnp.concatenate([left, x_local], axis=-1)
         # frame j starts at local j*hop (ext already includes the pad offset)
     else:
-        prev = _left_edge(x_local, 1, axis_name)             # [1]
-        halo = _right_halo(x_local, fl - hop, axis_name)     # [240]
-        ext = jnp.concatenate([prev, x_local, halo])
+        prev = _left_edge(x_local, 1, axis_name)             # [..., 1]
+        halo = _right_halo(x_local, fl - hop, axis_name)     # [..., 240]
+        ext = jnp.concatenate([prev, x_local, halo], axis=-1)
         if cfg.preemphasis and not cfg.kaldi_mode:
-            ext = (ext - cfg.preemphasis *
-                   jnp.concatenate([jnp.zeros_like(ext[:1]), ext[:-1]]))
+            ext = (ext - cfg.preemphasis * jnp.concatenate(
+                [jnp.zeros_like(ext[..., :1]), ext[..., :-1]], axis=-1))
             # device 0: one-shot convention y[0] = x[0] (x[-1] := 0) —
             # ppermute already delivered zeros for the missing left halo,
             # so ext[1] is exact on every device.
-        ext = ext[1:]                                        # drop carry slot
+        ext = ext[..., 1:]                                   # drop carry slot
 
     # ext is exactly a framing buffer (frame j covers ext[j*hop:j*hop+fl]),
     # so the production configs run the same fully fused signal-level
@@ -308,23 +330,28 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
     # ~3x slower at production batch (BASELINE.md round-1 rows)
     use_fused = (cfg.use_pallas and cfg.gemm_dft and cfg.fused_framing
                  and f_loc > 0)
+    buf = ext if batched else ext[None]          # kernel-facing batch view
+
+    def unb(t):
+        return t if batched else t[0]
 
     def staged_frames():
-        frames = framing.frames_from_buffer(ext[None], f_loc, fl, hop)[0]
-        return framing.condition_frames(frames, cfg)
+        frames = framing.frames_from_buffer(buf, f_loc, fl, hop)
+        return unb(framing.condition_frames(frames, cfg))
 
     # mel/log/dct — whisper normalization handled here with a global pmax
     if cfg.log == "whisper":
         if use_fused:
             from tpufeat.pallas import fused
-            ls = fused.signal_features(ext[None], f_loc, cfg)[0]  # log10 mel
+            ls = unb(fused.signal_features(buf, f_loc, cfg))  # log10 mel
         else:
             import dataclasses
             pre_cfg = dataclasses.replace(cfg, log="log10", n_mfcc=0,
                                           lifter=0, use_energy=False)
             ls = spectro_pipeline(staged_frames(), mask, pre_cfg)
         neg_inf = jnp.asarray(-jnp.inf, ls.dtype)
-        local_max = jnp.max(jnp.where(mask[:, None], ls, neg_inf))
+        local_max = jnp.max(jnp.where(mask[..., None], ls, neg_inf),
+                            axis=(-2, -1), keepdims=True)   # per utterance
         gmax = jax.lax.pmax(local_max, axis_name)
         gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
         feat = (jnp.maximum(ls, gmax - 8.0) + 4.0) / 4.0
@@ -336,7 +363,7 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
                 feat = _replace_c0_with_energy(feat, staged_frames(), cfg)
     elif use_fused:
         from tpufeat.pallas import fused
-        feat = fused.signal_features(ext[None], f_loc, cfg)[0]
+        feat = unb(fused.signal_features(buf, f_loc, cfg))
         if cfg.plp_order > 0:       # frame-local tail; shards untouched
             from tpufeat import plp
             feat = plp.plp_from_energies(feat, cfg)
@@ -347,20 +374,19 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
         feat = spectro_pipeline(staged_frames(), mask, cfg)
 
     if cfg.deltas:
-        d1 = _sharded_deltas(feat, total_valid, f_loc, cfg.delta_window,
-                             axis_name)
-        d2 = _sharded_deltas(d1, total_valid, f_loc, cfg.delta_window,
-                             axis_name)
+        d1 = _sharded_deltas(feat, tv, f_loc, cfg.delta_window, axis_name)
+        d2 = _sharded_deltas(d1, tv, f_loc, cfg.delta_window, axis_name)
         feat = jnp.concatenate([feat, d1, d2], axis=-1)
 
     if cfg.cmvn != "none":
-        m = mask[:, None].astype(feat.dtype)
-        cnt = jax.lax.psum(jnp.sum(m), axis_name)
-        mean = jax.lax.psum(jnp.sum(feat * m, axis=0), axis_name) / \
-            jnp.maximum(cnt, 1.0)
+        m = mask[..., None].astype(feat.dtype)           # [..., f_loc, 1]
+        cnt = jax.lax.psum(jnp.sum(m, axis=-2, keepdims=True), axis_name)
+        mean = jax.lax.psum(jnp.sum(feat * m, axis=-2, keepdims=True),
+                            axis_name) / jnp.maximum(cnt, 1.0)
         feat = feat - mean
         if cfg.cmvn == "meanvar":
-            var = jax.lax.psum(jnp.sum((feat * m) ** 2, axis=0), axis_name) \
+            var = jax.lax.psum(jnp.sum((feat * m) ** 2, axis=-2,
+                                       keepdims=True), axis_name) \
                 / jnp.maximum(cnt, 1.0)
             feat = feat / jnp.sqrt(var + 1e-10)
     return feat
