@@ -190,7 +190,7 @@ class TestCodeReviewFixes:
             io.write_wav(str(d / f"u{i}.wav"), make_signal(8000, seed=i),
                          16000)
 
-        def boom(entries, width, sr):
+        def boom(entries, width, sr, rows):
             raise OSError("disk on fire")
         monkeypatch.setattr(pipeline, "_decode_batch", boom)
         with pytest.raises(OSError, match="disk on fire"):

@@ -156,3 +156,26 @@ class TestDitherRngPlumbing:
         assert res.features.shape[0] == 4
         with pytest.raises(ValueError, match="PRNG"):
             features.extract(x, lens, self.DITHER)
+
+
+class TestForcedSingleProgram:
+    def test_true_really_means_one_program(self, monkeypatch):
+        """single_program=True exists for erratum tracking: it must run
+        the raw ONE-program path even for delta configs that would
+        normally take the two-program split (the miscompile under test
+        lives in the single large program)."""
+        monkeypatch.setattr(features, "_split_worthwhile",
+                            lambda cfg, shape: True)
+        calls = []
+        orig = features._features_jit
+        monkeypatch.setattr(
+            features, "_features_jit",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        rng = np.random.default_rng(12)
+        x = (rng.standard_normal((2, 4000)) * 0.1).astype(np.float32)
+        lens = np.full((2,), 4000, np.int32)
+        features.extract(x, lens, KALDI39)            # default: split path
+        assert calls
+        calls.clear()
+        features.extract(x, lens, KALDI39, single_program=True)
+        assert not calls                              # raw single program

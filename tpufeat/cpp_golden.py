@@ -76,7 +76,8 @@ def mfcc_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     semantics only: center=False, Hamming, HTK bin-style mel, natural log."""
     if cfg.center or cfg.window != "hamming" or cfg.mel_scale != "htk" \
             or cfg.mel_bin_style != "bin" or cfg.log != "natural" \
-            or cfg.kaldi_mode or cfg.n_mfcc <= 0:
+            or cfg.kaldi_mode or cfg.n_mfcc <= 0 \
+            or cfg.mel_norm is not None or cfg.spectrum != "power":
         raise ValueError("C++ golden covers the classic MFCC configuration")
     lib = _lib()
     x = np.ascontiguousarray(signal, dtype=np.float64)
@@ -100,6 +101,7 @@ def plp_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     recursions and reference/cpu.py's ifft + Toeplitz solves)."""
     if cfg.center or cfg.window != "hamming" or cfg.mel_scale != "htk" \
             or cfg.mel_bin_style != "bin" or cfg.kaldi_mode \
+            or cfg.mel_norm is not None or cfg.spectrum != "power" \
             or cfg.plp_order <= 0:
         raise ValueError("C++ golden covers the classic PLP configuration")
     lib = _lib()

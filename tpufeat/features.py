@@ -369,12 +369,15 @@ def extract(signal, lengths=None, cfg: FeatureConfig = MFCC13_HTK,
     squeezed away from ``features``/``mask``.
     """
     x, lengths, single = _prep(signal, lengths)
+    forced_single = single_program is True   # erratum tracking: really ONE
+    #                                          program, no delta split
     if single_program is None:
         single_program = not jit or _single_program_safe(x.shape)
     if not single_program:
         res = _run_row_chunks(make_extractor(cfg), x, lengths, rng,
                               _rows_per_dispatch(*x.shape))
-    elif jit and cfg.deltas and _split_worthwhile(cfg, x.shape):
+    elif jit and not forced_single and cfg.deltas \
+            and _split_worthwhile(cfg, x.shape):
         # two programs: the delta tail scheduled alongside the fused signal
         # kernel costs ~1.6x at B=128x30s (XLA large-program scheduling
         # pathology; see features_impl docstring)
