@@ -109,6 +109,12 @@ def main(argv=None):
                    help="chunks batched per dispatch (adds (K-1) chunks of "
                         "latency, divides dispatch overhead by K)")
     p.add_argument("--no-fused", action="store_true")
+    p.add_argument("--streams", default=None,
+                   help="comma-separated stream counts to sweep (default "
+                        "64..131072 doubling); each size costs a fresh "
+                        "scan-program compile (~minutes through the "
+                        "relay), so target large sizes directly when "
+                        "re-measuring a headline")
     args = p.parse_args(argv)
 
     import jax
@@ -122,8 +128,10 @@ def main(argv=None):
 
     rows = []
     best = 0
-    for batch in (64, 256, 1024, 4096, 8192, 16384, 32768, 65536,
-                  98304, 131072):
+    sweep = [int(s) for s in args.streams.split(",")] if args.streams \
+        else [64, 256, 1024, 4096, 8192, 16384, 32768, 65536, 98304,
+              131072]
+    for batch in sweep:
         dt = measure(batch, chunk, iters=args.iters, scan_k=args.scan,
                      fused=not args.no_fused)
         rt = dt <= budget
