@@ -75,7 +75,7 @@ def main() -> int:
     def vmapped(xb, nf):
         return jax.vmap(lambda r, v: body(r, v))(xb, nf)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("t1",))
     from jax.sharding import PartitionSpec as P
     smb = shard_map(vmapped, mesh=mesh1, in_specs=(P(), P()),
