@@ -140,3 +140,37 @@ class TestPlpConfigValidation:
         assert PLP13.feature_dim == 13
         cfg = dataclasses.replace(PLP13, plp_order=8)
         assert cfg.feature_dim == 9
+
+
+class TestPlpProperties:
+    def test_scale_law(self):
+        """Scaling audio by s scales band energies by s^2, hence the
+        compressed spectrum by s^(2*compress); LPC coefficients are scale
+        invariant and the residual energy scales the same way — so
+        c1..cp must be unchanged and c0 must shift by exactly
+        2*plp_compress*ln(s). Validates the whole chain end to end."""
+        sig = make_signal(8000, seed=20)
+        a = np.asarray(features.extract(sig, cfg=PLP13).features)
+        s = 3.7
+        b = np.asarray(features.extract((s * sig).astype(np.float32),
+                                        cfg=PLP13).features)
+        np.testing.assert_allclose(b[:, 1:], a[:, 1:], rtol=0, atol=2e-3)
+        shift = 2.0 * PLP13.plp_compress * np.log(s)
+        np.testing.assert_allclose(b[:, 0] - a[:, 0],
+                                   np.full(a.shape[0], shift),
+                                   rtol=0, atol=2e-3)
+
+    def test_streaming_pipeline_composes_plp39(self):
+        """StreamingPipeline drives a PLP+deltas online chain exactly like
+        the offline config (no CMVN: exact on the flushed overlap)."""
+        cfg = dataclasses.replace(PLP13, deltas=True)
+        assert cfg.feature_dim == 39
+        sig = make_signal(12800, seed=21)
+        want = np.asarray(features.extract(sig, cfg=cfg).features)
+        pipe = streaming.StreamingPipeline(cfg, batch_size=1)
+        outs = [pipe.process(sig[None, i: i + 3200])
+                for i in range(0, len(sig), 3200)]
+        outs.append(pipe.flush())
+        got = np.concatenate([o for o in outs if o.shape[1]], axis=1)[0]
+        np.testing.assert_allclose(got, want[: got.shape[0]],
+                                   rtol=0, atol=1e-4)
