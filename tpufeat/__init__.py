@@ -11,6 +11,7 @@ out — designed TPU-first per SURVEY.md. Public API:
 """
 
 from tpufeat.augment import energy_vad, spec_augment
+from tpufeat.pitch import PitchConfig, pitch_features, track as track_pitch
 from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
                             PLP13, PRESETS, STREAMING160, WHISPER80)
 from tpufeat.features import (FeatureResult, extract, extract_chunked,
@@ -36,5 +37,6 @@ __all__ = [
     "process_chunk", "process_chunk_static", "scan_chunks",
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
     "StreamingPipeline", "resample",
-    "spec_augment", "energy_vad", "__version__",
+    "spec_augment", "energy_vad", "PitchConfig", "pitch_features",
+    "track_pitch", "__version__",
 ]

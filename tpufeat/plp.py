@@ -27,6 +27,15 @@ Conventions (documented because published PLP variants differ):
     c_n = a_n + sum_{k=1}^{n-1} (k/n) c_k a_{n-k};  c_0 = ln(E_p).
 The float64 golden (tpufeat/reference/cpu.py) implements the same
 formulas independently; tests/test_plp.py holds the two within 1e-4.
+
+Conditioning: LPC deconvolution amplifies input-spectrum error by the
+Toeplitz system's condition number. For strongly tonal (highly
+predictable) spectra the order-p residual is a tiny difference of large
+correlated autocorrelations, so κ reaches ~1e4 and c0 = ln(E_p) moves
+~3e-2 on chip (fused/highest MXU f32-emulation error ~1e-6 relative) —
+measured in tests/test_tpu_smoke.py. Broadband audio has modest
+prediction gain and stays ~1e-3. This is intrinsic to PLP (any f32
+implementation shows it against an f64 oracle), not a kernel artifact.
 """
 
 from __future__ import annotations

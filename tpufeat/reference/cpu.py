@@ -261,6 +261,49 @@ def plp(x: np.ndarray, cfg: FeatureConfig,
     return out
 
 
+def pitch(x: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray]:
+    """Golden pitch tracker -> (pitch_hz [F], pov [F]).
+
+    Independent of tpufeat/pitch.py by construction: direct per-lag
+    correlation loops (no FFT) and a plain-Python Viterbi with explicit
+    backtrace. ``cfg`` is a tpufeat.pitch.PitchConfig."""
+    x = np.asarray(x, dtype=np.float64)
+    W, hop = cfg.frame_length, cfg.hop_length
+    L0, L1 = cfg.lag_min, cfg.lag_max
+    wext = W + L1
+    F = cfg.num_frames(len(x))
+    L = L1 - L0 + 1
+    rms2 = float(np.mean(x * x)) if len(x) else 0.0
+    ballast = cfg.ballast * (W * rms2) ** 2
+    scores = np.zeros((F, L))
+    for t in range(F):
+        b = x[t * hop: t * hop + wext]
+        a = b[:W]
+        e0 = float(a @ a)
+        for j, lag in enumerate(range(L0, L1 + 1)):
+            seg = b[lag: lag + W]
+            den = np.sqrt(e0 * float(seg @ seg) + ballast + 1e-20)
+            scores[t, j] = float(a @ seg) / den
+    lags = np.arange(L0, L1 + 1, dtype=np.float64)
+    trans = cfg.penalty * (np.log(lags)[:, None] - np.log(lags)[None, :]) ** 2
+    shaped = scores - cfg.lag_bias * np.log(lags / L0)  # short-lag tilt
+    v = shaped[0].copy()
+    ptrs = np.zeros((F - 1, L), dtype=np.int64) if F > 1 else \
+        np.zeros((0, L), dtype=np.int64)
+    for t in range(1, F):
+        cand = v[:, None] - trans
+        ptrs[t - 1] = np.argmax(cand, axis=0)
+        v = shaped[t] + np.max(cand, axis=0)
+    path = np.zeros(F, dtype=np.int64)
+    if F:
+        path[-1] = int(np.argmax(v))
+        for t in range(F - 2, -1, -1):
+            path[t] = ptrs[t][path[t + 1]]
+    hz = cfg.sample_rate / lags[path]
+    pov = scores[np.arange(F), path]
+    return hz, pov
+
+
 def deltas(feat: np.ndarray, window: int = 2) -> np.ndarray:
     """Regression deltas d_t = sum_n n*(c_{t+n}-c_{t-n}) / (2*sum_n n^2)
     with replicated edge padding (reference C16 / SURVEY.md §2.1 config 3)."""
