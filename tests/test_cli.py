@@ -86,3 +86,29 @@ class TestCLI:
         io.write_wav(path, make_signal(8000, seed=122), 8000)
         with pytest.raises(SystemExit):
             cli.main([path, str(tmp_path / "o.npy")])
+
+
+def test_pitch_append(tmp_path):
+    """--pitch appends 3 pitch dims on the shared hop grid."""
+    from tpufeat import cli, io
+    from conftest import make_signal
+    wav = tmp_path / "a.wav"
+    io.write_wav(str(wav), make_signal(16000, seed=70), 16000)
+    out = tmp_path / "out.npy"
+    cli.main([str(wav), str(out), "--pitch"])
+    feats = np.load(str(out))
+    assert feats.shape[1] == 16                  # 13 MFCC + 3 pitch
+    assert np.isfinite(feats).all()
+
+
+def test_pitch_rejects_htk_and_validate(tmp_path):
+    from tpufeat import cli, io
+    from conftest import make_signal
+    wav = tmp_path / "a.wav"
+    io.write_wav(str(wav), make_signal(8000, seed=71), 16000)
+    import pytest
+    with pytest.raises(SystemExit, match="pitch"):
+        cli.main([str(wav), str(tmp_path / "o.htk"), "--pitch"])
+    with pytest.raises(SystemExit, match="pitch"):
+        cli.main([str(wav), str(tmp_path / "o.npy"), "--pitch",
+                  "--validate"])

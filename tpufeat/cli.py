@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resample inputs whose rate differs from the "
                         "config's sample_rate (polyphase MXU matmul, "
                         "matches scipy.resample_poly)")
+    p.add_argument("--pitch", action="store_true",
+                   help="append Kaldi-style 3-dim pitch features (POV, "
+                        "log-pitch, delta-log-pitch) to every frame; the "
+                        "batch is truncated to the pitch tracker's frame "
+                        "grid (its correlation window extends frame_length "
+                        "+ max-lag samples)")
     return p
 
 
@@ -145,7 +151,20 @@ def main(argv=None) -> int:
 
     feats = np.asarray(res.features)
     mask = np.asarray(res.mask)
+    if args.pitch:
+        from tpufeat import pitch as pitchmod
+        pf, pvalid = pitchmod.pitch_features(batch, lengths=lengths)
+        pf, pvalid = np.asarray(pf), np.asarray(pvalid)
+        fp = min(pf.shape[1], feats.shape[1])    # shared hop grid; the
+        feats = np.concatenate(                  # pitch window is longer,
+            [feats[:, :fp], pf[:, :fp]], axis=-1)  # so truncate to it
+        mask = mask[:, :fp] & pvalid[:, :fp]
     ext = os.path.splitext(out_path)[1].lower()
+    if args.pitch and (ext in (".htk", ".mfc", ".fea") or args.validate):
+        raise SystemExit("--pitch composes with .npy/.npz/.ark outputs "
+                         "only (no HTK parmKind describes appended pitch, "
+                         "and --validate's goldens cover the spectral "
+                         "features alone)")
     if ext in (".htk", ".mfc", ".fea"):
         # HTK interchange (one utterance per file; batch -> suffixed files)
         from tpufeat import feats_io
