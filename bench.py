@@ -49,15 +49,15 @@ def main(batch: int = 128, seconds: int = 30, iters: int = 10,
             log(f"health probe error: {e}")
 
     # Ride out the relay's claim-release latency after a previous client
-    # process exits: ~2-4 min typical, but >7 min observed once when the
-    # prior client had just torn down a large program — and an erroneous
+    # process exits: ~2-4 min typical, but 12-16 min observed repeatedly
+    # on 2026-08-17 after large-program clients — and an erroneous
     # zero-value record costs a whole round's benchmark, so wait long
     # (log a heads-up at 7 min) before declaring the device wedged.
     threading.Thread(target=_probe, daemon=True).start()
     if not ok.wait(timeout=420):
         log("no device response after 420s (claim stall?); waiting on...")
-    if not ok.is_set() and not ok.wait(timeout=480):
-        log("device unresponsive after 900s; emitting failure record")
+    if not ok.is_set() and not ok.wait(timeout=1200):
+        log("device unresponsive after 1620s; emitting failure record")
         return {
             "metric": "rtfx_logmel80_plus_mfcc13_batched_16khz",
             "value": 0.0, "unit": "x_realtime_per_chip",
