@@ -63,3 +63,52 @@ class TestSplicing:
         np.testing.assert_allclose(out[0, 0, :3], feat[0, 0])
         # utterance 1 ends at frame 3: right context clipped there
         np.testing.assert_allclose(out[1, 3, 6:], feat[1, 3])
+
+
+class TestCmvnStats:
+    def test_matches_direct_concat(self):
+        from tpufeat.data import CmvnStats
+        rng = np.random.default_rng(30)
+        utts = [rng.standard_normal((f, 13)) + 5.0 for f in (40, 7, 93)]
+        st = CmvnStats(13)
+        for u in utts:
+            st.accumulate(u)
+        allf = np.concatenate(utts)
+        np.testing.assert_allclose(st.mean, allf.mean(0), rtol=1e-12)
+        np.testing.assert_allclose(st.var, allf.var(0), rtol=1e-9)
+        # applying the stats whitens the corpus
+        normed = np.concatenate([st.apply(u, norm_vars=True) for u in utts])
+        np.testing.assert_allclose(normed.mean(0), 0.0, atol=1e-5)
+        np.testing.assert_allclose(normed.var(0), 1.0, atol=1e-4)
+
+    def test_save_load_merge(self, tmp_path):
+        from tpufeat.data import CmvnStats
+        rng = np.random.default_rng(31)
+        a, b = rng.standard_normal((20, 4)), rng.standard_normal((30, 4))
+        s1, s2 = CmvnStats(4), CmvnStats(4)
+        s1.accumulate(a); s2.accumulate(b)
+        s1.save(str(tmp_path / "s.npz"))
+        s1b = CmvnStats.load(str(tmp_path / "s.npz"))
+        s1b.merge(s2)
+        both = np.concatenate([a, b])
+        np.testing.assert_allclose(s1b.mean, both.mean(0), rtol=1e-12)
+        np.testing.assert_allclose(s1b.var, both.var(0), rtol=1e-9)
+
+    def test_pipeline_roundtrip(self, tmp_path):
+        """--global-cmvn then --apply-cmvn through the corpus CLI."""
+        from tpufeat import io, pipeline
+        from conftest import make_signal
+        d = tmp_path / "wavs"; d.mkdir()
+        for i in range(3):
+            io.write_wav(str(d / f"u{i}.wav"),
+                         make_signal(8000 + 1000 * i, seed=40 + i), 16000)
+        stats_p = str(tmp_path / "cmvn.npz")
+        pipeline.main([str(d), str(tmp_path / "o1.npz"),
+                       "--global-cmvn", stats_p, "--batch", "2"])
+        pipeline.main([str(d), str(tmp_path / "o2.npz"),
+                       "--apply-cmvn", stats_p, "--norm-vars",
+                       "--batch", "2"])
+        z = np.load(str(tmp_path / "o2.npz"))
+        allf = np.concatenate([z[k] for k in z.files])
+        np.testing.assert_allclose(allf.mean(0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(allf.var(0), 1.0, atol=1e-3)

@@ -97,3 +97,63 @@ def splice_frames(feat, num_frames, left: int = 3, right: int = 3):
         idx = jnp.clip(t[None, :] + off, 0, hi)
         parts.append(jnp.take_along_axis(feat, idx[..., None], axis=-2))
     return jnp.concatenate(parts, axis=-1)
+
+
+class CmvnStats:
+    """Corpus-level CMVN statistics (the Kaldi compute-cmvn-stats /
+    apply-cmvn pair, SURVEY.md C16's corpus-scale sibling): exact
+    float64 moment accumulation over any number of utterances, then
+    normalization of features against the CORPUS mean/variance (vs the
+    per-utterance `cfg.cmvn` and the causal streaming.RunningCMVN).
+
+    Host-side numpy by design — accumulation is O(F*D) adds per
+    utterance, dwarfed by extraction; keeping it out of the jitted graph
+    means any mix of batch shapes feeds one accumulator.
+    """
+
+    def __init__(self, dim: int):
+        self.count = 0.0
+        self.sum = np.zeros(dim, np.float64)
+        self.sumsq = np.zeros(dim, np.float64)
+
+    def accumulate(self, feats: np.ndarray) -> None:
+        """Add one utterance's [F, D] (or a batch's [B, F, D] of VALID
+        frames — trim padding first)."""
+        f = np.asarray(feats, np.float64).reshape(-1, self.sum.shape[0])
+        self.count += f.shape[0]
+        self.sum += f.sum(axis=0)
+        self.sumsq += (f * f).sum(axis=0)
+
+    @property
+    def mean(self) -> np.ndarray:
+        return self.sum / max(self.count, 1.0)
+
+    @property
+    def var(self) -> np.ndarray:
+        m = self.mean
+        return np.maximum(self.sumsq / max(self.count, 1.0) - m * m, 0.0)
+
+    def apply(self, feats: np.ndarray, norm_vars: bool = False) -> np.ndarray:
+        out = np.asarray(feats, np.float32) - self.mean.astype(np.float32)
+        if norm_vars:
+            out = out / np.sqrt(self.var + 1e-10).astype(np.float32)
+        return out
+
+    def save(self, path: str) -> None:
+        np.savez(path, count=self.count, sum=self.sum, sumsq=self.sumsq)
+
+    @classmethod
+    def load(cls, path: str) -> "CmvnStats":
+        z = np.load(path)
+        st = cls(int(z["sum"].shape[0]))
+        st.count = float(z["count"])
+        st.sum = z["sum"].astype(np.float64)
+        st.sumsq = z["sumsq"].astype(np.float64)
+        return st
+
+    def merge(self, other: "CmvnStats") -> "CmvnStats":
+        """Combine shards (e.g. per-worker corpus partitions)."""
+        self.count += other.count
+        self.sum += other.sum
+        self.sumsq += other.sumsq
+        return self

@@ -206,6 +206,15 @@ def main(argv=None) -> int:
     p.add_argument("--fused", action="store_true",
                    help="production TPU kernels (pallas + gemm + fused "
                         "framing + bf16x3)")
+    p.add_argument("--global-cmvn", metavar="STATS_NPZ", default=None,
+                   help="accumulate corpus-level CMVN statistics over all "
+                        "valid frames and write them (Kaldi "
+                        "compute-cmvn-stats analogue; data.CmvnStats)")
+    p.add_argument("--apply-cmvn", metavar="STATS_NPZ", default=None,
+                   help="normalize every utterance against previously "
+                        "computed corpus statistics (mean; use "
+                        "--norm-vars for variance too)")
+    p.add_argument("--norm-vars", action="store_true")
     p.add_argument("--repeat", type=int, default=1,
                    help="extra passes over the corpus: pass 1 pays the "
                         "per-shape XLA compiles (~13 s each through the "
@@ -217,17 +226,28 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, use_pallas=True, gemm_dft=True,
                                   fused_framing=True,
                                   matmul_precision="bf16x3")
+    apply_stats = data.CmvnStats.load(args.apply_cmvn) \
+        if args.apply_cmvn else None
     passes = []
     out = {}
     stats: dict = {}
+    cmvn_acc = None
     for _ in range(max(1, args.repeat)):
         t0 = time.perf_counter()
         out = {}
         stats = {}
+        cmvn_acc = data.CmvnStats(cfg.feature_dim) \
+            if args.global_cmvn else None
         for path, feats in extract_corpus(args.wav_dir, cfg, args.batch,
                                           stats=stats):
+            if cmvn_acc is not None:
+                cmvn_acc.accumulate(feats)
+            if apply_stats is not None:
+                feats = apply_stats.apply(feats, norm_vars=args.norm_vars)
             out[os.path.relpath(path, args.wav_dir)] = feats
         passes.append(time.perf_counter() - t0)   # extraction wall
+    if cmvn_acc is not None:
+        cmvn_acc.save(args.global_cmvn)
     dt = passes[-1]                    # steady-state (or only) pass
     np.savez(args.out_npz, **out)
     audio_s = sum(f.shape[0] for f in out.values()) * cfg.hop_length \
