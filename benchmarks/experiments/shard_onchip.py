@@ -50,16 +50,21 @@ def main() -> int:
             pass
 
         def run():
-            r = sharding.extract_batch_time_sharded(x, lens, cfg, mesh)
-            return float(np.asarray(cks(r.features)))
+            return sharding.extract_batch_time_sharded(x, lens, cfg,
+                                                       mesh).features
 
-        run()                       # compile + warm
+        float(np.asarray(cks(run())))   # compile + warm
         chain, iters = 8, 6
         ts = []
         for _ in range(iters):
             t0 = time.perf_counter()
+            out = None
             for _ in range(chain):
-                run()
+                out = run()         # async dispatches chain on device;
+            float(np.asarray(cks(out)))   # ONE relay sync per chain —
+            # a per-call sync costs the full ~27 ms relay round trip and
+            # buried the first measurement (83k "RTFx" that was really
+            # relay latency; see shard_body_anatomy.py)
             ts.append(time.perf_counter() - t0)
         dt = float(np.median(ts)) / chain
         rtfx = B * sec / dt
