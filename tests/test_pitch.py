@@ -122,3 +122,74 @@ class TestBatchAndFeatures:
         m0 = np.median(np.asarray(hz)[0][v[0]])
         m1 = np.median(np.asarray(hz)[1][v[1]])
         assert abs(m0 - 100) < 3 and abs(m1 - 250) < 8
+
+
+class TestStreamingPitch:
+    def _tone(self, f0=140.0, n=12000):
+        return tone(f0, n=n, seed=13)
+
+    def test_full_lookahead_equals_offline(self):
+        """With lookahead >= total frames, flush() is algebraically the
+        offline Viterbi (same forward scores, same backtrace) — exact."""
+        cfg = pitch.PitchConfig(ballast=0.0)   # running-RMS ballast is the
+        sig = self._tone()                     # one online divergence
+        F = cfg.num_frames(len(sig))
+        want_hz, want_pov, _ = pitch.track(sig, cfg=cfg)
+        sp = pitch.StreamingPitch(cfg, batch_size=1, lookahead=F + 4)
+        for i in range(0, len(sig), 3200):
+            hz, pov = sp.process(sig[None, i: i + 3200])
+            assert hz.shape[1] == 0            # nothing emitted yet
+        hz, pov = sp.flush()
+        np.testing.assert_allclose(np.asarray(hz)[0],
+                                   np.asarray(want_hz)[:F], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pov)[0],
+                                   np.asarray(want_pov)[:F],
+                                   rtol=0, atol=1e-5)
+
+    def test_realistic_lookahead_on_tone(self):
+        """K=15 (150 ms) online decisions match offline on a steady tone
+        (after warmup the delayed decisions are final)."""
+        cfg = pitch.PitchConfig(ballast=0.0)
+        sig = self._tone(f0=180.0, n=16000)
+        F = cfg.num_frames(len(sig))
+        want_hz, _, _ = pitch.track(sig, cfg=cfg)
+        sp = pitch.StreamingPitch(cfg, batch_size=1, lookahead=15)
+        outs = [sp.process(sig[None, i: i + 1600])[0]
+                for i in range(0, len(sig), 1600)]
+        outs.append(sp.flush()[0])
+        got = np.concatenate([np.asarray(o) for o in outs if o.shape[1]],
+                             axis=1)[0]
+        assert got.shape[0] == F
+        np.testing.assert_allclose(got, np.asarray(want_hz)[:F], rtol=1e-6)
+
+    def test_emission_counting(self):
+        """Emissions lag input by exactly `lookahead` frames and flush
+        drains exactly the pending tail, over an uneven chunk plan."""
+        cfg = pitch.PitchConfig()
+        sig = self._tone(n=14000)
+        F = cfg.num_frames(len(sig))
+        K = 7
+        sp = pitch.StreamingPitch(cfg, batch_size=1, lookahead=K)
+        total = 0
+        for c in (1000, 3000, 750, 4250, 5000):
+            hz, _ = sp.process(sig[None, total: total + c])
+            total += c
+        hz_f, _ = sp.flush()
+        seen = cfg.num_frames(total)
+        assert hz_f.shape[1] == min(seen, K)
+
+    def test_state_is_a_pytree(self):
+        """PitchStreamState serializes through the generic streaming
+        checkpoint helpers (crash resume, SURVEY aux)."""
+        from tpufeat import streaming as st
+        cfg = pitch.PitchConfig()
+        sp = pitch.StreamingPitch(cfg, batch_size=2, lookahead=5)
+        sp.process(np.random.default_rng(0)
+                   .standard_normal((2, 4000)).astype(np.float32))
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "pitch_state.npz")
+            st.save_state(p, sp.state)
+            loaded = st.load_state(p, sp.state)
+        for a, b in zip(sp.state, loaded):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

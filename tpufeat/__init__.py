@@ -11,7 +11,8 @@ out — designed TPU-first per SURVEY.md. Public API:
 """
 
 from tpufeat.augment import energy_vad, spec_augment
-from tpufeat.pitch import PitchConfig, pitch_features, track as track_pitch
+from tpufeat.pitch import (PitchConfig, StreamingPitch, pitch_features,
+                           track as track_pitch)
 from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
                             PLP13, PRESETS, STREAMING160, WHISPER80)
 from tpufeat.features import (FeatureResult, extract, extract_chunked,
@@ -38,5 +39,5 @@ __all__ = [
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
     "StreamingPipeline", "resample",
     "spec_augment", "energy_vad", "PitchConfig", "pitch_features",
-    "track_pitch", "__version__",
+    "track_pitch", "StreamingPitch", "__version__",
 ]

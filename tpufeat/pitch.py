@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -90,17 +91,42 @@ def _transition_matrix(cfg: PitchConfig) -> np.ndarray:
         np.float32)
 
 
-def nccf(signal: jnp.ndarray, lengths: jnp.ndarray,
-         cfg: PitchConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched NCCF: [B, N] -> (nccf [B, F, L], frame validity [B, F]).
+def _nccf_from_frames(frames: jnp.ndarray, ballast: jnp.ndarray,
+                      cfg: PitchConfig) -> jnp.ndarray:
+    """Extended frames [..., F, W + lag_max] + ballast [...] -> nccf
+    [..., F, L] — the frame-level core shared by one-shot and streaming.
 
     nccf(t, l) = sum_i a_i b_{i+l} / sqrt(E0 * E_l + ballast), with
-    a = the frame's first ``frame_length`` samples, b = the extended
-    window, and ballast = cfg.ballast * (frame_length * rms^2)^2 from the
-    per-utterance masked RMS (zero-signal frames score ~0, not 0/0)."""
-    W, hop = cfg.frame_length, cfg.hop_length
+    a = the frame's first ``frame_length`` samples and b = the extended
+    window; numerators for all lags come from ONE batched rFFT
+    cross-correlation, energies from a cumulative-sum slide."""
+    W = cfg.frame_length
     L0, L1 = cfg.lag_min, cfg.lag_max
     wext = W + L1
+    a = frames[..., :W]
+    nfft = int(2 ** np.ceil(np.log2(wext + W)))
+    fa = jnp.fft.rfft(a, n=nfft, axis=-1)
+    fb = jnp.fft.rfft(frames, n=nfft, axis=-1)
+    corr = jnp.fft.irfft(jnp.conj(fa) * fb, n=nfft, axis=-1)
+    num = corr[..., L0: L1 + 1]
+
+    cs = jnp.cumsum(jnp.concatenate(
+        [jnp.zeros_like(frames[..., :1]), frames * frames], axis=-1),
+        axis=-1)
+    e = cs[..., W:] - cs[..., :-W]                  # E_l for l = 0..lag_max
+    e0 = e[..., :1]
+    el = e[..., L0: L1 + 1]
+    den = jnp.sqrt(e0 * el + ballast[..., None, None] + 1e-20)
+    return num / den
+
+
+def nccf(signal: jnp.ndarray, lengths: jnp.ndarray,
+         cfg: PitchConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched NCCF: [B, N] -> (nccf [B, F, L], frame validity [B, F]),
+    with ballast = cfg.ballast * (frame_length * rms^2)^2 from the
+    per-utterance masked RMS (zero-signal frames score ~0, not 0/0)."""
+    W, hop = cfg.frame_length, cfg.hop_length
+    wext = W + cfg.lag_max
     B, N = signal.shape
     F = cfg.num_frames(N)
     if F <= 0:
@@ -110,30 +136,13 @@ def nccf(signal: jnp.ndarray, lengths: jnp.ndarray,
     # extended frames [B, F, W + lag_max] — gather-free strided slices
     from tpufeat import framing
     frames = framing.frames_from_buffer(signal, F, wext, hop)
-    a = frames[..., :W]
-
-    # numerators for all lags at once: cross-correlation by rFFT
-    nfft = int(2 ** np.ceil(np.log2(wext + W)))
-    fa = jnp.fft.rfft(a, n=nfft, axis=-1)
-    fb = jnp.fft.rfft(frames, n=nfft, axis=-1)
-    corr = jnp.fft.irfft(jnp.conj(fa) * fb, n=nfft, axis=-1)
-    num = corr[..., L0: L1 + 1]                     # [B, F, L]
-
-    # windowed energies E_l = sum_{i=l}^{l+W-1} b_i^2 via cumsum
-    cs = jnp.cumsum(jnp.concatenate(
-        [jnp.zeros_like(frames[..., :1]), frames * frames], axis=-1),
-        axis=-1)
-    e = cs[..., W:] - cs[..., :-W]                  # E_l for l = 0..lag_max
-    e0 = e[..., :1]
-    el = e[..., L0: L1 + 1]
 
     # per-utterance masked RMS ballast
     m = (jnp.arange(N) < lengths[:, None]).astype(signal.dtype)
     rms2 = jnp.sum(signal * signal * m, axis=-1) / jnp.maximum(
         jnp.sum(m, axis=-1), 1.0)
     ballast = cfg.ballast * (W * rms2) ** 2         # [B]
-    den = jnp.sqrt(e0 * el + ballast[:, None, None] + 1e-20)
-    out = num / den
+    out = _nccf_from_frames(frames, ballast, cfg)
     valid = (jnp.arange(F)[None, :] * hop + wext) <= lengths[:, None]
     return out, valid
 
@@ -246,3 +255,203 @@ def _features_impl(x: jnp.ndarray, lengths: jnp.ndarray, cfg: PitchConfig):
 
 
 _features_jit = jax.jit(_features_impl, static_argnames=("cfg",))
+
+
+# ---------------------------------------------------------------------------
+# Streaming pitch: lookahead-K Viterbi with delayed emission
+# ---------------------------------------------------------------------------
+
+class PitchStreamState(NamedTuple):
+    """Carry for online pitch (StreamingPitch wrapper tracks fill/pos as
+    host ints, like streaming.StreamingFrontend):
+
+    buf:  [B, frame_length + lag_max - 1] raw-sample carry
+    v:    [B, L] Viterbi forward scores
+    ptrs: [B, K+1, L] backpointer ring (slot t % (K+1) = transition INTO
+          frame t)
+    raw:  [B, K+1, L] raw-NCCF ring (for POV of emitted frames)
+    sumsq, count: [B] running ballast statistics (the one documented
+          divergence from offline tracking, which uses the utterance-
+          global RMS; identical when cfg.ballast == 0)
+    """
+    buf: jnp.ndarray
+    v: jnp.ndarray
+    ptrs: jnp.ndarray
+    raw: jnp.ndarray
+    sumsq: jnp.ndarray
+    count: jnp.ndarray
+
+
+def init_pitch_state(batch_size: int, cfg: PitchConfig,
+                     lookahead: int) -> PitchStreamState:
+    L, K = cfg.n_lags, lookahead
+    cap = cfg.frame_length + cfg.lag_max - 1
+    return PitchStreamState(
+        buf=jnp.zeros((batch_size, cap), jnp.float32),
+        v=jnp.zeros((batch_size, L), jnp.float32),
+        ptrs=jnp.zeros((batch_size, K + 1, L), jnp.int32),
+        raw=jnp.zeros((batch_size, K + 1, L), jnp.float32),
+        sumsq=jnp.zeros((batch_size,), jnp.float32),
+        count=jnp.zeros((batch_size,), jnp.float32),
+    )
+
+
+def pitch_chunk_static(state: PitchStreamState, chunk: jnp.ndarray, *,
+                       cfg: PitchConfig, lookahead: int, fill: int,
+                       pos0: int):
+    """One online step: ([B, C] raw samples at static buffer ``fill`` and
+    static frame counter ``pos0``) -> (state', lag_idx [B, n_new],
+    pov [B, n_new]).
+
+    Frame t's pitch is DECIDED when frame t+K has been scored (K =
+    ``lookahead``): the emission backtraces K steps from the running
+    forward maximum, so outputs lag behind input by K frames; the wrapper
+    slices warmup rows and ``flush()`` drains the tail. With K >= total
+    frames, flush reproduces the offline Viterbi exactly (same math) —
+    tested. Memory note: the per-frame [B, L, L] transition max means
+    ~L^2 floats per stream; fine for hundreds of streams, not for the
+    65k-stream serving path (pitch at that scale wants a dedicated
+    pruned-lattice kernel)."""
+    W, hop = cfg.frame_length, cfg.hop_length
+    K = lookahead
+    wext = W + cfg.lag_max
+    cap = wext - 1
+    B, C = chunk.shape
+    if not 0 <= fill <= cap:
+        raise ValueError(f"fill {fill} outside [0, {cap}]")
+    data = jnp.concatenate([state.buf[:, cap - fill:], chunk], axis=-1)
+    total = fill + C
+    n_new = max(0, 1 + (total - wext) // hop)
+
+    sumsq = state.sumsq + jnp.sum(chunk * chunk, axis=-1)
+    count = state.count + C
+    rms2 = sumsq / jnp.maximum(count, 1.0)
+    ballast = cfg.ballast * (W * rms2) ** 2
+
+    fill_out = total - n_new * hop
+    leftover = data[:, n_new * hop:]
+    new_buf = jnp.concatenate(
+        [jnp.zeros((B, cap - fill_out), data.dtype), leftover], axis=-1)
+
+    if n_new == 0:
+        st = state._replace(buf=new_buf, sumsq=sumsq, count=count)
+        z = jnp.zeros((B, 0), jnp.float32)
+        return st, z.astype(jnp.int32), z
+
+    from tpufeat import framing
+    frames = framing.frames_from_buffer(data, n_new, wext, hop)
+    sraw = _nccf_from_frames(frames, ballast, cfg)   # [B, n_new, L]
+    L = cfg.n_lags
+    lags_f = jnp.arange(cfg.lag_min, cfg.lag_max + 1, dtype=jnp.float32)
+    tilt = cfg.lag_bias * jnp.log(lags_f / cfg.lag_min)
+    trans = jnp.asarray(_transition_matrix(cfg))
+    ident = jnp.arange(L, dtype=jnp.int32)
+
+    def frame_step(carry, inp):
+        v, ptrs, raw, pos = carry
+        s_raw = inp                                   # [B, L]
+        shaped = s_raw - tilt
+        cand = v[:, :, None] - trans[None]            # [B, Lprev, L]
+        ptr_t = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        v_new = shaped + jnp.max(cand, axis=1)
+        first = pos == 0
+        v_new = jnp.where(first, shaped, v_new)
+        ptr_t = jnp.where(first, ident[None, :], ptr_t)
+        slot = pos % (K + 1)
+        ptrs = jax.lax.dynamic_update_slice_in_dim(
+            ptrs, ptr_t[:, None], slot, axis=1)
+        raw = jax.lax.dynamic_update_slice_in_dim(
+            raw, s_raw[:, None], slot, axis=1)
+        # emit frame pos-K: backtrace K static steps from this frame's max
+        lag = jnp.argmax(v_new, axis=-1).astype(jnp.int32)   # [B]
+        for k in range(K):
+            ptr_k = jax.lax.dynamic_index_in_dim(
+                ptrs, (pos - k) % (K + 1), axis=1, keepdims=False)
+            lag = jnp.take_along_axis(ptr_k, lag[:, None], axis=-1)[:, 0]
+        raw_e = jax.lax.dynamic_index_in_dim(
+            raw, (pos - K) % (K + 1), axis=1, keepdims=False)
+        pov = jnp.take_along_axis(raw_e, lag[:, None], axis=-1)[:, 0]
+        return (v_new, ptrs, raw, pos + 1), (lag, pov)
+
+    (v, ptrs, raw, _), (lags, povs) = jax.lax.scan(
+        frame_step, (state.v, state.ptrs, state.raw,
+                     jnp.asarray(pos0, jnp.int32)),
+        jnp.moveaxis(sraw, 1, 0))
+    st = PitchStreamState(buf=new_buf, v=v, ptrs=ptrs, raw=raw,
+                          sumsq=sumsq, count=count)
+    return st, jnp.moveaxis(lags, 0, 1), jnp.moveaxis(povs, 0, 1)
+
+
+def pitch_flush(state: PitchStreamState, *, cfg: PitchConfig,
+                lookahead: int, pos: int):
+    """Drain the pending min(pos, lookahead) frames: full backtrace from
+    the final forward maximum through the ring."""
+    K = lookahead
+    n = min(pos, K)
+    B = state.v.shape[0]
+    if n == 0:
+        z = jnp.zeros((B, 0), jnp.float32)
+        return z.astype(jnp.int32), z
+    lag = jnp.argmax(state.v, axis=-1).astype(jnp.int32)
+    lags, povs = [], []
+    for k in range(n):                    # frame pos-1-k, newest first
+        raw_k = state.raw[:, (pos - 1 - k) % (K + 1)]
+        lags.append(lag)
+        povs.append(jnp.take_along_axis(raw_k, lag[:, None], axis=-1)[:, 0])
+        if k < n - 1:
+            ptr_k = state.ptrs[:, (pos - 1 - k) % (K + 1)]
+            lag = jnp.take_along_axis(ptr_k, lag[:, None], axis=-1)[:, 0]
+    return (jnp.stack(lags[::-1], axis=1),
+            jnp.stack(povs[::-1], axis=1))
+
+
+class StreamingPitch:
+    """Object wrapper: host-tracked fill/frame-counter, jitted static
+    steps (the pitch sibling of streaming.StreamingFrontend).
+
+    >>> sp = StreamingPitch(PitchConfig(), batch_size=1, lookahead=15)
+    >>> for chunk in chunks:                  # [B, C]
+    ...     hz, pov = sp.process(chunk)       # [B, n_emitted] each
+    >>> hz, pov = sp.flush()                  # the last `lookahead` frames
+    """
+
+    def __init__(self, cfg: PitchConfig = PitchConfig(),
+                 batch_size: int = 1, lookahead: int = 15):
+        self.cfg = cfg
+        self.lookahead = lookahead
+        self.state = init_pitch_state(batch_size, cfg, lookahead)
+        self._fill = 0
+        self._pos = 0
+
+    def _hz(self, lag_idx):
+        return self.cfg.sample_rate / (self.cfg.lag_min
+                                       + lag_idx.astype(jnp.float32))
+
+    def process(self, chunk):
+        chunk = jnp.asarray(chunk, jnp.float32)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        fn = _pitch_step_jit(self.cfg, self.lookahead, self._fill,
+                             self._pos)
+        self.state, lags, povs = fn(self.state, chunk)
+        n_new = lags.shape[1]
+        # rows for frames < lookahead are warmup garbage: slice them off
+        skip = max(0, min(self.lookahead - self._pos, n_new))
+        self._pos += n_new
+        wext = self.cfg.frame_length + self.cfg.lag_max
+        total = self._fill + chunk.shape[1]
+        assert n_new == max(0, 1 + (total - wext) // self.cfg.hop_length)
+        self._fill = total - n_new * self.cfg.hop_length
+        return self._hz(lags[:, skip:]), povs[:, skip:]
+
+    def flush(self):
+        lags, povs = pitch_flush(self.state, cfg=self.cfg,
+                                 lookahead=self.lookahead, pos=self._pos)
+        return self._hz(lags), povs
+
+
+@functools.lru_cache(maxsize=None)
+def _pitch_step_jit(cfg: PitchConfig, lookahead: int, fill: int, pos0: int):
+    return jax.jit(functools.partial(pitch_chunk_static, cfg=cfg,
+                                     lookahead=lookahead, fill=fill,
+                                     pos0=pos0))
