@@ -1,10 +1,11 @@
-"""Relay readback bandwidth: how fast can features leave the device?
+"""Relay readback cost: what does RETURNING features to the host cost?
 
-The corpus pipeline's steady state measured 2.44 s per ~5 MB batched
-device_get (~2 MB/s) — this isolates the readback path: device_get wall
-time vs transfer size, plus the dispatch+checksum baseline, so the
-"corpus throughput is relay-readback-bound" claim in BASELINE.md rests
-on a direct measurement.
+First version timed a second ``np.asarray`` of an already-fetched array
+— ~0 ms, meaning the axon client caches materialized outputs host-side.
+So the honest question is per FRESH dispatch: (a) dispatch + scalar
+checksum sync (the benchmark methodology — output stays device-side)
+vs (b) dispatch + full ``np.asarray`` of the output. The difference is
+what the corpus pipeline pays per batch to actually obtain features.
 
   python -m benchmarks.experiments.readback_bw
 """
@@ -16,7 +17,7 @@ import time
 
 import numpy as np
 
-SIZES_MB = [0.05, 0.5, 5, 20, 80]
+SIZES_MB = [0.5, 5, 20, 80]
 
 
 def main() -> int:
@@ -25,21 +26,32 @@ def main() -> int:
 
     print(f"backend={jax.default_backend()}", file=sys.stderr)
     rows = []
+    key = jax.random.key(0)
     for mb in SIZES_MB:
         n = int(mb * 1e6 / 4)
-        x = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.float32))(
-            jax.random.key(int(mb * 100)))
-        float(np.asarray(jnp.sum(x)))           # force materialization
-        ts = []
-        for _ in range(5):
+        fn = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.float32))
+
+        def run(i, fetch):
+            nonlocal key
+            key, sub = jax.random.split(key)
             t0 = time.perf_counter()
-            _ = np.asarray(x)                   # the readback under test
-            ts.append(time.perf_counter() - t0)
-        dt = float(np.median(ts))
-        rows.append({"mb": mb, "s": round(dt, 4),
-                     "mb_per_s": round(mb / dt, 3)})
-        print(f"{mb:6.2f} MB  {dt*1e3:9.1f} ms  {mb/dt:8.2f} MB/s",
-              file=sys.stderr)
+            y = fn(sub)
+            if fetch:
+                _ = np.asarray(y)
+            else:
+                float(np.asarray(jnp.sum(y)))
+            return time.perf_counter() - t0
+
+        run(0, False); run(0, True)             # compile + warm
+        sync = float(np.median([run(i, False) for i in range(5)]))
+        fetch = float(np.median([run(i, True) for i in range(5)]))
+        extra = max(fetch - sync, 1e-9)
+        rows.append({"mb": mb, "sync_s": round(sync, 4),
+                     "fetch_s": round(fetch, 4),
+                     "readback_mb_per_s": round(mb / extra, 2)})
+        print(f"{mb:6.2f} MB  sync {sync*1e3:8.1f} ms   "
+              f"fetch {fetch*1e3:8.1f} ms   "
+              f"readback {mb/extra:8.2f} MB/s", file=sys.stderr)
     print(json.dumps({"readback": rows}))
     return 0
 

@@ -58,10 +58,10 @@ def main() -> int:
         ts = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            out = None
+            last = None
             for _ in range(chain):
-                out = run()         # async dispatches chain on device;
-            float(np.asarray(cks(out)))   # ONE relay sync per chain —
+                last = run()        # async dispatches chain on device;
+            float(np.asarray(cks(last)))  # ONE relay sync per chain —
             # a per-call sync costs the full ~27 ms relay round trip and
             # buried the first measurement (83k "RTFx" that was really
             # relay latency; see shard_body_anatomy.py)
