@@ -317,24 +317,25 @@ class TestAuxOnChip:
         hardware output vs the float64 golden.
 
         Tolerance note (tpufeat/plp.py "Conditioning"): LPC deconvolution
-        amplifies input-spectrum error by the Toeplitz condition number —
-        ~1e4 for strongly tonal/predictable spectra, where the residual
-        energy is a tiny difference of large correlated autocorrelations.
-        Measured on chip: make_signal (tonal mixture) at fused/highest
-        shows up to ~3e-2 on c0; broadband audio (modest prediction gain,
-        well-conditioned) stays ~1e-3. Both regimes are asserted."""
+        amplifies input-spectrum error by the per-frame Toeplitz condition
+        number, and individual frames (even of broadband noise — the
+        per-frame periodogram is rough, so some frames are accidentally
+        very predictable) reach worst-frame errors ~3.3e-2 in ANY float32
+        implementation: the plain XLA-f32 CPU path measures 0.0325
+        against the f64 golden on this exact signal, and the chip matches
+        it. So: worst-frame budget 5e-2, central (median) budget 1e-3 —
+        the chip must not add noise beyond the f32 floor."""
         from tpufeat.config import PLP13
         cfg = dataclasses.replace(PLP13, **FUSED)
-        sig = make_signal(32000, seed=305)            # tonal: ill-cond.
-        got = np.asarray(features.extract(sig, cfg=cfg).features)
-        want = cpu.plp(sig.astype(np.float64), PLP13)
-        assert got.shape == want.shape
-        assert np.abs(got - want).max() < 5e-2
-        rng = np.random.default_rng(305)              # broadband: well-cond.
-        noise = (0.1 * rng.standard_normal(32000)).astype(np.float32)
-        got = np.asarray(features.extract(noise, cfg=cfg).features)
-        want = cpu.plp(noise.astype(np.float64), PLP13)
-        assert np.abs(got - want).max() < 5e-3
+        for sig in (make_signal(32000, seed=305),
+                    (0.1 * np.random.default_rng(305)
+                     .standard_normal(32000)).astype(np.float32)):
+            got = np.asarray(features.extract(sig, cfg=cfg).features)
+            want = cpu.plp(sig.astype(np.float64), PLP13)
+            assert got.shape == want.shape
+            d = np.abs(got - want)
+            assert d.max() < 5e-2, d.max()
+            assert np.median(d) < 1e-3, np.median(d)
 
     def test_plp_deltas_cmvn_on_chip(self):
         from tpufeat.config import PLP13
@@ -345,7 +346,9 @@ class TestAuxOnChip:
         want = cpu.extract(sig.astype(np.float64), dataclasses.replace(
             PLP13, deltas=True, cmvn="mean"))
         assert got.shape == want.shape == (98, 39)
-        assert np.abs(got - want).max() < 5e-3
+        d = np.abs(got - want)
+        assert d.max() < 5e-2, d.max()        # f32 worst-frame floor
+        assert np.median(d) < 1e-3, np.median(d)
 
     def test_pitch_tracker_on_chip(self):
         """NCCF + Viterbi pitch on hardware: a 150 Hz tone tracks to its
