@@ -1,0 +1,70 @@
+"""Pitch tracker throughput on chip.
+
+The NCCF stage is batched rFFT work (fast); the Viterbi scan does an
+[L, L] broadcast-max per frame (L = 281), sequential over frames — the
+one part of the package that is a long lax.scan. This measures both
+stages so BASELINE.md can state what pitch costs next to the spectral
+front-end (which runs ~300k x realtime).
+
+  python -m benchmarks.experiments.pitch_bench
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tpufeat import pitch
+
+    cfg = pitch.PitchConfig()
+    print(f"backend={jax.default_backend()}", file=sys.stderr)
+
+    @jax.jit
+    def cks(t):
+        return sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(t))
+
+    out = {}
+    for B, sec in ((32, 10), (128, 10)):
+        n = sec * 16000
+        x = jax.jit(lambda k: 0.1 * jax.random.normal(
+            k, (B, n), jnp.float32))(jax.random.key(B))
+        lens = jnp.full((B,), n, jnp.int32)
+
+        nccf_fn = jax.jit(lambda a, b: pitch.nccf(a, b, cfg)[0])
+        track_fn = jax.jit(lambda a, b: pitch._track_impl(a, b, cfg)[:2])
+
+        def timeit(fn, chain=4, iters=5):
+            float(np.asarray(cks(fn(x, lens))))
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                r = None
+                for _ in range(chain):
+                    r = fn(x, lens)
+                float(np.asarray(cks(r)))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts)) / chain
+
+        t_nccf = timeit(nccf_fn)
+        t_full = timeit(track_fn)
+        out[f"B{B}x{sec}s"] = {
+            "nccf_ms": round(t_nccf * 1e3, 2),
+            "full_ms": round(t_full * 1e3, 2),
+            "rtfx": round(B * sec / t_full),
+        }
+        print(f"B={B} {sec}s: nccf {t_nccf*1e3:.2f} ms, "
+              f"full {t_full*1e3:.2f} ms, RTFx {B*sec/t_full:,.0f}",
+              file=sys.stderr)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

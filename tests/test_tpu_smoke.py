@@ -368,6 +368,29 @@ class TestAuxOnChip:
         F = int(v.sum())
         np.testing.assert_allclose(np.asarray(hz)[:F], ghz[:F], rtol=1e-6)
 
+    def test_streaming_pitch_on_chip(self):
+        """Online lookahead-K pitch on hardware: full-lookahead flush ==
+        offline Viterbi, exactly (ballast=0 removes the one documented
+        running-RMS divergence)."""
+        from tpufeat import pitch as pitchmod
+        cfg = pitchmod.PitchConfig(ballast=0.0)
+        sr = 16000
+        t = np.arange(9600) / sr
+        sig = (0.3 * np.sin(2 * np.pi * 170.0 * t)
+               + 0.02 * np.random.default_rng(308).standard_normal(9600)
+               ).astype(np.float32)
+        F = cfg.num_frames(len(sig))
+        want_hz, want_pov, _ = pitchmod.track(sig, cfg=cfg)
+        sp = pitchmod.StreamingPitch(cfg, batch_size=1, lookahead=F + 2)
+        for i in range(0, len(sig), 3200):
+            sp.process(sig[None, i: i + 3200])
+        hz, pov = sp.flush()
+        np.testing.assert_allclose(np.asarray(hz)[0],
+                                   np.asarray(want_hz)[:F], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pov)[0],
+                                   np.asarray(want_pov)[:F],
+                                   rtol=0, atol=1e-5)
+
     def test_resample_8k_to_16k_parity(self):
         import math
         import scipy.signal
