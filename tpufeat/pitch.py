@@ -178,6 +178,16 @@ def _viterbi(scores: jnp.ndarray, valid: jnp.ndarray,
     return jnp.concatenate([path, best_last[None]])
 
 
+def _prepare(signal, lengths):
+    x = jnp.asarray(signal, jnp.float32)
+    single = x.ndim == 1
+    if single:
+        x = x[None]
+    if lengths is None:
+        lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+    return x, jnp.asarray(lengths, jnp.int32), single
+
+
 def track(signal, lengths=None, cfg: PitchConfig = PitchConfig(),
           jit: bool = True):
     """Audio -> (pitch_hz [B, F], pov [B, F], valid [B, F]).
@@ -185,15 +195,7 @@ def track(signal, lengths=None, cfg: PitchConfig = PitchConfig(),
     ``pov`` is the raw NCCF value on the chosen path in [-1, 1] — the
     probability-of-voicing evidence (high for periodic frames, ~0 for
     silence/noise). 1-D input squeezes the batch axis, like extract()."""
-    x = jnp.asarray(signal, jnp.float32)
-    single = x.ndim == 1
-    if single:
-        x = x[None]
-    if x.dtype != jnp.float32:
-        x = x.astype(jnp.float32)
-    if lengths is None:
-        lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
-    lengths = jnp.asarray(lengths, jnp.int32)
+    x, lengths, single = _prepare(signal, lengths)
     fn = _track_jit if jit else _track_impl
     pitch, pov, valid = fn(x, lengths, cfg)
     if single:
@@ -203,6 +205,9 @@ def track(signal, lengths=None, cfg: PitchConfig = PitchConfig(),
 
 def _track_impl(x: jnp.ndarray, lengths: jnp.ndarray, cfg: PitchConfig):
     scores, valid = nccf(x, lengths, cfg)
+    if scores.shape[1] == 0:        # audio shorter than frame+lag window
+        z = jnp.zeros(valid.shape, jnp.float32)
+        return z, z, valid
     trans = jnp.asarray(_transition_matrix(cfg))
     lags = jnp.arange(cfg.lag_min, cfg.lag_max + 1, dtype=jnp.float32)
     shaped = scores - cfg.lag_bias * jnp.log(lags / cfg.lag_min)
@@ -225,13 +230,7 @@ def pitch_features(signal, lengths=None, cfg: PitchConfig = PitchConfig(),
     frame count slightly lower than the spectral front-end's for the same
     audio; align by truncating the spectral features (pitch frames are a
     strict prefix on the same hop grid)."""
-    x = jnp.asarray(signal, jnp.float32)
-    single = x.ndim == 1
-    if single:
-        x = x[None]
-    if lengths is None:
-        lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
-    lengths = jnp.asarray(lengths, jnp.int32)
+    x, lengths, single = _prepare(signal, lengths)
     fn = _features_jit if jit else _features_impl
     feats, valid = fn(x, lengths, cfg)
     if single:
@@ -296,12 +295,16 @@ def init_pitch_state(batch_size: int, cfg: PitchConfig,
     )
 
 
-def pitch_chunk_static(state: PitchStreamState, chunk: jnp.ndarray, *,
-                       cfg: PitchConfig, lookahead: int, fill: int,
-                       pos0: int):
-    """One online step: ([B, C] raw samples at static buffer ``fill`` and
-    static frame counter ``pos0``) -> (state', lag_idx [B, n_new],
-    pov [B, n_new]).
+def pitch_chunk_static(state: PitchStreamState, chunk: jnp.ndarray,
+                       pos0, *, cfg: PitchConfig, lookahead: int,
+                       fill: int):
+    """One online step: ([B, C] raw samples at static buffer ``fill``,
+    TRACED frame counter ``pos0``) -> (state', lag_idx [B, n_new],
+    pov [B, n_new]). ``pos0`` only seeds the scan carry (ring slots and
+    the first-frame test are computed from the traced counter), so one
+    compiled program serves every position of a chunk schedule — baking
+    it into the jit key would compile per chunk (~13 s each through the
+    relay) and leak executables.
 
     Frame t's pitch is DECIDED when frame t+K has been scored (K =
     ``lookahead``): the emission backtraces K steps from the running
@@ -431,9 +434,8 @@ class StreamingPitch:
         chunk = jnp.asarray(chunk, jnp.float32)
         if chunk.ndim == 1:
             chunk = chunk[None]
-        fn = _pitch_step_jit(self.cfg, self.lookahead, self._fill,
-                             self._pos)
-        self.state, lags, povs = fn(self.state, chunk)
+        fn = _pitch_step_jit(self.cfg, self.lookahead, self._fill)
+        self.state, lags, povs = fn(self.state, chunk, self._pos)
         n_new = lags.shape[1]
         # rows for frames < lookahead are warmup garbage: slice them off
         skip = max(0, min(self.lookahead - self._pos, n_new))
@@ -451,7 +453,6 @@ class StreamingPitch:
 
 
 @functools.lru_cache(maxsize=None)
-def _pitch_step_jit(cfg: PitchConfig, lookahead: int, fill: int, pos0: int):
+def _pitch_step_jit(cfg: PitchConfig, lookahead: int, fill: int):
     return jax.jit(functools.partial(pitch_chunk_static, cfg=cfg,
-                                     lookahead=lookahead, fill=fill,
-                                     pos0=pos0))
+                                     lookahead=lookahead, fill=fill))
