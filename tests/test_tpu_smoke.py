@@ -313,20 +313,24 @@ class TestAuxOnChip:
     hardware, not just the CPU mesh."""
 
     def test_plp_fused_golden_parity(self):
-        """PLP (beyond-reference family) on the production fused kernel:
-        hardware output vs the float64 golden.
+        """PLP (beyond-reference family) on the production fused kernel +
+        production matmul precision: hardware output vs the float64
+        golden.
 
         Tolerance note (tpufeat/plp.py "Conditioning"): LPC deconvolution
         amplifies input-spectrum error by the per-frame Toeplitz condition
-        number, and individual frames (even of broadband noise — the
-        per-frame periodogram is rough, so some frames are accidentally
-        very predictable) reach worst-frame errors ~3.3e-2 in ANY float32
-        implementation: the plain XLA-f32 CPU path measures 0.0325
-        against the f64 golden on this exact signal, and the chip matches
-        it. So: worst-frame budget 5e-2, central (median) budget 1e-3 —
-        the chip must not add noise beyond the f32 floor."""
+        number, so PLP — unlike the log-compressed MFCC path — cannot
+        absorb TPU default matmul precision: f32 matmuls run one bf16
+        pass by default on this chip, and at default precision this test
+        measures 3.3e-2 worst-frame / 3.7e-3 median. That is a precision
+        *configuration* penalty, not an f32 floor: on the exact same
+        signals the CPU f32 path sits at 2.9e-6 max / 1.5e-7 median vs
+        the f64 golden. Production flags pin matmul_precision="bf16x3"
+        (CLAUDE.md), which restores near-f32 matmuls; budgets below are
+        the bf16x3 floor with margin."""
         from tpufeat.config import PLP13
-        cfg = dataclasses.replace(PLP13, **FUSED)
+        cfg = dataclasses.replace(PLP13, matmul_precision="bf16x3",
+                                  **FUSED)
         for sig in (make_signal(32000, seed=305),
                     (0.1 * np.random.default_rng(305)
                      .standard_normal(32000)).astype(np.float32)):
@@ -334,12 +338,13 @@ class TestAuxOnChip:
             want = cpu.plp(sig.astype(np.float64), PLP13)
             assert got.shape == want.shape
             d = np.abs(got - want)
-            assert d.max() < 5e-2, d.max()
-            assert np.median(d) < 1e-3, np.median(d)
+            assert d.max() < 5e-3, d.max()
+            assert np.median(d) < 2e-4, np.median(d)
 
     def test_plp_deltas_cmvn_on_chip(self):
         from tpufeat.config import PLP13
-        cfg = dataclasses.replace(PLP13, deltas=True, cmvn="mean", **FUSED)
+        cfg = dataclasses.replace(PLP13, deltas=True, cmvn="mean",
+                                  matmul_precision="bf16x3", **FUSED)
         rng = np.random.default_rng(306)
         sig = (0.1 * rng.standard_normal(16000)).astype(np.float32)
         got = np.asarray(features.extract(sig, cfg=cfg).features)
@@ -347,8 +352,8 @@ class TestAuxOnChip:
             PLP13, deltas=True, cmvn="mean"))
         assert got.shape == want.shape == (98, 39)
         d = np.abs(got - want)
-        assert d.max() < 5e-2, d.max()        # f32 worst-frame floor
-        assert np.median(d) < 1e-3, np.median(d)
+        assert d.max() < 5e-3, d.max()        # bf16x3 budget, see above
+        assert np.median(d) < 2e-4, np.median(d)
 
     def test_pitch_tracker_on_chip(self):
         """NCCF + Viterbi pitch on hardware: a 150 Hz tone tracks to its

@@ -29,18 +29,22 @@ The float64 golden (tpufeat/reference/cpu.py) implements the same
 formulas independently; tests/test_plp.py holds the two within 1e-4.
 
 Conditioning: LPC deconvolution amplifies input-spectrum error by the
-per-frame Toeplitz condition number. Individual frames — of tonal audio
-AND of broadband noise, whose per-frame periodograms are rough enough
-that some frames are accidentally very predictable — reach worst-frame
-errors ~3e-2 against the f64 golden in ANY float32 implementation: the
-plain XLA-f32 CPU path measures 0.0325 on a 2000-frame noise signal and
-the fused TPU path matches it (tests/test_tpu_smoke.py). The MEDIAN
-error stays ~1e-4. This is intrinsic to f32 PLP, not a kernel artifact;
-fidelity budgets for PLP are therefore worst-frame 5e-2 / median 1e-3.
+per-frame Toeplitz condition number, so PLP — unlike the log-compressed
+MFCC path — cannot absorb reduced matmul precision anywhere upstream of
+Durbin. The autocorrelation IDFT matmul below is therefore pinned to
+HIGHEST: at TPU default precision (one bf16 pass for f32 operands) the
+chain measures 3.3e-2 worst-frame / 6.7e-3 MEDIAN cepstral error vs the
+f64 golden on broadband noise — identically for the XLA-rfft and fused
+bf16x3 kernel paths, proving the error entered in this shared matmul,
+not in the spectral kernels. (An earlier note here attributed that
+number to "the f32 floor"; it was mismeasured — the probe silently ran
+on the relay chip. The true CPU f32 floor on the same signals is ~3e-6
+max.) tests/test_tpu_smoke.py carries the on-chip budgets.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpufeat import matrices
@@ -57,7 +61,12 @@ def plp_from_energies(mel: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     # duplicated endpoints, then the [M+2, order+1] IDFT matmul
     a = jnp.concatenate([p[..., :1], p, p[..., -1:]], axis=-1)
     idft = jnp.asarray(matrices.plp_idft_matrix(cfg.n_mels, order), dt)
-    r = a @ idft                                     # [..., order+1]
+    # precision pinned: TPU default runs f32 matmuls as one bf16 pass, and
+    # Levinson-Durbin amplifies the resulting ~4e-3 relative error in r by
+    # the per-frame Toeplitz condition number (measured 6.7e-3 MEDIAN
+    # cepstral error on chip before pinning). The matmul is [F, M+2] @
+    # [M+2, order+1] — trivially small, so HIGHEST costs nothing.
+    r = jnp.matmul(a, idft, precision=jax.lax.Precision.HIGHEST)
     lpc, err = durbin(r, order, floor=cfg.log_floor)
     c = lpc_to_cepstrum(lpc, order)
     c0 = jnp.log(jnp.maximum(err, cfg.log_floor))[..., None]
