@@ -1,10 +1,11 @@
 """Pitch tracker throughput on chip.
 
-The NCCF stage is batched rFFT work (fast); the Viterbi scan does an
-[L, L] broadcast-max per frame (L = 281), sequential over frames — the
-one part of the package that is a long lax.scan. This measures both
-stages so BASELINE.md can state what pitch costs next to the spectral
-front-end (which runs ~300k x realtime).
+Measures the NCCF stage under both formulations — "gemm" (MXU
+DFT-as-matmul at transform length wext, inverse restricted to the scored
+lags; the production default) and "fft" (VPU pow-of-two rFFTs, the audit
+twin) — plus the full tracker (adds the Viterbi scan's [L, L]
+broadcast-max per frame, sequential over frames). BASELINE.md quotes
+these next to the spectral front-end (~300k x realtime).
 
   python -m benchmarks.experiments.pitch_bench
 """
@@ -24,6 +25,7 @@ def main() -> int:
     from tpufeat import pitch
 
     cfg = pitch.PitchConfig()
+    cfg_fft = pitch.PitchConfig(nccf_method="fft")
     print(f"backend={jax.default_backend()}", file=sys.stderr)
 
     @jax.jit
@@ -38,6 +40,7 @@ def main() -> int:
         lens = jnp.full((B,), n, jnp.int32)
 
         nccf_fn = jax.jit(lambda a, b: pitch.nccf(a, b, cfg)[0])
+        nccf_fft_fn = jax.jit(lambda a, b: pitch.nccf(a, b, cfg_fft)[0])
         track_fn = jax.jit(lambda a, b: pitch._track_impl(a, b, cfg)[:2])
 
         def timeit(fn, chain=4, iters=5):
@@ -53,15 +56,17 @@ def main() -> int:
             return float(np.median(ts)) / chain
 
         t_nccf = timeit(nccf_fn)
+        t_fft = timeit(nccf_fft_fn)
         t_full = timeit(track_fn)
         out[f"B{B}x{sec}s"] = {
-            "nccf_ms": round(t_nccf * 1e3, 2),
+            "nccf_gemm_ms": round(t_nccf * 1e3, 2),
+            "nccf_fft_ms": round(t_fft * 1e3, 2),
             "full_ms": round(t_full * 1e3, 2),
             "rtfx": round(B * sec / t_full),
         }
-        print(f"B={B} {sec}s: nccf {t_nccf*1e3:.2f} ms, "
-              f"full {t_full*1e3:.2f} ms, RTFx {B*sec/t_full:,.0f}",
-              file=sys.stderr)
+        print(f"B={B} {sec}s: nccf gemm {t_nccf*1e3:.2f} ms / fft "
+              f"{t_fft*1e3:.2f} ms, full {t_full*1e3:.2f} ms, "
+              f"RTFx {B*sec/t_full:,.0f}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 

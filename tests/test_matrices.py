@@ -123,3 +123,82 @@ class TestDFTMatrices:
         ref = np.fft.rfft(x * w, n=n_fft, axis=-1)
         np.testing.assert_allclose(x @ c, ref.real, atol=1e-9)
         np.testing.assert_allclose(x @ s, ref.imag, atol=1e-9)
+
+
+class TestVTLN:
+    """Vocal-tract-length normalization (matrices.vtln_warp_freq,
+    Kaldi-convention piecewise-linear warp; beyond-reference)."""
+
+    def test_identity_at_warp_one(self):
+        base = matrices.mel_filterbank(16000, 512, 26, 0.0, 8000.0)
+        one = matrices.mel_filterbank(16000, 512, 26, 0.0, 8000.0,
+                                      vtln_warp=1.0)
+        np.testing.assert_array_equal(base, one)
+
+    @pytest.mark.parametrize("w", [0.8, 0.9, 1.1, 1.25])
+    def test_warp_function_shape(self, w):
+        low, high, vl, vh = 20.0, 8000.0, 100.0, 7200.0
+        f = np.linspace(low, high, 20001)
+        g = matrices.vtln_warp_freq(f, low, high, vl, vh, w)
+        # endpoints fixed, monotone, continuous (bounded increments)
+        assert g[0] == low and g[-1] == high
+        d = np.diff(g)
+        assert np.all(d > 0)
+        assert d.max() < (f[1] - f[0]) * 6
+        # mid band is a pure 1/w scaling
+        l, h = vl * max(1.0, w), vh * min(1.0, w)
+        mid = (f >= l) & (f < h)
+        np.testing.assert_allclose(g[mid], f[mid] / w, rtol=1e-12)
+        # outside [low, high]: pass-through
+        assert matrices.vtln_warp_freq(high + 50.0, low, high, vl, vh,
+                                       w) == high + 50.0
+
+    def test_bad_cutoffs_and_warps_raise(self):
+        from tpufeat.config import FeatureConfig
+        with pytest.raises(ValueError):
+            matrices.vtln_warp_freq(500.0, 0.0, 8000.0, 100.0, 9000.0, 1.1)
+        with pytest.raises(ValueError):
+            matrices.vtln_warp_freq(500.0, 0.0, 8000.0, 100.0, 7500.0, 0.0)
+        with pytest.raises(ValueError):
+            FeatureConfig(vtln_warp=0.1)     # outside [0.25, 4]
+        # warp pushes the scaled lower cutoff past the upper one
+        with pytest.raises(ValueError):
+            FeatureConfig(vtln_warp=1.2, vtln_low=3000.0,
+                          vtln_high=-4500.0)
+
+    @pytest.mark.parametrize("w", [0.9, 1.1])
+    def test_tone_shift_equivalence(self, w):
+        """Warped filterbank response at frequency f equals the unwarped
+        response at w*f (both in the pure-scaling mid band): VTLN's
+        defining property, checked through the built matrices on a dense
+        FFT grid (continuous triangles, no Slaney norm)."""
+        sr, nfft = 16000, 8192
+        fb0 = matrices.mel_filterbank(sr, nfft, 40, 0.0, 8000.0,
+                                      bin_style="continuous")
+        fbw = matrices.mel_filterbank(sr, nfft, 40, 0.0, 8000.0,
+                                      bin_style="continuous", vtln_warp=w)
+        for f0 in (600.0, 1200.0, 2400.0, 4000.0):
+            kw = round(f0 * nfft / sr)
+            k0 = round(w * f0 * nfft / sr)
+            np.testing.assert_allclose(fbw[kw], fb0[k0], atol=0.04)
+
+    def test_extract_parity_and_effect(self):
+        """Warped config through the jitted pipeline vs the f64 golden;
+        and the warp measurably moves energy across filters."""
+        import dataclasses
+        from tpufeat import features
+        from tpufeat.config import FBANK80
+        from tpufeat.reference import cpu as gold
+        t = np.arange(8000) / 16000.0
+        # tone + low noise floor: keeps every mel bin well above the
+        # 1e-10 log floor (pure tones hit the documented near-floor
+        # amplification, BASELINE.md closure notes)
+        sig = (0.5 * np.sin(2 * np.pi * 1500.0 * t)
+               + 1e-2 * np.random.default_rng(3).standard_normal(8000)
+               ).astype(np.float32)
+        cfg = dataclasses.replace(FBANK80, vtln_warp=1.1)
+        got = np.asarray(features.extract(sig, cfg=cfg).features)
+        want = gold.extract(sig.astype(np.float64), cfg)
+        assert np.abs(got - want).max() < 1e-3
+        un = gold.extract(sig.astype(np.float64), FBANK80)
+        assert np.argmax(want[5]) != np.argmax(un[5])

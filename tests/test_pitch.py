@@ -74,6 +74,28 @@ class TestGoldenParity:
         np.testing.assert_allclose(np.asarray(pov)[:F], gpov[:F],
                                    rtol=0, atol=1e-4)
 
+    def test_gemm_equals_fft_nccf(self):
+        """The MXU DFT-as-GEMM NCCF (production) against the rFFT audit
+        twin: same scores to f32 roundoff, same decisions, on tonal and
+        noise audio. (matrices.nccf_gemm_matrices carries the identity;
+        this checks the wiring end-to-end through track().)"""
+        import dataclasses
+        for sig in (tone(185.0, n=9600) + 0.2 * make_signal(9600, seed=11),
+                    make_signal(12000, seed=12)):
+            g = pitch.PitchConfig(nccf_method="gemm")
+            f = dataclasses.replace(g, nccf_method="fft")
+            x = np.asarray(sig, np.float32)[None]
+            lens = np.asarray([len(sig)], np.int32)
+            sg, vg = pitch.nccf(x, lens, g)
+            sf, vf = pitch.nccf(x, lens, f)
+            np.testing.assert_array_equal(np.asarray(vg), np.asarray(vf))
+            np.testing.assert_allclose(np.asarray(sg), np.asarray(sf),
+                                       rtol=0, atol=2e-5)
+            hg, pg, _ = pitch.track(sig, cfg=g)
+            hf, pf, _ = pitch.track(sig, cfg=f)
+            np.testing.assert_allclose(np.asarray(hg), np.asarray(hf),
+                                       rtol=1e-6)
+
     def test_noise_parity(self):
         """Unvoiced audio: paths may differ only where scores tie; compare
         the score of the chosen path instead of the path itself."""

@@ -64,6 +64,12 @@ class FeatureConfig:
     mel_bin_style: str = "bin"
     fmin: float = 0.0
     fmax: Optional[float] = None     # None -> sample_rate / 2
+    # Vocal-tract-length normalization (Kaldi-convention piecewise-linear
+    # warp of the triangle corner frequencies; matrices.vtln_warp_freq).
+    # 1.0 = off. Typical per-speaker factors: 0.8-1.2.
+    vtln_warp: float = 1.0
+    vtln_low: float = 100.0          # warp band lower cutoff (Hz)
+    vtln_high: float = -500.0        # upper cutoff; <= 0 means fmax + value
 
     # --- log compression (reference C8) ---
     log: str = "natural"             # natural|log10|whisper|none
@@ -154,6 +160,18 @@ class FeatureConfig:
                 raise ValueError(
                     f"plp_compress must be in (0, 1], got "
                     f"{self.plp_compress}")
+        if self.vtln_warp != 1.0:
+            if not 0.25 <= self.vtln_warp <= 4.0:
+                raise ValueError(
+                    f"vtln_warp {self.vtln_warp} outside [0.25, 4.0]")
+            # resolve + range-check the cutoffs eagerly so a bad config
+            # fails at construction, not at first matrix build
+            from tpufeat import matrices
+            vh = (self.vtln_high if self.vtln_high > 0
+                  else self.fmax_hz + self.vtln_high)
+            matrices.vtln_warp_freq(
+                self.fmin, self.fmin, self.fmax_hz, self.vtln_low, vh,
+                self.vtln_warp)
         if self.gemm_dft and self.n_fft % 2:
             # the combined Re/Im DFT matrix drops Im(X_0) and Im(X_{n/2}),
             # which are only identically zero for EVEN n_fft

@@ -139,7 +139,8 @@ def mel_log_dct_xla(spec: jnp.ndarray, mask: jnp.ndarray,
     dt = spec.dtype
     fb = jnp.asarray(matrices.mel_filterbank(
         cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
-        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style), dt)
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style,
+        cfg.vtln_warp, cfg.vtln_low, cfg.vtln_high), dt)
     mel = jnp.dot(spec, fb, precision=HIGHEST)
     logm = apply_log(mel, mask, cfg)
     if cfg.n_mfcc <= 0:
@@ -435,7 +436,8 @@ def _stage_impl(x, lengths, cfg: FeatureConfig, stage: str):
         return spec, mask
     fb = jnp.asarray(matrices.mel_filterbank(
         cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
-        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style), spec.dtype)
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style,
+        cfg.vtln_warp, cfg.vtln_low, cfg.vtln_high), spec.dtype)
     mel = jnp.dot(spec, fb, precision=HIGHEST)
     if stage == "mel":
         return mel, mask

@@ -90,6 +90,47 @@ def mel_to_hz(m, scale: str = "htk"):
     raise ValueError(f"unknown mel scale {scale!r}")
 
 
+def vtln_warp_freq(freq, low_freq: float, high_freq: float,
+                   vtln_low: float, vtln_high: float, warp: float):
+    """Kaldi-convention piecewise-linear VTLN frequency warp (published
+    spec: Kaldi feat/mel-computations.cc ``MelBanks::VtlnWarpFreq``;
+    independent construction here).
+
+    The mid band [l, h] is scaled by 1/warp; affine segments join it
+    continuously and monotonically to the FIXED endpoints low_freq and
+    high_freq, so the warped filterbank still spans exactly
+    [low_freq, high_freq]:
+
+        l = vtln_low  * max(1, warp)      h = vtln_high * min(1, warp)
+        W(f) = low_freq  + scale_left  * (f - low_freq)    f <  l
+             = f / warp                                    l <= f < h
+             = high_freq + scale_right * (f - high_freq)   f >= h
+
+    with scale_left / scale_right chosen for continuity at l and h.
+    Frequencies outside [low_freq, high_freq] pass through unchanged.
+    ``freq`` may be a scalar or ndarray (float64)."""
+    if warp <= 0:
+        raise ValueError(f"vtln warp must be positive, got {warp}")
+    if not low_freq <= vtln_low < vtln_high <= high_freq:
+        raise ValueError(
+            f"need low_freq <= vtln_low < vtln_high <= high_freq, got "
+            f"{low_freq} / {vtln_low} / {vtln_high} / {high_freq}")
+    l = vtln_low * max(1.0, warp)
+    h = vtln_high * min(1.0, warp)
+    if not low_freq < l < h < high_freq:
+        raise ValueError(
+            f"warp {warp} pushes the cutoffs ({l:.1f}, {h:.1f}) outside "
+            f"({low_freq}, {high_freq}); tighten vtln_low/vtln_high")
+    scale = 1.0 / warp
+    scale_left = (scale * l - low_freq) / (l - low_freq)
+    scale_right = (high_freq - scale * h) / (high_freq - h)
+    f = np.asarray(freq, np.float64)
+    out = np.where(f < l, low_freq + scale_left * (f - low_freq),
+                   np.where(f < h, scale * f,
+                            high_freq + scale_right * (f - high_freq)))
+    return np.where((f < low_freq) | (f > high_freq), f, out)
+
+
 @functools.lru_cache(maxsize=None)
 def mel_filterbank(
     sample_rate: int,
@@ -100,6 +141,9 @@ def mel_filterbank(
     scale: str = "htk",
     norm: str | None = None,
     bin_style: str = "bin",
+    vtln_warp: float = 1.0,
+    vtln_low: float = 100.0,
+    vtln_high: float = -500.0,
 ) -> np.ndarray:
     """Triangular mel filterbank, float64, shape [n_fft//2 + 1, n_mels].
 
@@ -119,6 +163,13 @@ def mel_filterbank(
         hz_to_mel(fmin, scale), hz_to_mel(fmax, scale), n_mels + 2
     )
     hz_pts = mel_to_hz(mel_pts, scale)
+    if vtln_warp != 1.0:
+        # Kaldi's VtlnWarpMelFreq: warp the triangle corner frequencies
+        # (mel-domain warp == frequency-domain warp of the corner points);
+        # vtln_high <= 0 means fmax + vtln_high, Kaldi's CLI convention.
+        vh = vtln_high if vtln_high > 0 else fmax + vtln_high
+        hz_pts = vtln_warp_freq(hz_pts, fmin, fmax, vtln_low, vh,
+                                vtln_warp)
     weights = np.zeros((n_bins, n_mels), dtype=np.float64)
 
     if bin_style == "bin":
@@ -274,13 +325,17 @@ def mel_filterbank_folded(
     scale: str = "htk",
     norm: str | None = None,
     bin_style: str = "bin",
+    vtln_warp: float = 1.0,
+    vtln_low: float = 100.0,
+    vtln_high: float = -500.0,
 ) -> np.ndarray:
     """Mel filterbank rearranged for the combined-DFT column layout
     (:func:`dft_matrix_combined`): shape [n_fft, n_mels] with row k = FB[k]
     for k < n_bins and row n_bins-1+k = FB[k] for the interior Im columns.
     ``mel = (z*z) @ W`` then equals ``|X|^2 @ FB`` exactly."""
     fb = mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax,
-                        scale, norm, bin_style)
+                        scale, norm, bin_style, vtln_warp, vtln_low,
+                        vtln_high)
     n_bins = n_fft // 2 + 1
     out = np.zeros((n_fft, n_mels), dtype=np.float64)
     out[:n_bins] = fb
@@ -314,3 +369,48 @@ def kaldi_conditioning_matrix(
         t[idx, idx + 1] = -preemphasis
         m = m @ t
     return m
+
+
+@functools.lru_cache(maxsize=None)
+def nccf_gemm_matrices(
+    frame_length: int, lag_min: int, lag_max: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Cross-correlation-as-GEMM matrices for the NCCF numerators,
+    float64 (pitch C-analog; beyond-reference capability).
+
+    For an extended pitch frame b of length wext = frame_length + lag_max
+    and its prefix a = b[:frame_length], the linear correlation
+
+        num[l] = sum_i a_i * b_{i+l},   l in [lag_min, lag_max]
+
+    equals the circular correlation at transform length n = wext (the
+    largest touched index is frame_length - 1 + lag_max = n - 1, so
+    nothing wraps), and a DFT of length n is just a pair of GEMMs —
+    n need not be a power of two. Returns (C, S, Ci, Si):
+
+        C, S   [wext, n//2 + 1]:  Fb = b @ C + i * (b @ S)
+                                  Fa = a @ C[:frame_length] + i * ...
+        Ci, Si [n//2 + 1, L]:     num = Re(conj(Fa)*Fb) @ Ci
+                                        + Im(conj(Fa)*Fb) @ Si
+
+    (Ci/Si fold the hermitian-extension weights and the 1/n of the
+    inverse transform, and evaluate ONLY the L = lag_max - lag_min + 1
+    lags the tracker scores — the full-length irfft the FFT formulation
+    computes is 2/3 wasted work.) On the MXU this replaces three
+    VPU-bound pow-of-two FFTs per frame (rfft x2 + irfft at
+    2^ceil(log2(2 * wext))) with three dense matmuls; pitch_bench.py
+    measures the speedup on chip."""
+    n = frame_length + lag_max
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    i = np.arange(n, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(i, k) / n
+    c, s = np.cos(ang), -np.sin(ang)
+    lags = np.arange(lag_min, lag_max + 1, dtype=np.float64)
+    w = np.full(n // 2 + 1, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    angi = 2.0 * np.pi * np.outer(k, lags) / n
+    ci = w[:, None] * np.cos(angi) / n
+    si = -w[:, None] * np.sin(angi) / n
+    return c, s, ci, si

@@ -159,7 +159,8 @@ def _tail_constants(cfg: FeatureConfig) -> tuple[np.ndarray, np.ndarray | None]:
     nb, nm = cfg.n_bins, cfg.n_mels
     fb = matrices.mel_filterbank(
         cfg.sample_rate, cfg.n_fft, nm, cfg.fmin, cfg.fmax_hz,
-        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style,
+        cfg.vtln_warp, cfg.vtln_low, cfg.vtln_high)
     nb_p, nm_p = _round_up(nb, LANE), _round_up(nm, LANE)
     fb_p = np.zeros((nb_p, nm_p), np.float32)
     fb_p[:nb, :nm] = fb
@@ -208,11 +209,13 @@ def _folded_fb_constants(cfg: FeatureConfig
     if cfg.spectrum == "power":
         fb = matrices.mel_filterbank_folded(
             cfg.sample_rate, cfg.n_fft, nm, cfg.fmin, cfg.fmax_hz,
-            cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+            cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style,
+        cfg.vtln_warp, cfg.vtln_low, cfg.vtln_high)
     else:
         fb = matrices.mel_filterbank(
             cfg.sample_rate, cfg.n_fft, nm, cfg.fmin, cfg.fmax_hz,
-            cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+            cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style,
+        cfg.vtln_warp, cfg.vtln_low, cfg.vtln_high)
     fb_p = np.zeros((ncs_p, nm_p), np.float32)
     fb_p[: fb.shape[0], :nm] = fb
     return fb_p, _tail_constants(cfg)[1]

@@ -61,6 +61,10 @@ class PitchConfig:
     #                                  tilt cannot cause upward octave
     #                                  errors.
     delta_window: int = 2            # delta-log-pitch regression window
+    nccf_method: str = "gemm"        # "gemm" (MXU DFT-as-matmul; the
+    #                                  production path — pitch_bench.py
+    #                                  measures the speedup over fft) or
+    #                                  "fft" (VPU rFFT audit twin)
 
     @property
     def lag_min(self) -> int:
@@ -104,11 +108,35 @@ def _nccf_from_frames(frames: jnp.ndarray, ballast: jnp.ndarray,
     L0, L1 = cfg.lag_min, cfg.lag_max
     wext = W + L1
     a = frames[..., :W]
-    nfft = int(2 ** np.ceil(np.log2(wext + W)))
-    fa = jnp.fft.rfft(a, n=nfft, axis=-1)
-    fb = jnp.fft.rfft(frames, n=nfft, axis=-1)
-    corr = jnp.fft.irfft(jnp.conj(fa) * fb, n=nfft, axis=-1)
-    num = corr[..., L0: L1 + 1]
+    if cfg.nccf_method == "gemm":
+        # DFT-as-GEMM at transform length wext (no pow-of-two padding;
+        # see matrices.nccf_gemm_matrices): three MXU matmuls replace
+        # three VPU FFTs, and the inverse evaluates only the L scored
+        # lags. HIGHEST precision — NCCF feeds argmax decisions that
+        # must match the f64 golden, and the matmuls are a small
+        # fraction of even this path's cost.
+        from tpufeat import matrices
+        dt = frames.dtype
+        hi = jax.lax.Precision.HIGHEST
+        c, s, ci, si = matrices.nccf_gemm_matrices(W, L0, L1)
+        ca, sa = (jnp.asarray(m[:W], dt) for m in (c, s))
+        cb, sb = (jnp.asarray(m, dt) for m in (c, s))
+        ra = jnp.matmul(a, ca, precision=hi)
+        ia = jnp.matmul(a, sa, precision=hi)
+        rb = jnp.matmul(frames, cb, precision=hi)
+        ib = jnp.matmul(frames, sb, precision=hi)
+        p_re = ra * rb + ia * ib            # Re(conj(Fa) * Fb)
+        p_im = ra * ib - ia * rb            # Im(conj(Fa) * Fb)
+        num = (jnp.matmul(p_re, jnp.asarray(ci, dt), precision=hi)
+               + jnp.matmul(p_im, jnp.asarray(si, dt), precision=hi))
+    elif cfg.nccf_method == "fft":
+        nfft = int(2 ** np.ceil(np.log2(wext + W)))
+        fa = jnp.fft.rfft(a, n=nfft, axis=-1)
+        fb = jnp.fft.rfft(frames, n=nfft, axis=-1)
+        corr = jnp.fft.irfft(jnp.conj(fa) * fb, n=nfft, axis=-1)
+        num = corr[..., L0: L1 + 1]
+    else:
+        raise ValueError(f"unknown nccf_method {cfg.nccf_method!r}")
 
     cs = jnp.cumsum(jnp.concatenate(
         [jnp.zeros_like(frames[..., :1]), frames * frames], axis=-1),

@@ -166,7 +166,8 @@ def logmel(x: np.ndarray, cfg: FeatureConfig,
     spec = spectrogram(x, cfg, preemph_prev)
     fb = matrices.mel_filterbank(
         cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
-        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style,
+        cfg.vtln_warp, cfg.vtln_low, cfg.vtln_high)
     mel = spec @ fb
     return apply_log(mel, cfg)
 
@@ -236,7 +237,8 @@ def plp(x: np.ndarray, cfg: FeatureConfig,
     spec = spectrogram(x, cfg, preemph_prev)
     fb = matrices.mel_filterbank(
         cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
-        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style)
+        cfg.mel_scale, cfg.mel_norm, cfg.mel_bin_style,
+        cfg.vtln_warp, cfg.vtln_low, cfg.vtln_high)
     mel = spec @ fb
     el = matrices.equal_loudness_vector(
         cfg.n_mels, cfg.fmin, cfg.fmax_hz, cfg.mel_scale)
