@@ -60,6 +60,22 @@ void fft_radix2(std::vector<double>& re, std::vector<double>& im) {
 double hz_to_mel(double f) { return 2595.0 * std::log10(1.0 + f / 700.0); }
 double mel_to_hz(double m) { return 700.0 * (std::pow(10.0, m / 2595.0) - 1.0); }
 
+// Kaldi-convention piecewise-linear VTLN warp of a corner frequency
+// (independent twin of tpufeat/matrices.py vtln_warp_freq; vtln_high
+// here is already resolved to an absolute frequency).
+double vtln_warp_freq(double low, double high, double vl, double vh,
+                      double warp, double f) {
+  if (f < low || f > high) return f;
+  const double l = vl * (warp > 1.0 ? warp : 1.0);
+  const double h = vh * (warp < 1.0 ? warp : 1.0);
+  const double scale = 1.0 / warp;
+  const double scale_left = (scale * l - low) / (l - low);
+  const double scale_right = (high - scale * h) / (high - h);
+  if (f < l) return low + scale_left * (f - low);
+  if (f < h) return scale * f;
+  return high + scale_right * (f - high);
+}
+
 }  // namespace
 
 extern "C" {
@@ -77,7 +93,8 @@ long tpufeat_num_frames(long n, int frame_len, int hop) {
 long tpufeat_mfcc_f64(const double* signal, long n, int sample_rate,
                       int frame_len, int hop, int n_fft, double preemph,
                       int n_mels, int n_mfcc, double fmin, double fmax,
-                      double log_floor, int lifter, double* out) {
+                      double log_floor, int lifter, double vtln_warp,
+                      double vtln_low, double vtln_high, double* out) {
   const long n_frames = tpufeat_num_frames(n, frame_len, hop);
   if (n_frames <= 0) return 0;
   const int n_bins = n_fft / 2 + 1;
@@ -96,9 +113,12 @@ long tpufeat_mfcc_f64(const double* signal, long n, int sample_rate,
   std::vector<double> fb(static_cast<size_t>(n_bins) * n_mels, 0.0);
   {
     const double mlo = hz_to_mel(fmin), mhi = hz_to_mel(fmax);
+    const double vh = vtln_high > 0.0 ? vtln_high : fmax + vtln_high;
     std::vector<long> bins(n_mels + 2);
     for (int m = 0; m < n_mels + 2; ++m) {
-      const double f = mel_to_hz(mlo + (mhi - mlo) * m / (n_mels + 1));
+      double f = mel_to_hz(mlo + (mhi - mlo) * m / (n_mels + 1));
+      if (vtln_warp != 1.0)
+        f = vtln_warp_freq(fmin, fmax, vtln_low, vh, vtln_warp, f);
       bins[m] = static_cast<long>(std::floor((n_fft + 1) * f / sample_rate));
     }
     for (int m = 0; m < n_mels; ++m) {

@@ -30,6 +30,23 @@ class TestThreeWayParity:
         b = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
         assert np.abs(a - b).max() < 1e-3
 
+    def test_vtln_three_way(self):
+        """VTLN-warped filterbank: the C++ golden builds its own
+        triangles AND its own warp function, so agreement at 1e-9 checks
+        the Kaldi piecewise-linear warp construction independently."""
+        import dataclasses
+        for w in (0.85, 1.15):
+            cfg = dataclasses.replace(MFCC13_HTK, vtln_warp=w)
+            sig = make_signal(8000, seed=63).astype(np.float64)
+            a = cpp_golden.mfcc_native(sig, cfg)
+            b = cpu.mfcc(sig, cfg)
+            assert np.abs(a - b).max() < 1e-9
+            c = np.asarray(features.extract(
+                sig.astype(np.float32), cfg=cfg).features)
+            assert np.abs(a - c).max() < 1e-3
+            un = cpp_golden.mfcc_native(sig, MFCC13_HTK)
+            assert np.abs(a - un).max() > 1e-3   # the warp does something
+
     def test_lifter(self):
         cfg = FeatureConfig(lifter=22)
         sig = make_signal(4000, seed=62).astype(np.float64)

@@ -37,7 +37,8 @@ def _lib():
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
-        ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+        ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_plp_f64.restype = ctypes.c_long
     lib.tpufeat_plp_f64.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
@@ -88,7 +89,8 @@ def mfcc_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
             x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
             cfg.sample_rate, cfg.frame_length, cfg.hop_length, cfg.n_fft,
             cfg.preemphasis, cfg.n_mels, cfg.n_mfcc, cfg.fmin, cfg.fmax_hz,
-            cfg.log_floor, cfg.lifter,
+            cfg.log_floor, cfg.lifter, cfg.vtln_warp, cfg.vtln_low,
+            cfg.vtln_high,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         assert got == nf
     return out
@@ -102,7 +104,7 @@ def plp_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     if cfg.center or cfg.window != "hamming" or cfg.mel_scale != "htk" \
             or cfg.mel_bin_style != "bin" or cfg.kaldi_mode \
             or cfg.mel_norm is not None or cfg.spectrum != "power" \
-            or cfg.plp_order <= 0:
+            or cfg.plp_order <= 0 or cfg.vtln_warp != 1.0:
         raise ValueError("C++ golden covers the classic PLP configuration")
     lib = _lib()
     x = np.ascontiguousarray(signal, dtype=np.float64)
