@@ -179,30 +179,41 @@ def _viterbi(scores: jnp.ndarray, valid: jnp.ndarray,
              trans: jnp.ndarray) -> jnp.ndarray:
     """[F, L] scores (+[F] validity) -> best lag index per frame [F].
 
-    Padded frames freeze the running scores and carry identity
-    backpointers, so the backtrace through the tail reproduces the last
-    valid frame's decision (see module docstring)."""
+    Padded frames freeze the running scores, so the backtrace through
+    the tail reproduces the last valid frame's decision (see module
+    docstring).
+
+    The forward scan computes ONLY the running max — no argmax and no
+    [F, L] pointer table. The backtrace recomputes each step's
+    backpointer from the stored score rows, but only for the single
+    selected state: argmax over the 1-D column v_{t-1} - trans[:, j*]
+    reproduces the forward tie-breaking exactly (same float values,
+    same first-occurrence rule). That halves the forward scan's O(L^2)
+    work and drops the [F, L] pointer table from the scan carry;
+    measured on chip it is throughput-neutral (the [B, L, L]
+    broadcast-max dominates either way — BASELINE.md pitch rows), so
+    the win is memory and a leaner program, not latency."""
     F, L = scores.shape
-    ident = jnp.arange(L)
 
     def fwd(v_prev, inp):
         s, ok = inp
         cand = v_prev[:, None] - trans               # [L_prev, L]
-        ptr = jnp.argmax(cand, axis=0)
         v = s + jnp.max(cand, axis=0)
         v = jnp.where(ok, v, v_prev)
-        ptr = jnp.where(ok, ptr, ident)
-        return v, ptr
+        return v, v_prev
 
     v0 = jnp.where(valid[0], scores[0], jnp.zeros((L,), scores.dtype))
-    v_last, ptrs = jax.lax.scan(fwd, v0, (scores[1:], valid[1:]))
+    v_last, vs_prev = jax.lax.scan(fwd, v0, (scores[1:], valid[1:]))
     best_last = jnp.argmax(v_last)
 
-    def back(nxt, ptr):
-        cur = ptr[nxt]
+    def back(nxt, inp):
+        v_prev, ok = inp
+        cur = jnp.argmax(v_prev - trans[:, nxt]).astype(nxt.dtype)
+        cur = jnp.where(ok, cur, nxt)
         return cur, cur
 
-    _, path = jax.lax.scan(back, best_last, ptrs, reverse=True)
+    _, path = jax.lax.scan(back, best_last, (vs_prev, valid[1:]),
+                           reverse=True)
     return jnp.concatenate([path, best_last[None]])
 
 
