@@ -146,6 +146,80 @@ class TestBatchAndFeatures:
         assert abs(m0 - 100) < 3 and abs(m1 - 250) < 8
 
 
+class TestCenterAndConfigFor:
+    """config_for + centered pitch: the CLI appends pitch columns to the
+    spectral features, so the tracker must run on the SAME frame grid
+    (rate, hop, centering) as the feature config."""
+
+    def test_config_for_derives_grid(self):
+        import dataclasses
+        from tpufeat.config import MFCC13_HTK, WHISPER80
+        pc = pitch.config_for(WHISPER80)
+        assert pc.sample_rate == WHISPER80.sample_rate
+        assert pc.hop_length == WHISPER80.hop_length
+        assert pc.center is True
+        cfg8 = dataclasses.replace(MFCC13_HTK, sample_rate=8000,
+                                   frame_length=200, hop_length=80,
+                                   n_fft=256)
+        pc8 = pitch.config_for(cfg8)
+        assert (pc8.sample_rate, pc8.hop_length) == (8000, 80)
+        assert pc8.frame_length == 200          # 25 ms at 8 kHz
+        assert pc8.center is False
+        assert pitch.config_for(cfg8, max_f0=300.0).max_f0 == 300.0
+
+    def test_8k_audio_tracks_true_f0(self):
+        """The bug this guards: a hardcoded 16 kHz tracker on 8 kHz audio
+        reports 2x the true pitch."""
+        sr, f0, n = 8000, 120.0, 16000
+        t = np.arange(n) / sr
+        sig = (0.3 * np.sin(2 * np.pi * f0 * t)
+               + 0.03 * np.sin(2 * np.pi * 2 * f0 * t)).astype(np.float32)
+        pc = pitch.PitchConfig(sample_rate=sr, frame_length=200,
+                               hop_length=80)
+        hz, pov, valid = pitch.track(sig, cfg=pc)
+        got = np.median(np.asarray(hz)[np.asarray(valid)])
+        assert abs(got - f0) <= max(1.5 * f0 * f0 / sr, 0.5), got
+
+    def test_center_equals_explicit_pad(self):
+        """center=True is DEFINED as zero-padding wext//2 each side;
+        with ballast=0 (no RMS dependence) the two must be bit-equal."""
+        cfg_c = pitch.PitchConfig(center=True, ballast=0.0)
+        cfg_u = pitch.PitchConfig(center=False, ballast=0.0)
+        sig = tone(150.0, n=9600)
+        pad = cfg_c.wext // 2
+        padded = np.pad(sig, (pad, pad))
+        assert cfg_c.num_frames(len(sig)) == cfg_u.num_frames(len(padded))
+        hz_c, pov_c, _ = pitch.track(sig, cfg=cfg_c)
+        hz_u, pov_u, _ = pitch.track(padded, cfg=cfg_u)
+        np.testing.assert_array_equal(np.asarray(hz_c), np.asarray(hz_u))
+        np.testing.assert_array_equal(np.asarray(pov_c), np.asarray(pov_u))
+
+    def test_center_golden_parity(self):
+        cfg = pitch.PitchConfig(center=True)
+        sig = tone(140.0, n=12000) + 0.3 * make_signal(12000, seed=7)
+        hz, pov, valid = pitch.track(sig, cfg=cfg)
+        ghz, gpov = cpu.pitch(sig.astype(np.float64), cfg)
+        # compare strongly-voiced frames (zero-padded edge windows score
+        # low and may tie): POV > 0.5 in the golden
+        strong = gpov > 0.5
+        assert strong.sum() > 20
+        np.testing.assert_allclose(np.asarray(hz)[strong], ghz[strong],
+                                   rtol=1e-6)
+
+    def test_center_validity_matches_spectral_convention(self):
+        """Centered pitch frame t is valid iff t*hop <= length — the same
+        rule as framing.num_frames_dynamic for center=True configs."""
+        cfg = pitch.PitchConfig(center=True)
+        n, length = 12800, 9600
+        x = np.zeros((1, n), np.float32)
+        x[0, :length] = tone(170.0, n=length)
+        _, _, valid = pitch.track(x, lengths=np.array([length], np.int32),
+                                  cfg=cfg)
+        F = cfg.num_frames(n)
+        want = min(F, 1 + length // cfg.hop_length)
+        assert int(np.asarray(valid).sum()) == want
+
+
 class TestStreamingPitch:
     def _tone(self, f0=140.0, n=12000):
         return tone(f0, n=n, seed=13)
@@ -199,6 +273,37 @@ class TestStreamingPitch:
         hz_f, _ = sp.flush()
         seen = cfg.num_frames(total)
         assert hz_f.shape[1] == min(seen, K)
+
+    def test_center_full_lookahead_equals_offline(self):
+        """Centered streaming: the pre-filled left pad + flush-fed right
+        pad reproduce the offline centered tracker exactly (ballast=0)."""
+        cfg = pitch.PitchConfig(center=True, ballast=0.0)
+        sig = self._tone(f0=160.0, n=11200)
+        F = cfg.num_frames(len(sig))
+        want_hz, want_pov, _ = pitch.track(sig, cfg=cfg)
+        sp = pitch.StreamingPitch(cfg, batch_size=1, lookahead=F + 4)
+        for i in range(0, len(sig), 2800):
+            hz, _ = sp.process(sig[None, i: i + 2800])
+        hz, pov = sp.flush()
+        assert hz.shape[1] == F
+        np.testing.assert_allclose(np.asarray(hz)[0],
+                                   np.asarray(want_hz)[:F], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pov)[0],
+                                   np.asarray(want_pov)[:F],
+                                   rtol=0, atol=1e-5)
+
+    def test_flush_is_one_dispatch_program(self):
+        """pitch_flush compiles one program (lru-cached per (K, n)) with
+        the ring position TRACED: a second stream at a different pos must
+        not grow the cache."""
+        cfg = pitch.PitchConfig()
+        before = pitch._pitch_flush_jit.cache_info().currsize
+        for end in (6000, 7600):
+            sp = pitch.StreamingPitch(cfg, batch_size=1, lookahead=4)
+            sp.process(self._tone(n=end)[None])
+            sp.flush()
+        after = pitch._pitch_flush_jit.cache_info().currsize
+        assert after - before <= 1, (before, after)
 
     def test_state_is_a_pytree(self):
         """PitchStreamState serializes through the generic streaming

@@ -11,7 +11,8 @@ out — designed TPU-first per SURVEY.md. Public API:
 """
 
 from tpufeat.augment import energy_vad, spec_augment
-from tpufeat.pitch import (PitchConfig, StreamingPitch, pitch_features,
+from tpufeat.pitch import (PitchConfig, StreamingPitch,
+                           config_for as pitch_config_for, pitch_features,
                            track as track_pitch)
 from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
                             PLP13, PRESETS, STREAMING160, WHISPER80)
@@ -38,6 +39,6 @@ __all__ = [
     "process_chunk", "process_chunk_static", "scan_chunks",
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
     "StreamingPipeline", "resample",
-    "spec_augment", "energy_vad", "PitchConfig", "pitch_features",
-    "track_pitch", "StreamingPitch", "__version__",
+    "spec_augment", "energy_vad", "PitchConfig", "pitch_config_for",
+    "pitch_features", "track_pitch", "StreamingPitch", "__version__",
 ]

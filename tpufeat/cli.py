@@ -153,7 +153,12 @@ def main(argv=None) -> int:
     mask = np.asarray(res.mask)
     if args.pitch:
         from tpufeat import pitch as pitchmod
-        pf, pvalid = pitchmod.pitch_features(batch, lengths=lengths)
+        # derive the tracker config from the FEATURE config: same sample
+        # rate + hop + centering, so pitch frame t and spectral frame t
+        # sit on the same grid (a hardcoded default here once meant 8 kHz
+        # configs got 2x pitch and centered configs a ~2-frame offset)
+        pf, pvalid = pitchmod.pitch_features(
+            batch, lengths=lengths, cfg=pitchmod.config_for(cfg))
         pf, pvalid = np.asarray(pf), np.asarray(pvalid)
         fp = min(pf.shape[1], feats.shape[1])    # shared hop grid; the
         feats = np.concatenate(                  # pitch window is longer,

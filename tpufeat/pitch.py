@@ -65,6 +65,15 @@ class PitchConfig:
     #                                  production path — pitch_bench.py
     #                                  measures the speedup over fft) or
     #                                  "fft" (VPU rFFT audit twin)
+    center: bool = False             # False: snip-edges (frame t's
+    #                                  extended window STARTS at t*hop,
+    #                                  Kaldi-style). True: zero-pad
+    #                                  wext//2 each side so the window is
+    #                                  CENTERED on t*hop — the grid of
+    #                                  center=True spectral configs
+    #                                  (whisper80); frame t is valid iff
+    #                                  t*hop <= length, matching
+    #                                  framing.num_frames_dynamic.
 
     @property
     def lag_min(self) -> int:
@@ -78,12 +87,35 @@ class PitchConfig:
     def n_lags(self) -> int:
         return self.lag_max - self.lag_min + 1
 
+    @property
+    def wext(self) -> int:
+        """Extended correlation window: frame + the largest scored lag."""
+        return self.frame_length + self.lag_max
+
     def num_frames(self, n_samples: int) -> int:
-        """Snip-edges frames over the EXTENDED window (frame + lag_max)."""
-        w = self.frame_length + self.lag_max
+        """Frames over the EXTENDED window (frame + lag_max); centered
+        configs see the zero-padded length (wext//2 each side)."""
+        w = self.wext
+        if self.center:
+            n_samples = n_samples + 2 * (w // 2)
         if n_samples < w:
             return 0
         return 1 + (n_samples - w) // self.hop_length
+
+
+def config_for(feature_cfg, **overrides) -> "PitchConfig":
+    """A :class:`PitchConfig` on the SAME frame grid as a
+    :class:`tpufeat.config.FeatureConfig`: same sample rate and hop, a
+    25 ms correlation window at that rate, and centered iff the spectral
+    frames are centered — so pitch frame t and spectral frame t describe
+    the same instant and ``cli --pitch`` can concatenate them. Keyword
+    overrides win (e.g. ``config_for(cfg, max_f0=300.0)``)."""
+    kw = dict(sample_rate=feature_cfg.sample_rate,
+              hop_length=feature_cfg.hop_length,
+              frame_length=int(round(0.025 * feature_cfg.sample_rate)),
+              center=feature_cfg.center)
+    kw.update(overrides)
+    return PitchConfig(**kw)
 
 
 @functools.lru_cache(maxsize=None)
@@ -154,24 +186,34 @@ def nccf(signal: jnp.ndarray, lengths: jnp.ndarray,
     with ballast = cfg.ballast * (frame_length * rms^2)^2 from the
     per-utterance masked RMS (zero-signal frames score ~0, not 0/0)."""
     W, hop = cfg.frame_length, cfg.hop_length
-    wext = W + cfg.lag_max
+    wext = cfg.wext
     B, N = signal.shape
     F = cfg.num_frames(N)
     if F <= 0:
         z = jnp.zeros((B, 0, cfg.n_lags), jnp.float32)
         return z, jnp.zeros((B, 0), bool)
 
-    # extended frames [B, F, W + lag_max] — gather-free strided slices
-    from tpufeat import framing
-    frames = framing.frames_from_buffer(signal, F, wext, hop)
-
-    # per-utterance masked RMS ballast
+    # per-utterance masked RMS ballast — over the REAL signal, before any
+    # centering pad (zeros would dilute the RMS)
     m = (jnp.arange(N) < lengths[:, None]).astype(signal.dtype)
     rms2 = jnp.sum(signal * signal * m, axis=-1) / jnp.maximum(
         jnp.sum(m, axis=-1), 1.0)
     ballast = cfg.ballast * (W * rms2) ** 2         # [B]
+
+    if cfg.center:
+        pad = wext // 2
+        signal = jnp.pad(signal, ((0, 0), (pad, pad)))
+        # window t now covers [t*hop - pad, t*hop - pad + wext) in real
+        # samples; valid iff its center t*hop lies within the utterance
+        # (the spectral center=True convention, framing.num_frames_dynamic)
+        valid = (jnp.arange(F)[None, :] * hop) <= lengths[:, None]
+    else:
+        valid = (jnp.arange(F)[None, :] * hop + wext) <= lengths[:, None]
+
+    # extended frames [B, F, W + lag_max] — gather-free strided slices
+    from tpufeat import framing
+    frames = framing.frames_from_buffer(signal, F, wext, hop)
     out = _nccf_from_frames(frames, ballast, cfg)
-    valid = (jnp.arange(F)[None, :] * hop + wext) <= lengths[:, None]
     return out, valid
 
 
@@ -427,24 +469,45 @@ def pitch_chunk_static(state: PitchStreamState, chunk: jnp.ndarray,
 def pitch_flush(state: PitchStreamState, *, cfg: PitchConfig,
                 lookahead: int, pos: int):
     """Drain the pending min(pos, lookahead) frames: full backtrace from
-    the final forward maximum through the ring."""
-    K = lookahead
-    n = min(pos, K)
+    the final forward maximum through the ring.
+
+    One jitted dispatch: the ``n``-step backtrace unrolls inside a
+    compiled program keyed on (lookahead, n) with ``pos`` TRACED — the
+    eager formulation cost ~3 ops x n frames of per-dispatch relay floor
+    (~2 ms each, BASELINE.md) at every stream end."""
+    n = min(pos, lookahead)
     B = state.v.shape[0]
     if n == 0:
         z = jnp.zeros((B, 0), jnp.float32)
         return z.astype(jnp.int32), z
-    lag = jnp.argmax(state.v, axis=-1).astype(jnp.int32)
-    lags, povs = [], []
-    for k in range(n):                    # frame pos-1-k, newest first
-        raw_k = state.raw[:, (pos - 1 - k) % (K + 1)]
-        lags.append(lag)
-        povs.append(jnp.take_along_axis(raw_k, lag[:, None], axis=-1)[:, 0])
-        if k < n - 1:
-            ptr_k = state.ptrs[:, (pos - 1 - k) % (K + 1)]
-            lag = jnp.take_along_axis(ptr_k, lag[:, None], axis=-1)[:, 0]
-    return (jnp.stack(lags[::-1], axis=1),
-            jnp.stack(povs[::-1], axis=1))
+    return _pitch_flush_jit(lookahead, n)(state, jnp.asarray(pos,
+                                                             jnp.int32))
+
+
+@functools.lru_cache(maxsize=None)
+def _pitch_flush_jit(lookahead: int, n: int):
+    K = lookahead
+
+    def impl(state: PitchStreamState, pos: jnp.ndarray):
+        lag = jnp.argmax(state.v, axis=-1).astype(jnp.int32)
+        lags, povs = [], []
+        for k in range(n):                # frame pos-1-k, newest first
+            slot = (pos - 1 - k) % (K + 1)
+            raw_k = jax.lax.dynamic_index_in_dim(state.raw, slot, axis=1,
+                                                 keepdims=False)
+            lags.append(lag)
+            povs.append(jnp.take_along_axis(raw_k, lag[:, None],
+                                            axis=-1)[:, 0])
+            if k < n - 1:
+                ptr_k = jax.lax.dynamic_index_in_dim(state.ptrs, slot,
+                                                     axis=1,
+                                                     keepdims=False)
+                lag = jnp.take_along_axis(ptr_k, lag[:, None],
+                                          axis=-1)[:, 0]
+        return (jnp.stack(lags[::-1], axis=1),
+                jnp.stack(povs[::-1], axis=1))
+
+    return jax.jit(impl)
 
 
 class StreamingPitch:
@@ -462,8 +525,13 @@ class StreamingPitch:
         self.cfg = cfg
         self.lookahead = lookahead
         self.state = init_pitch_state(batch_size, cfg, lookahead)
-        self._fill = 0
+        # center=True: the offline tracker zero-pads wext//2 each side so
+        # windows are centered on t*hop. The state buffer is born zeroed,
+        # so the LEFT pad is just a pre-filled carry; flush() feeds the
+        # right pad before draining.
+        self._fill = cfg.wext // 2 if cfg.center else 0
         self._pos = 0
+        self._tail_padded = False
 
     def _hz(self, lag_idx):
         return self.cfg.sample_rate / (self.cfg.lag_min
@@ -486,9 +554,22 @@ class StreamingPitch:
         return self._hz(lags[:, skip:]), povs[:, skip:]
 
     def flush(self):
+        if self.cfg.center and not self._tail_padded:
+            # the offline centered tracker sees wext//2 trailing zeros;
+            # feed them so the final centered frames exist, then drain
+            self._tail_padded = True
+            B = self.state.v.shape[0]
+            hz0, pov0 = self.process(
+                jnp.zeros((B, self.cfg.wext // 2), jnp.float32))
+        else:
+            hz0 = pov0 = None
         lags, povs = pitch_flush(self.state, cfg=self.cfg,
                                  lookahead=self.lookahead, pos=self._pos)
-        return self._hz(lags), povs
+        hz, povs = self._hz(lags), povs
+        if hz0 is not None and hz0.shape[1]:
+            hz = jnp.concatenate([hz0, hz], axis=1)
+            povs = jnp.concatenate([pov0, povs], axis=1)
+        return hz, povs
 
 
 @functools.lru_cache(maxsize=None)

@@ -275,8 +275,11 @@ def pitch(x: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray]:
     wext = W + L1
     F = cfg.num_frames(len(x))
     L = L1 - L0 + 1
-    rms2 = float(np.mean(x * x)) if len(x) else 0.0
+    rms2 = float(np.mean(x * x)) if len(x) else 0.0  # pre-pad RMS
     ballast = cfg.ballast * (W * rms2) ** 2
+    if getattr(cfg, "center", False):
+        pad = wext // 2
+        x = np.pad(x, (pad, pad))
     scores = np.zeros((F, L))
     for t in range(F):
         b = x[t * hop: t * hop + wext]
