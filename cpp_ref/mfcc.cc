@@ -292,6 +292,107 @@ long tpufeat_plp_f64(const double* signal, long n, int sample_rate,
   return n_frames;
 }
 
+// Pitch tracker golden (NCCF + Viterbi), double precision: direct per-lag
+// correlation loops and an explicit O(F*L^2) Viterbi — the third
+// independent implementation beside tpufeat/pitch.py (JAX f32, NCCF as
+// MXU GEMMs) and tpufeat/reference/cpu.py (NumPy f64). Semantics:
+// nccf(t,l) = <a, b_l> / sqrt(E0*E_l + ballast), ballast from the PRE-pad
+// signal RMS; Viterbi maximizes sum(nccf - lag_bias*ln(lag/lag_min))
+// minus penalty*ln(lag_t/lag_{t-1})^2 jumps, ties to the FIRST (shortest)
+// lag. center != 0 zero-pads wext/2 each side so the extended window is
+// centered on t*hop. out_hz/out_pov must each hold the frame count
+// (tpufeat_pitch_num_frames) doubles; returns that count.
+long tpufeat_pitch_num_frames(long n, int frame_len, int hop, int lag_max,
+                              int center) {
+  const long wext = frame_len + lag_max;
+  if (center) n += 2 * (wext / 2);
+  if (n < wext) return 0;
+  return 1 + (n - wext) / hop;
+}
+
+long tpufeat_pitch_f64(const double* signal, long n, int sample_rate,
+                       int frame_len, int hop, int lag_min, int lag_max,
+                       double penalty, double ballast_w, double lag_bias,
+                       int center, double* out_hz, double* out_pov) {
+  const int W = frame_len;
+  const long wext = W + lag_max;
+  const int L = lag_max - lag_min + 1;
+
+  double rms2 = 0.0;
+  if (n > 0) {
+    for (long t = 0; t < n; ++t) rms2 += signal[t] * signal[t];
+    rms2 /= static_cast<double>(n);
+  }
+  const double ballast = ballast_w * (W * rms2) * (W * rms2);
+
+  const long pad = center ? wext / 2 : 0;
+  std::vector<double> x(n + 2 * pad, 0.0);
+  for (long t = 0; t < n; ++t) x[pad + t] = signal[t];
+  const long F = tpufeat_pitch_num_frames(n, frame_len, hop, lag_max,
+                                          center);
+  if (F <= 0) return 0;
+
+  std::vector<double> scores(static_cast<size_t>(F) * L);
+  for (long t = 0; t < F; ++t) {
+    const double* b = &x[t * hop];
+    double e0 = 0.0;
+    for (int i = 0; i < W; ++i) e0 += b[i] * b[i];
+    for (int j = 0; j < L; ++j) {
+      const int lag = lag_min + j;
+      double num = 0.0, el = 0.0;
+      for (int i = 0; i < W; ++i) {
+        num += b[i] * b[i + lag];
+        el += b[i + lag] * b[i + lag];
+      }
+      scores[static_cast<size_t>(t) * L + j] =
+          num / std::sqrt(e0 * el + ballast + 1e-20);
+    }
+  }
+
+  std::vector<double> ll(L), tilt(L);
+  for (int j = 0; j < L; ++j) {
+    ll[j] = std::log(static_cast<double>(lag_min + j));
+    tilt[j] = lag_bias * std::log(static_cast<double>(lag_min + j)
+                                  / lag_min);
+  }
+  std::vector<double> v(L), v2(L);
+  std::vector<int> ptrs(static_cast<size_t>(F > 1 ? F - 1 : 0) * L);
+  for (int j = 0; j < L; ++j) v[j] = scores[j] - tilt[j];
+  for (long t = 1; t < F; ++t) {
+    for (int j = 0; j < L; ++j) {
+      int best = 0;
+      double d0 = ll[0] - ll[j];
+      double bv = v[0] - penalty * d0 * d0;
+      for (int i = 1; i < L; ++i) {
+        const double d = ll[i] - ll[j];
+        const double c = v[i] - penalty * d * d;
+        if (c > bv) {  // strict: first occurrence wins, like np.argmax
+          bv = c;
+          best = i;
+        }
+      }
+      ptrs[static_cast<size_t>(t - 1) * L + j] = best;
+      v2[j] = scores[static_cast<size_t>(t) * L + j] - tilt[j] + bv;
+    }
+    std::swap(v, v2);
+  }
+
+  int cur = 0;
+  for (int j = 1; j < L; ++j)
+    if (v[j] > v[cur]) cur = j;
+  std::vector<int> path(F);
+  path[F - 1] = cur;
+  for (long t = F - 2; t >= 0; --t) {
+    cur = ptrs[static_cast<size_t>(t) * L + cur];
+    path[t] = cur;
+  }
+  for (long t = 0; t < F; ++t) {
+    out_hz[t] = static_cast<double>(sample_rate) / (lag_min + path[t]);
+    out_pov[t] = scores[static_cast<size_t>(t) * L + path[t]];
+  }
+  return F;
+}
+
 // ---- native WAV (RIFF) decoder: chunk-walking parser ----
 // Formats: PCM 8/16/24/32-bit and IEEE float 32/64-bit, including
 // WAVE_FORMAT_EXTENSIBLE headers (the real tag is read from the SubFormat

@@ -91,6 +91,50 @@ class TestThreeWayParity:
         out = cpp_golden.plp_native(np.zeros(4000), PLP13)
         assert np.isfinite(out).all()
 
+    def _pitch_tone(self, f0=140.0, n=12000, seed=7):
+        t = np.arange(n) / 16000.0
+        r = np.random.default_rng(seed)
+        sig = (0.3 * np.sin(2 * np.pi * f0 * t)
+               + 0.03 * np.sin(2 * np.pi * 2 * f0 * t + 0.3)
+               + 0.01 * r.standard_normal(n))
+        return sig.astype(np.float64)
+
+    @pytest.mark.parametrize("center", [False, True])
+    def test_pitch_cpp_vs_numpy_golden(self, center):
+        """Pitch three-way leg 1: C++ double (sequential correlation sums
+        + its own Viterbi loop) vs the NumPy float64 golden (np.dot
+        correlations + plain-Python Viterbi). Identical decisions; NCCF
+        to summation-order roundoff."""
+        from tpufeat.pitch import PitchConfig
+        cfg = PitchConfig(center=center)
+        sig = self._pitch_tone()
+        chz, cpov = cpp_golden.pitch_native(sig, cfg)
+        ghz, gpov = cpu.pitch(sig, cfg)
+        assert chz.shape == ghz.shape
+        np.testing.assert_array_equal(chz, ghz)      # same Viterbi path
+        assert np.abs(cpov - gpov).max() < 1e-10
+
+    def test_pitch_cpp_vs_tpu_path(self):
+        """Leg 2: C++ double vs the f32 GEMM-NCCF JAX path — same
+        decisions on clearly-voiced audio."""
+        from tpufeat import pitch
+        cfg = pitch.PitchConfig()
+        sig = self._pitch_tone(f0=185.0, n=9600, seed=11)
+        chz, cpov = cpp_golden.pitch_native(sig, cfg)
+        hz, pov, valid = pitch.track(sig.astype(np.float32), cfg=cfg)
+        F = int(np.asarray(valid).sum())
+        np.testing.assert_allclose(np.asarray(hz)[:F], chz[:F], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pov)[:F], cpov[:F],
+                                   rtol=0, atol=1e-4)
+
+    def test_pitch_short_and_silence(self):
+        from tpufeat.pitch import PitchConfig
+        cfg = PitchConfig()
+        hz, pov = cpp_golden.pitch_native(np.zeros(100), cfg)
+        assert hz.shape == (0,)
+        hz, pov = cpp_golden.pitch_native(np.zeros(4000), cfg)
+        assert np.isfinite(hz).all() and np.abs(pov).max() < 0.1
+
 
 class TestNativeWav:
     def test_matches_python_reader(self, tmp_path):

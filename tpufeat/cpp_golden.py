@@ -49,6 +49,16 @@ def _lib():
     lib.tpufeat_num_frames.restype = ctypes.c_long
     lib.tpufeat_num_frames.argtypes = [ctypes.c_long, ctypes.c_int,
                                        ctypes.c_int]
+    lib.tpufeat_pitch_num_frames.restype = ctypes.c_long
+    lib.tpufeat_pitch_num_frames.argtypes = [
+        ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    lib.tpufeat_pitch_f64.restype = ctypes.c_long
+    lib.tpufeat_pitch_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_read_wav.restype = ctypes.c_long
     lib.tpufeat_read_wav.argtypes = [ctypes.c_char_p,
                                      ctypes.POINTER(ctypes.c_float),
@@ -119,6 +129,30 @@ def plp_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         assert got == nf
     return out
+
+
+def pitch_native(signal: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray]:
+    """Run the C++ double-precision pitch tracker (NCCF + Viterbi) ->
+    (hz [F], pov [F]). ``cfg`` is a tpufeat.pitch.PitchConfig; the third
+    independent implementation (vs tpufeat/pitch.py's f32 GEMM NCCF and
+    reference/cpu.py's NumPy loops)."""
+    lib = _lib()
+    x = np.ascontiguousarray(signal, dtype=np.float64)
+    nf = lib.tpufeat_pitch_num_frames(len(x), cfg.frame_length,
+                                      cfg.hop_length, cfg.lag_max,
+                                      int(cfg.center))
+    hz = np.zeros(max(nf, 0), dtype=np.float64)
+    pov = np.zeros(max(nf, 0), dtype=np.float64)
+    if nf > 0:
+        got = lib.tpufeat_pitch_f64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
+            cfg.sample_rate, cfg.frame_length, cfg.hop_length,
+            cfg.lag_min, cfg.lag_max, cfg.penalty, cfg.ballast,
+            cfg.lag_bias, int(cfg.center),
+            hz.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            pov.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        assert got == nf
+    return hz, pov
 
 
 def read_wav_native(path: str) -> tuple[np.ndarray, int]:

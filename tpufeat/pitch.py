@@ -13,10 +13,11 @@ TPU-first formulation (all static shapes, one jitted program):
   - denominator energies via a cumulative-sum sliding window;
   - Viterbi forward as ``lax.scan`` over frames with an [L, L]
     broadcast-max per step (L ~ a few hundred integer lags); the
-    backtrace rides a second scan over the stored argmax table. Padded
-    frames carry identity backpointers and a frozen score row, so the
-    backtrace through the padded tail lands exactly on the last VALID
-    frame's best path (mask-invariance is property-tested).
+    backtrace recomputes backpointers from the stored score rows, one
+    O(L) argmax per step (see ``_viterbi``). Padded frames carry a
+    frozen score row, so the backtrace through the padded tail lands
+    exactly on the last VALID frame's best path (mask-invariance is
+    property-tested).
 
 Deviations from Kaldi (documented, deliberate): integer lags at the
 native sample rate (no 2 kHz lag resampling), offline whole-utterance

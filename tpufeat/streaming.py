@@ -679,8 +679,12 @@ class StreamingPipeline:
         self.d2 = StreamingDeltas(dim, w, batch_size)
         self.cmvn_stats = (init_cmvn(batch_size, cfg.feature_dim)
                            if cfg.cmvn != "none" else None)
-        self._base_fifo = np.zeros((batch_size, 0, dim), np.float32)
-        self._d1_fifo = np.zeros((batch_size, 0, dim), np.float32)
+        # alignment FIFOs stay DEVICE-resident (jnp): a np.asarray here
+        # would be a synchronous device->host fetch per chunk (~30 ms
+        # through the relay, BASELINE.md readback rows) on the
+        # latency-critical online path, only to re-upload at _emit
+        self._base_fifo = jnp.zeros((batch_size, 0, dim), jnp.float32)
+        self._d1_fifo = jnp.zeros((batch_size, 0, dim), jnp.float32)
 
     def _emit(self, d2_rows: jnp.ndarray) -> jnp.ndarray:
         """Pop n = d2_rows rows off both FIFOs and assemble [base|Δ|ΔΔ]."""
@@ -688,8 +692,7 @@ class StreamingPipeline:
         out_b, self._base_fifo = (self._base_fifo[:, :n],
                                   self._base_fifo[:, n:])
         out_d, self._d1_fifo = self._d1_fifo[:, :n], self._d1_fifo[:, n:]
-        out = jnp.concatenate([jnp.asarray(out_b), jnp.asarray(out_d),
-                               d2_rows], axis=-1)
+        out = jnp.concatenate([out_b, out_d, d2_rows], axis=-1)
         if self.cmvn_stats is not None and n:
             self.cmvn_stats, out = streaming_cmvn(
                 self.cmvn_stats, out, jnp.ones(out.shape[:2], bool),
@@ -703,19 +706,16 @@ class StreamingPipeline:
         if chunk.ndim == 1:
             chunk = chunk[None]
         base, _ = self.frontend.process(chunk)
-        self._base_fifo = np.concatenate(
-            [self._base_fifo, np.asarray(base)], axis=1)
+        self._base_fifo = jnp.concatenate([self._base_fifo, base], axis=1)
         d1 = self.d1.process(base)
-        self._d1_fifo = np.concatenate(
-            [self._d1_fifo, np.asarray(d1)], axis=1)
+        self._d1_fifo = jnp.concatenate([self._d1_fifo, d1], axis=1)
         return self._emit(self.d2.process(d1))
 
     def flush(self) -> jnp.ndarray:
         """End of stream: drain the delta lookaheads (2*delta_window rows
         for streams longer than that) with offline edge replication."""
         d1_tail = self.d1.flush()
-        self._d1_fifo = np.concatenate(
-            [self._d1_fifo, np.asarray(d1_tail)], axis=1)
+        self._d1_fifo = jnp.concatenate([self._d1_fifo, d1_tail], axis=1)
         d2_rows = jnp.concatenate(
             [self.d2.process(d1_tail), self.d2.flush()], axis=1)
         out = self._emit(d2_rows)
@@ -744,5 +744,5 @@ class StreamingPipeline:
         self.d1.carry, self.d1.n_seen = s["d1"][0], int(s["d1"][1])
         self.d2.carry, self.d2.n_seen = s["d2"][0], int(s["d2"][1])
         self.cmvn_stats = s["cmvn"]
-        self._base_fifo = np.asarray(s["base_fifo"])
-        self._d1_fifo = np.asarray(s["d1_fifo"])
+        self._base_fifo = jnp.asarray(s["base_fifo"])
+        self._d1_fifo = jnp.asarray(s["d1_fifo"])
