@@ -507,3 +507,41 @@ class TestAuxOnChip:
         assert mask.shape == (1, F)
         assert mask[0, 60:].mean() > 0.5          # speech half active
         assert mask[0, :40].mean() < 0.2          # silence half quiet
+
+    @pytest.mark.parametrize("warp", [0.9, 1.1])
+    def test_vtln_fused_golden_parity(self, warp):
+        """VTLN-warped filterbank constants through the FUSED signal
+        kernel on hardware (the warp reshapes the folded [K, n_mels]
+        matrix, so kernel padding/layout must survive it)."""
+        cfg = dataclasses.replace(MFCC13_HTK, vtln_warp=warp, **FUSED)
+        sig = make_signal(16000, seed=333)
+        assert golden_err(sig, cfg) < 2e-3
+
+    def test_vtln_plp_fused_on_chip(self):
+        from tpufeat.config import PLP13
+        cfg = dataclasses.replace(PLP13, vtln_warp=1.08, **FUSED)
+        sig = make_signal(16000, seed=334)
+        res = features.extract(sig, cfg=cfg)
+        gold = cpu.extract(sig.astype(np.float64),
+                           dataclasses.replace(PLP13, vtln_warp=1.08))
+        assert np.abs(np.asarray(res.features) - gold).max() < 5e-3
+
+    def test_pitch_centered_grid_on_chip(self):
+        """config_for(WHISPER80): centered pitch on the whisper grid —
+        decisions match the (centered) f64 golden on chip."""
+        from tpufeat import pitch
+        pc = pitch.config_for(WHISPER80)
+        assert pc.center
+        t = np.arange(16000) / 16000.0
+        sig = (0.3 * np.sin(2 * np.pi * 150.0 * t)
+               + 0.03 * np.sin(2 * np.pi * 300.0 * t)).astype(np.float32)
+        hz, pov, valid = pitch.track(sig, cfg=pc)
+        ghz, gpov = cpu.pitch(sig.astype(np.float64), pc)
+        strong = gpov > 0.5
+        assert strong.sum() > 20
+        np.testing.assert_allclose(np.asarray(hz)[strong], ghz[strong],
+                                   rtol=1e-6)
+        # centered grid: 1 + N//hop frames (whisper drops its last frame,
+        # so the spectral count is one less; the CLI truncates to min)
+        assert len(ghz) == 1 + 16000 // pc.hop_length
+        assert WHISPER80.num_frames(16000) == len(ghz) - 1
