@@ -305,6 +305,48 @@ class TestStreamingPitch:
         after = pitch._pitch_flush_jit.cache_info().currsize
         assert after - before <= 1, (before, after)
 
+    def test_pitch_features_full_lookahead_equals_offline(self):
+        """StreamingPitchFeatures with lookahead >= total frames: all
+        three columns (POV, mean-subtracted log-pitch, delta-log-pitch)
+        match the offline pitch_features — the running mean equals the
+        global mean when everything is decided at flush."""
+        cfg = pitch.PitchConfig(ballast=0.0)
+        sig = self._tone(f0=150.0, n=12000)
+        F = cfg.num_frames(len(sig))
+        want, _ = pitch.pitch_features(sig, cfg=cfg)
+        spf = pitch.StreamingPitchFeatures(cfg, batch_size=1,
+                                           lookahead=F + 4)
+        outs = [spf.process(sig[None, i: i + 3000])
+                for i in range(0, len(sig), 3000)]
+        outs.append(spf.flush())
+        got = np.concatenate([np.asarray(o) for o in outs if o.shape[1]],
+                             axis=1)[0]
+        assert got.shape == (F, 3)
+        np.testing.assert_allclose(got, np.asarray(want)[:F],
+                                   rtol=0, atol=2e-5)
+
+    def test_pitch_features_realistic_lookahead(self):
+        """K=15 online: POV and delta-log-pitch columns match offline on
+        a steady tone (decisions final after warmup; deltas are
+        shift-invariant so the running mean drops out of column 2)."""
+        cfg = pitch.PitchConfig(ballast=0.0)
+        sig = self._tone(f0=200.0, n=16000)
+        F = cfg.num_frames(len(sig))
+        want, _ = pitch.pitch_features(sig, cfg=cfg)
+        spf = pitch.StreamingPitchFeatures(cfg, batch_size=1, lookahead=15)
+        outs = [spf.process(sig[None, i: i + 1600])
+                for i in range(0, len(sig), 1600)]
+        outs.append(spf.flush())
+        got = np.concatenate([np.asarray(o) for o in outs if o.shape[1]],
+                             axis=1)[0]
+        assert got.shape == (F, 3)
+        w = np.asarray(want)[:F]
+        np.testing.assert_allclose(got[:, 0], w[:, 0], rtol=0, atol=2e-5)
+        np.testing.assert_allclose(got[:, 2], w[:, 2], rtol=0, atol=2e-5)
+        # running-mean column converges to the offline global-mean one
+        np.testing.assert_allclose(got[-20:, 1], w[-20:, 1],
+                                   rtol=0, atol=5e-3)
+
     def test_state_is_a_pytree(self):
         """PitchStreamState serializes through the generic streaming
         checkpoint helpers (crash resume, SURVEY aux)."""

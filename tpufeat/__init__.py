@@ -12,6 +12,7 @@ out — designed TPU-first per SURVEY.md. Public API:
 
 from tpufeat.augment import energy_vad, spec_augment
 from tpufeat.pitch import (PitchConfig, StreamingPitch,
+                           StreamingPitchFeatures,
                            config_for as pitch_config_for, pitch_features,
                            track as track_pitch)
 from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
@@ -40,5 +41,6 @@ __all__ = [
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
     "StreamingPipeline", "resample",
     "spec_augment", "energy_vad", "PitchConfig", "pitch_config_for",
-    "pitch_features", "track_pitch", "StreamingPitch", "__version__",
+    "pitch_features", "track_pitch", "StreamingPitch",
+    "StreamingPitchFeatures", "__version__",
 ]

@@ -577,3 +577,70 @@ class StreamingPitch:
 def _pitch_step_jit(cfg: PitchConfig, lookahead: int, fill: int):
     return jax.jit(functools.partial(pitch_chunk_static, cfg=cfg,
                                      lookahead=lookahead, fill=fill))
+
+
+class StreamingPitchFeatures:
+    """Online Kaldi-style 3-dim pitch features — the streaming sibling of
+    :func:`pitch_features`: :class:`StreamingPitch` (lookahead-K Viterbi)
+    -> (POV, mean-subtracted log-pitch, delta-log-pitch) rows in stream
+    order, FIFO-aligned like :class:`tpufeat.streaming.StreamingPipeline`.
+
+    Exactness vs the offline :func:`pitch_features` (tested):
+      - POV: exact wherever the delayed Viterbi decisions are final;
+      - delta-log-pitch: computed on the RAW log-pitch with the shared
+        :class:`StreamingDeltas` machinery — regression deltas are
+        shift-invariant, so the (online-unknowable) utterance mean drops
+        out and the column matches offline exactly;
+      - mean-subtracted log-pitch: the utterance-global mean needs the
+        whole utterance; online subtracts the running mean over frames
+        decided so far (converges; exact when everything is decided at
+        flush, i.e. lookahead >= total frames).
+
+    Emission lags input by ``lookahead`` (Viterbi) + ``2*delta_window``
+    (delta regression) frames; ``flush()`` drains both tails."""
+
+    def __init__(self, cfg: PitchConfig = PitchConfig(),
+                 batch_size: int = 1, lookahead: int = 15):
+        from tpufeat.streaming import StreamingDeltas
+        self.cfg = cfg
+        self.tracker = StreamingPitch(cfg, batch_size, lookahead)
+        self._deltas = StreamingDeltas(1, cfg.delta_window, batch_size)
+        # device-resident alignment FIFOs (see StreamingPipeline: a host
+        # fetch here would be a ~30 ms relay readback per chunk)
+        self._pov_fifo = jnp.zeros((batch_size, 0), jnp.float32)
+        self._lp_fifo = jnp.zeros((batch_size, 0), jnp.float32)
+        self._lp_sum = jnp.zeros((batch_size,), jnp.float32)
+        self._n = 0
+
+    def _ingest(self, hz: jnp.ndarray, pov: jnp.ndarray) -> jnp.ndarray:
+        lp = jnp.log(hz)
+        self._lp_sum = self._lp_sum + jnp.sum(lp, axis=1)
+        self._n += lp.shape[1]
+        self._pov_fifo = jnp.concatenate([self._pov_fifo, pov], axis=1)
+        self._lp_fifo = jnp.concatenate([self._lp_fifo, lp], axis=1)
+        return self._deltas.process(lp[..., None])
+
+    def _emit(self, dlp: jnp.ndarray) -> jnp.ndarray:
+        n = dlp.shape[1]
+        pov, self._pov_fifo = self._pov_fifo[:, :n], self._pov_fifo[:, n:]
+        lp, self._lp_fifo = self._lp_fifo[:, :n], self._lp_fifo[:, n:]
+        mean = self._lp_sum[:, None] / max(self._n, 1)
+        return jnp.stack([pov, lp - mean, dlp[..., 0]], axis=-1)
+
+    def process(self, chunk) -> jnp.ndarray:
+        """[B, C] (or [C]) raw samples -> [B, n, 3] complete rows."""
+        hz, pov = self.tracker.process(chunk)
+        if hz.shape[1] == 0:
+            return jnp.zeros((hz.shape[0], 0, 3), jnp.float32)
+        return self._emit(self._ingest(hz, pov))
+
+    def flush(self) -> jnp.ndarray:
+        hz, pov = self.tracker.flush()
+        parts = []
+        if hz.shape[1]:
+            parts.append(self._ingest(hz, pov))
+        parts.append(self._deltas.flush())
+        out = self._emit(jnp.concatenate(parts, axis=1))
+        assert self._pov_fifo.shape[1] == self._lp_fifo.shape[1] == 0, \
+            "FIFO accounting bug: rows left after flush"
+        return out
