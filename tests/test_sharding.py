@@ -212,6 +212,40 @@ class TestFusedShardedBody:
             assert_close(got, np.asarray(one.features))
 
 
+class TestPitchDataParallel:
+    @pytest.mark.skipif(N_DEV < 8, reason="needs the 8-device mesh")
+    def test_matches_unsharded(self):
+        """Pitch features with the batch sharded over all 8 devices ==
+        the unsharded path (per-utterance algorithm, zero collectives)."""
+        from tpufeat import pitch
+        cfg = pitch.PitchConfig()
+        t = np.arange(9600) / 16000.0
+        x = np.stack([(0.3 * np.sin(2 * np.pi * (100.0 + 15.0 * b) * t))
+                      .astype(np.float32) for b in range(8)])
+        lens = np.full((8,), 9600, np.int32)
+        feats_s, valid_s = sharding.pitch_features_data_parallel(
+            x, lens, cfg)
+        feats, valid = pitch.pitch_features(x, lens, cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(valid_s),
+                                      np.asarray(valid))
+        np.testing.assert_allclose(np.asarray(feats_s), np.asarray(feats),
+                                   rtol=0, atol=1e-6)
+
+    @pytest.mark.skipif(N_DEV < 8, reason="needs the 8-device mesh")
+    def test_no_retrace(self):
+        from tpufeat import pitch
+        cfg = pitch.PitchConfig()
+        x = np.zeros((8, 8000), np.float32)
+        lens = np.full((8,), 8000, np.int32)
+        sharding.pitch_features_data_parallel(x, lens, cfg)
+        mesh = sharding.default_mesh("dp")
+        fn = sharding._make_pitch_dp_fn(cfg, mesh, "dp")
+        before = fn._cache_size()   # other tests may have warmed other
+        sharding.pitch_features_data_parallel(x, lens, cfg)  # shapes
+        assert sharding._make_pitch_dp_fn(cfg, mesh, "dp") is fn
+        assert fn._cache_size() == before
+
+
 class TestBatchTimeShardedNoRetrace:
     @pytest.mark.skipif(N_DEV < 4, reason="needs >=4 devices")
     def test_second_call_hits_cache(self):

@@ -43,7 +43,8 @@ from tpufeat.features import (FeatureResult, extract_impl, mel_log_dct_xla,
                               spectro_pipeline)
 
 __all__ = ["default_mesh", "extract_data_parallel", "extract_time_sharded",
-           "extract_batch_time_sharded", "shardable_length"]
+           "extract_batch_time_sharded", "pitch_features_data_parallel",
+           "shardable_length"]
 
 
 def default_mesh(axis_name: str = "dp", devices=None) -> Mesh:
@@ -79,6 +80,35 @@ def extract_data_parallel(signal, lengths, cfg: FeatureConfig,
     x = jax.device_put(jnp.asarray(signal, jnp.float32), sharding)
     l = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
     return _make_dp_fn(cfg, mesh, axis_name)(x, l)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pitch_dp_fn(cfg, mesh: Mesh, axis_name: str):
+    from tpufeat.pitch import _features_impl
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.jit(functools.partial(_features_impl, cfg=cfg),
+                   in_shardings=(sharding, sharding),
+                   out_shardings=sharding)
+
+
+def pitch_features_data_parallel(signal, lengths, cfg=None,
+                                 mesh: Mesh | None = None,
+                                 axis_name: str = "dp"):
+    """Batch-sharded Kaldi-style pitch features -> (feats [B, F, 3],
+    valid [B, F]) with B divisible by the mesh size.
+
+    Pitch is per-utterance (NCCF + per-row Viterbi, no cross-utterance
+    coupling), so like :func:`extract_data_parallel` this is one sharding
+    annotation and zero collectives — XLA compiles a local program per
+    device. ``cfg`` defaults to ``PitchConfig()``; pass
+    ``pitch.config_for(feature_cfg)`` to stay on a feature grid."""
+    from tpufeat.pitch import PitchConfig
+    cfg = PitchConfig() if cfg is None else cfg
+    mesh = default_mesh(axis_name) if mesh is None else mesh
+    sharding = NamedSharding(mesh, P(axis_name))
+    x = jax.device_put(jnp.asarray(signal, jnp.float32), sharding)
+    l = jax.device_put(jnp.asarray(lengths, jnp.int32), sharding)
+    return _make_pitch_dp_fn(cfg, mesh, axis_name)(x, l)
 
 
 # ---------------------------------------------------------------------------
