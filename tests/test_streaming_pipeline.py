@@ -145,3 +145,103 @@ class TestStreamingPipeline:
         out = _run(pipe, x, [4000, 4000])
         assert out.shape[1] == MFCC13_HTK.num_frames(8000)
         assert np.isfinite(out).all()
+
+
+def _voiced(b, n, seed):
+    """Tones (one f0 per row) + light noise — the pitch tracker needs a
+    voiced signal for offline/online decision parity to be meaningful."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    f0 = 120.0 + 60.0 * np.arange(b)[:, None]
+    x = 0.4 * np.sin(2 * np.pi * f0 * t[None, :])
+    return (x + 0.01 * rng.standard_normal((b, n))).astype(np.float32)
+
+
+class TestStreamingPipelinePitch:
+    """pitch=True on StreamingPipeline — the online sibling of
+    `cli --pitch` (42-dim rows on the shared hop grid)."""
+
+    def test_full_lookahead_matches_offline_composition(self):
+        """Lookahead >= total frames: every column — 39 spectral + POV +
+        mean-subtracted log-pitch + delta-log-pitch — matches the offline
+        extract()+pitch_features() concatenation (the CLI composition),
+        truncated to the pitch frame count like cli.py:163."""
+        from tpufeat import pitch as pm
+        b, n = 2, 24000
+        x = _voiced(b, n, 97)
+        # ballast=0: the NCCF ballast is a per-utterance GLOBAL RMS
+        # statistic; online uses a running RMS (documented divergence,
+        # pitch.py PitchStreamState) — exactness tests pin it off
+        pcfg = pm.config_for(KALDI39_NOCMVN, ballast=0.0)
+        Fp = pcfg.num_frames(n)
+        pipe = streaming.StreamingPipeline(
+            KALDI39_NOCMVN, batch_size=b, pitch=pcfg,
+            pitch_lookahead=Fp + 4)
+        assert pipe.out_dim == 42
+        got = _run(pipe, x, [4800] * 5)
+        main = np.asarray(features.extract(x, cfg=KALDI39_NOCMVN).features)
+        pf, _ = pm.pitch_features(x, cfg=pcfg)
+        want = np.concatenate([main[:, :Fp], np.asarray(pf)[:, :Fp]],
+                              axis=-1)
+        assert got.shape == (b, Fp, 42)
+        np.testing.assert_allclose(got[..., :39], want[..., :39],
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(got[..., 39:], want[..., 39:],
+                                   rtol=0, atol=2e-5)
+
+    def test_realistic_lookahead_shape_and_grid(self):
+        """K=15 online: emitted row count == pitch frame count; POV and
+        delta-log-pitch columns match offline (decisions final after the
+        Viterbi warmup; deltas are shift-invariant)."""
+        from tpufeat import pitch as pm
+        b, n = 1, 20000
+        x = _voiced(b, n, 98)
+        pcfg = pm.config_for(KALDI39_NOCMVN, ballast=0.0)
+        Fp = pcfg.num_frames(n)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                           pitch=pcfg, pitch_lookahead=15)
+        got = _run(pipe, x, [1600] * 12 + [800])
+        assert got.shape == (b, Fp, 42)
+        pf, _ = pm.pitch_features(x, cfg=pcfg)
+        w = np.asarray(pf)[:, :Fp]
+        np.testing.assert_allclose(got[..., 39], w[..., 0], rtol=0,
+                                   atol=2e-5)
+        np.testing.assert_allclose(got[..., 41], w[..., 2], rtol=0,
+                                   atol=2e-5)
+
+    def test_pitch_checkpoint_resume(self, tmp_path):
+        """state()/set_state with pitch enabled round-trips through
+        save_state/load_state; the resumed pipeline (incl. tracker ring
+        buffers, delta carries, alignment FIFOs) continues
+        bit-identically."""
+        b = 2
+        x = _voiced(b, 32000, 99)
+        plan = [6400, 9600, 6400, 9600]
+        ref = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                          pitch=True)
+        want = _run(ref, x, plan)
+
+        p1 = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                         pitch=True)
+        first = [np.asarray(p1.process(x[:, :6400])),
+                 np.asarray(p1.process(x[:, 6400:16000]))]
+        path = str(tmp_path / "pipe_pitch.npz")
+        streaming.save_state(path, p1.state())
+        p2 = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                         pitch=True)
+        p2.set_state(streaming.load_state(path, p2.state()))
+        rest = [np.asarray(p2.process(x[:, 16000:22400])),
+                np.asarray(p2.process(x[:, 22400:])),
+                np.asarray(p2.flush())]
+        got = np.concatenate(first + rest, axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_reset_preserves_pitch(self):
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=1,
+                                           pitch=True)
+        x = _voiced(1, 8000, 100)
+        _run(pipe, x, [4000, 4000])
+        pipe.reset()
+        assert pipe.out_dim == 42
+        out = _run(pipe, x, [4000, 4000])
+        assert out.shape[-1] == 42 and np.isfinite(out).all()

@@ -644,3 +644,27 @@ class StreamingPitchFeatures:
         assert self._pov_fifo.shape[1] == self._lp_fifo.shape[1] == 0, \
             "FIFO accounting bug: rows left after flush"
         return out
+
+    def state(self) -> dict:
+        """Full state as one pytree (host counters included) — feed to
+        :func:`tpufeat.streaming.save_state` for checkpoint/resume."""
+        t = self.tracker
+        return {
+            "tracker": t.state, "fill": t._fill, "pos": t._pos,
+            "tail_padded": t._tail_padded,
+            "deltas": (self._deltas.carry, self._deltas.n_seen),
+            "pov_fifo": self._pov_fifo, "lp_fifo": self._lp_fifo,
+            "lp_sum": self._lp_sum, "n": self._n,
+        }
+
+    def set_state(self, s: dict) -> None:
+        t = self.tracker
+        t.state = s["tracker"]
+        t._fill, t._pos = int(s["fill"]), int(s["pos"])
+        t._tail_padded = bool(s["tail_padded"])
+        self._deltas.carry = s["deltas"][0]
+        self._deltas.n_seen = int(s["deltas"][1])
+        self._pov_fifo = jnp.asarray(s["pov_fifo"])
+        self._lp_fifo = jnp.asarray(s["lp_fifo"])
+        self._lp_sum = jnp.asarray(s["lp_sum"])
+        self._n = int(s["n"])

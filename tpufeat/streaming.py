@@ -656,12 +656,24 @@ class StreamingPipeline:
     for the divergence characterization. Pass ``cmvn="none"`` and
     normalize offline for bit-parity with :func:`tpufeat.extract`.
 
+    ``pitch=True`` (or a :class:`tpufeat.pitch.PitchConfig`) appends the
+    Kaldi-style 3-dim pitch rows (POV, mean-subtracted log-pitch,
+    delta-log-pitch) from :class:`tpufeat.pitch.StreamingPitchFeatures`
+    on the same hop grid — the online sibling of ``cli --pitch``. The
+    pitch correlation window (frame + lag_max samples) is longer than the
+    spectral frame, so emission then lags by the pitch tracker's
+    ``pitch_lookahead`` Viterbi delay and the unmatched spectral tail is
+    dropped at :meth:`flush` exactly like the offline CLI truncation
+    (cli.py:163). CMVN (when enabled) covers the spectral columns only,
+    matching the offline composition order.
+
     Like every streaming wrapper here the internal state is pure pytrees +
     host ints: ``state()``/``set_state()`` round-trip through
     :func:`save_state`/:func:`load_state` for checkpoint/resume.
     """
 
-    def __init__(self, cfg: FeatureConfig = None, batch_size: int = 1):
+    def __init__(self, cfg: FeatureConfig = None, batch_size: int = 1,
+                 pitch=False, pitch_lookahead: int = 15):
         import dataclasses
         from tpufeat.config import KALDI39
         cfg = KALDI39 if cfg is None else cfg
@@ -685,6 +697,23 @@ class StreamingPipeline:
         # latency-critical online path, only to re-upload at _emit
         self._base_fifo = jnp.zeros((batch_size, 0, dim), jnp.float32)
         self._d1_fifo = jnp.zeros((batch_size, 0, dim), jnp.float32)
+        self._pitch = self._pitch_cfg = None
+        self._pitch_lookahead = pitch_lookahead
+        if pitch:
+            from tpufeat.pitch import (PitchConfig, StreamingPitchFeatures,
+                                       config_for)
+            self._pitch_cfg = (pitch if isinstance(pitch, PitchConfig)
+                               else config_for(base_cfg))
+            self._pitch = StreamingPitchFeatures(
+                self._pitch_cfg, batch_size, pitch_lookahead)
+            self._main_fifo = jnp.zeros((batch_size, 0, cfg.feature_dim),
+                                        jnp.float32)
+            self._pfeat_fifo = jnp.zeros((batch_size, 0, 3), jnp.float32)
+
+    @property
+    def out_dim(self) -> int:
+        """Emitted row width: cfg.feature_dim (+3 with pitch)."""
+        return self.cfg.feature_dim + (3 if self._pitch is not None else 0)
 
     def _emit(self, d2_rows: jnp.ndarray) -> jnp.ndarray:
         """Pop n = d2_rows rows off both FIFOs and assemble [base|Δ|ΔΔ]."""
@@ -699,9 +728,23 @@ class StreamingPipeline:
                 norm_vars=(self.cfg.cmvn == "meanvar"))
         return out
 
+    def _join(self, main: jnp.ndarray, prows: jnp.ndarray) -> jnp.ndarray:
+        """Align completed spectral rows with completed pitch rows and
+        emit min(available) combined [main | pov, lp, dlp] rows."""
+        self._main_fifo = jnp.concatenate([self._main_fifo, main], axis=1)
+        self._pfeat_fifo = jnp.concatenate([self._pfeat_fifo, prows],
+                                           axis=1)
+        n = min(self._main_fifo.shape[1], self._pfeat_fifo.shape[1])
+        out_m, self._main_fifo = (self._main_fifo[:, :n],
+                                  self._main_fifo[:, n:])
+        out_p, self._pfeat_fifo = (self._pfeat_fifo[:, :n],
+                                   self._pfeat_fifo[:, n:])
+        return jnp.concatenate([out_m, out_p], axis=-1)
+
     def process(self, chunk) -> jnp.ndarray:
-        """[B, C] (or [C]) raw samples -> [B, n, feature_dim] complete
-        rows (n lags the input by the 2*delta_window-frame lookahead)."""
+        """[B, C] (or [C]) raw samples -> [B, n, out_dim] complete
+        rows (n lags the input by the 2*delta_window-frame lookahead,
+        plus the Viterbi lookahead when pitch is enabled)."""
         chunk = jnp.asarray(chunk, jnp.float32)
         if chunk.ndim == 1:
             chunk = chunk[None]
@@ -709,7 +752,10 @@ class StreamingPipeline:
         self._base_fifo = jnp.concatenate([self._base_fifo, base], axis=1)
         d1 = self.d1.process(base)
         self._d1_fifo = jnp.concatenate([self._d1_fifo, d1], axis=1)
-        return self._emit(self.d2.process(d1))
+        out = self._emit(self.d2.process(d1))
+        if self._pitch is None:
+            return out
+        return self._join(out, self._pitch.process(chunk))
 
     def flush(self) -> jnp.ndarray:
         """End of stream: drain the delta lookaheads (2*delta_window rows
@@ -721,16 +767,27 @@ class StreamingPipeline:
         out = self._emit(d2_rows)
         assert self._base_fifo.shape[1] == self._d1_fifo.shape[1] == 0, \
             "FIFO accounting bug: rows left after flush"
+        if self._pitch is None:
+            return out
+        out = self._join(out, self._pitch.flush())
+        assert self._pfeat_fifo.shape[1] == 0, \
+            "FIFO accounting bug: pitch rows left after flush"
+        # the pitch window (frame + lag_max) is longer than the spectral
+        # frame, so the tracker decides fewer frames; drop the unmatched
+        # spectral tail — the offline CLI truncates identically
+        self._main_fifo = self._main_fifo[:, :0]
         return out
 
     def reset(self) -> None:
         b = self._base_fifo.shape[0]
-        self.__init__(self.cfg, b)
+        self.__init__(self.cfg, b,
+                      pitch=self._pitch_cfg if self._pitch_cfg else False,
+                      pitch_lookahead=self._pitch_lookahead)
 
     def state(self) -> dict:
         """Full pipeline state as one pytree (host counters included) —
         feed to :func:`save_state` for checkpoint/resume."""
-        return {
+        s = {
             "frontend": self.frontend.state,
             "d1": (self.d1.carry, self.d1.n_seen),
             "d2": (self.d2.carry, self.d2.n_seen),
@@ -738,6 +795,11 @@ class StreamingPipeline:
             "base_fifo": self._base_fifo,
             "d1_fifo": self._d1_fifo,
         }
+        if self._pitch is not None:
+            s["pitch"] = self._pitch.state()
+            s["main_fifo"] = self._main_fifo
+            s["pfeat_fifo"] = self._pfeat_fifo
+        return s
 
     def set_state(self, s: dict) -> None:
         self.frontend.state = s["frontend"]
@@ -746,3 +808,7 @@ class StreamingPipeline:
         self.cmvn_stats = s["cmvn"]
         self._base_fifo = jnp.asarray(s["base_fifo"])
         self._d1_fifo = jnp.asarray(s["d1_fifo"])
+        if self._pitch is not None:
+            self._pitch.set_state(s["pitch"])
+            self._main_fifo = jnp.asarray(s["main_fifo"])
+            self._pfeat_fifo = jnp.asarray(s["pfeat_fifo"])
