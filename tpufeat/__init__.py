@@ -19,14 +19,15 @@ from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
                             PLP13, PRESETS, STREAMING160, WHISPER80)
 from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               frames, logmel, make_extractor,
-                              mel_spectrogram, mfcc, spectrogram)
+                              mel_spectrogram, mfcc, sliding_cmvn,
+                              spectrogram)
 from tpufeat.io import read_wav, write_wav
 from tpufeat.resampling import resample
 from tpufeat.streaming import (StreamingDeltas, StreamingFrontend,
-                               StreamingPipeline, StreamState,
-                               extract_scan, init_state, process_chunk,
-                               process_chunk_static, scan_chunks,
-                               scan_chunks_static)
+                               StreamingPipeline, StreamingSlidingCMVN,
+                               StreamState, extract_scan, init_state,
+                               process_chunk, process_chunk_static,
+                               scan_chunks, scan_chunks_static)
 
 __version__ = "0.2.0"
 
@@ -39,7 +40,8 @@ __all__ = [
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
     "process_chunk", "process_chunk_static", "scan_chunks",
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
-    "StreamingPipeline", "resample",
+    "StreamingPipeline", "StreamingSlidingCMVN", "sliding_cmvn",
+    "resample",
     "spec_augment", "energy_vad", "PitchConfig", "pitch_config_for",
     "pitch_features", "track_pitch", "StreamingPitch",
     "StreamingPitchFeatures", "__version__",

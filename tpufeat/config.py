@@ -99,7 +99,15 @@ class FeatureConfig:
     deltas: bool = False             # append delta + delta-delta
     delta_window: int = 2
     cmvn: str = "none"               # none|mean|meanvar (per-utterance,
-    #                                  masked over valid frames)
+    #                                  masked over valid frames) |
+    #                                  sliding|sliding-meanvar (windowed —
+    #                                  Kaldi apply-cmvn-sliding semantics,
+    #                                  the normalization online ASR
+    #                                  deploys; see features.sliding_cmvn)
+    cmvn_window: int = 600           # sliding-CMVN window (frames)
+    cmvn_min_window: int = 100       # causal start-edge future borrow
+    cmvn_center: bool = False        # True: window centered on t (offline
+    #                                  only); False: causal [t-window, t]
 
     # --- execution ---
     out_dtype: str = "float32"       # feature output dtype: float32|bfloat16
@@ -140,8 +148,15 @@ class FeatureConfig:
             raise ValueError(f"unknown mel_bin_style {self.mel_bin_style!r}")
         if self.log not in ("natural", "log10", "whisper", "none"):
             raise ValueError(f"unknown log {self.log!r}")
-        if self.cmvn not in ("none", "mean", "meanvar"):
+        if self.cmvn not in ("none", "mean", "meanvar", "sliding",
+                             "sliding-meanvar"):
             raise ValueError(f"unknown cmvn {self.cmvn!r}")
+        if self.cmvn.startswith("sliding"):
+            if self.cmvn_window < 1 or self.cmvn_min_window < 1:
+                raise ValueError(
+                    "sliding CMVN needs cmvn_window >= 1 and "
+                    f"cmvn_min_window >= 1 (got {self.cmvn_window}, "
+                    f"{self.cmvn_min_window})")
         if self.spectrum not in ("power", "magnitude"):
             raise ValueError(f"unknown spectrum {self.spectrum!r}")
         if self.out_dtype not in ("float32", "bfloat16"):

@@ -332,6 +332,51 @@ def cmvn(feat: np.ndarray, mode: str = "mean") -> np.ndarray:
     return out
 
 
+def sliding_cmvn(feat: np.ndarray, window: int = 600,
+                 min_window: int = 100, center: bool = False,
+                 norm_vars: bool = False) -> np.ndarray:
+    """Sliding-window cepstral mean (and variance) normalization — the
+    float64 golden for :func:`tpufeat.features.sliding_cmvn` (the online
+    normalization online ASR actually deploys; Kaldi's
+    ``apply-cmvn-sliding``, whose window-clamping rules this reproduces;
+    reference C16's online sibling).
+
+    Per frame t of [T, D] ``feat`` the window is:
+      - ``center=True``: ``[t - window//2, t - window//2 + window)``;
+      - ``center=False`` (causal): ``[t - window, t + 1)``, except the
+        first frames borrow future context up to ``min_window`` frames so
+        early estimates aren't single-frame noise.
+    Both are then clamped inside ``[0, T)`` by shifting (not shrinking,
+    except when T itself is short). Direct per-frame loops — the oracle,
+    not the fast path."""
+    T, _ = feat.shape
+    x = feat.astype(np.float64)
+    out = np.empty_like(x)
+    for t in range(T):
+        if center:
+            ws = t - window // 2
+            we = ws + window
+        else:
+            ws = t - window
+            we = t + 1
+        if ws < 0:
+            we -= ws
+            ws = 0
+        if not center and we > t + 1:
+            we = max(t + 1, min_window)
+        if we > T:
+            ws = max(ws - (we - T), 0)
+            we = T
+        seg = x[ws:we]
+        mean = seg.mean(axis=0)
+        out[t] = x[t] - mean
+        if norm_vars:
+            var = np.maximum((seg * seg).mean(axis=0) - mean * mean,
+                             1e-10)
+            out[t] /= np.sqrt(var)
+    return out
+
+
 def extract(x: np.ndarray, cfg: FeatureConfig,
             preemph_prev: float = 0.0) -> np.ndarray:
     """Full golden pipeline: signal -> features [n_frames, feature_dim].
@@ -347,4 +392,8 @@ def extract(x: np.ndarray, cfg: FeatureConfig,
         d1 = deltas(base, cfg.delta_window)
         d2 = deltas(d1, cfg.delta_window)
         base = np.concatenate([base, d1, d2], axis=-1)
+    if cfg.cmvn.startswith("sliding"):
+        return sliding_cmvn(base, cfg.cmvn_window, cfg.cmvn_min_window,
+                            cfg.cmvn_center,
+                            cfg.cmvn.endswith("meanvar"))
     return cmvn(base, cfg.cmvn)

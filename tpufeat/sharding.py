@@ -139,6 +139,13 @@ def _check_time_shardable(cfg: FeatureConfig) -> None:
             "convention); use extract()/extract_data_parallel for "
             f"center=True with preemphasis={cfg.preemphasis}, "
             f"drop_last_frame={cfg.drop_last_frame}")
+    if cfg.cmvn.startswith("sliding"):
+        raise ValueError(
+            "time sharding implements utterance-global CMVN (one psum); "
+            f"sliding CMVN windows ({cfg.cmvn_window} frames) would cross "
+            "shard boundaries — extract the features time-sharded with "
+            "cmvn='none' and apply features.sliding_cmvn afterwards, or "
+            "use extract()/extract_data_parallel")
 
 
 def _right_halo(x_local: jnp.ndarray, size: int, axis_name: str,

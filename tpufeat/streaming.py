@@ -614,6 +614,122 @@ def streaming_cmvn(stats: RunningCMVN, feats: jnp.ndarray, mask: jnp.ndarray,
     return new_stats, out
 
 
+class StreamingSlidingCMVN:
+    """Causal sliding-window CMVN — the ONLINE normalization Kaldi-style
+    deployments actually run (``apply-cmvn-sliding``): each frame is
+    normalized by the mean (and optionally variance) of the trailing
+    ``window`` frames, with the first frames delayed until ``min_window``
+    frames exist so early estimates aren't single-frame noise.
+
+    The streaming sibling of
+    ``features.sliding_cmvn(center=False)`` and, unlike the Welford
+    :func:`streaming_cmvn` (which converges but never matches), EXACT vs
+    the offline operator: every window is finite and trailing, so once
+    ``min_window`` frames are buffered each emitted row sees precisely the
+    frames the offline op sees (equality up to f32 summation order,
+    ~1e-6 — tested in tests/test_streaming_pipeline.py).
+
+    State: a [B, window, D] raw-row ring (device-resident), a host frame
+    counter, and the startup buffer. ``process()`` emits nothing until
+    ``min_window`` frames arrive, then the backlog at once, then
+    chunk-for-chunk; ``flush()`` drains short (< min_window) streams by
+    running the offline operator on the buffered rows."""
+
+    def __init__(self, dim: int, batch_size: int = 1, window: int = 600,
+                 min_window: int = 100, norm_vars: bool = False):
+        if window < 1 or min_window < 1:
+            raise ValueError("window and min_window must be >= 1")
+        self.dim, self.window = dim, window
+        self.min_window, self.norm_vars = min_window, norm_vars
+        self.carry = jnp.zeros((batch_size, window, dim), jnp.float32)
+        self.n_seen = 0
+        self._pending = jnp.zeros((batch_size, 0, dim), jnp.float32)
+
+    def process(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """[B, n, D] feature rows -> [B, m, D] normalized rows (m = n in
+        steady state; 0 while buffering the first min_window frames)."""
+        rows = jnp.asarray(rows, jnp.float32)
+        B = rows.shape[0]
+        if self.n_seen == 0:
+            self._pending = jnp.concatenate([self._pending, rows], axis=1)
+            if self._pending.shape[1] < self.min_window:
+                return jnp.zeros((B, 0, self.dim), jnp.float32)
+            rows, self._pending = self._pending, self._pending[:, :0]
+        n = rows.shape[1]
+        if n == 0:
+            return rows
+        fn = _sliding_cmvn_step_jit(n, self.window, self.min_window,
+                                    self.norm_vars)
+        out, self.carry = fn(self.carry, rows,
+                             jnp.asarray(self.n_seen, jnp.int32))
+        self.n_seen += n
+        return out
+
+    def flush(self) -> jnp.ndarray:
+        """Drain a short stream (total < min_window): offline clamping
+        normalizes every frame by the whole-stream statistics."""
+        p, self._pending = self._pending, self._pending[:, :0]
+        if p.shape[1] == 0:
+            return p
+        from tpufeat.features import sliding_cmvn
+        return sliding_cmvn(p, None, window=self.window,
+                            min_window=self.min_window, center=False,
+                            norm_vars=self.norm_vars)
+
+    def state(self) -> dict:
+        return {"carry": self.carry, "n_seen": self.n_seen,
+                "pending": self._pending}
+
+    def set_state(self, s: dict) -> None:
+        self.carry = jnp.asarray(s["carry"])
+        self.n_seen = int(s["n_seen"])
+        self._pending = jnp.asarray(s["pending"])
+
+
+@functools.lru_cache(maxsize=None)
+def _sliding_cmvn_step_jit(n: int, window: int, min_window: int,
+                           norm_vars: bool):
+    """One compiled sliding-CMVN step per (chunk rows, window config):
+    the frame counter is TRACED (ring positions are computed from it), so
+    chunk schedules don't multiply programs."""
+    w = window
+
+    def impl(carry, rows, n_prev):
+        data = jnp.concatenate([carry, rows], axis=1)      # [B, w+n, D]
+        # carry rows with absolute index < 0 are zeros by construction;
+        # pre-center by the block mean so the f32 cumsum stays small
+        # (any constant cancels from x - sliding_mean(x) exactly)
+        nreal = (jnp.minimum(n_prev, w) + n).astype(data.dtype)
+        g = jnp.sum(data, axis=1, keepdims=True) / nreal
+        k = jnp.arange(w + n, dtype=jnp.int32)[None, :, None]
+        realmask = (k >= (w + n) - jnp.minimum(n_prev, w) - n).astype(
+            data.dtype)
+        x = (data - g) * realmask
+
+        j = jnp.arange(n, dtype=jnp.int32)
+        t_abs = n_prev + j
+        ws_rel = jnp.maximum(t_abs - w, 0) - (n_prev - w)
+        we_rel = jnp.maximum(t_abs + 1, min_window) - (n_prev - w)
+        cnt = (we_rel - ws_rel).astype(x.dtype)[None, :, None]
+
+        def winmean(v):
+            cs = jnp.cumsum(
+                jnp.concatenate([jnp.zeros_like(v[:, :1]), v], axis=1),
+                axis=1)
+            take = lambda idx: jnp.take_along_axis(  # noqa: E731
+                cs, idx[None, :, None], axis=1)
+            return (take(we_rel) - take(ws_rel)) / cnt
+
+        mean = winmean(x)
+        out = x[:, w:] - mean
+        if norm_vars:
+            var = jnp.maximum(winmean(x * x) - mean * mean, 1e-10)
+            out = out / jnp.sqrt(var)
+        return out, data[:, n:]
+
+    return jax.jit(impl)
+
+
 # --- checkpoint/resume (SURVEY.md §5) ---
 
 def save_state(path: str, state) -> None:
@@ -649,12 +765,18 @@ class StreamingPipeline:
     end-to-end in tests/test_streaming_pipeline.py).
 
     CMVN: utterance-global CMVN needs the whole utterance, which a live
-    stream does not have. ``cfg.cmvn != "none"`` therefore applies CAUSAL
-    running normalization (:func:`streaming_cmvn`, Welford stats over all
-    frames seen so far) — it converges to the utterance-global statistics
-    but early frames are normalized by early stats; see docs/STREAMING.md
-    for the divergence characterization. Pass ``cmvn="none"`` and
-    normalize offline for bit-parity with :func:`tpufeat.extract`.
+    stream does not have. ``cfg.cmvn`` in {"mean", "meanvar"} therefore
+    applies CAUSAL running normalization (:func:`streaming_cmvn`, Welford
+    stats over all frames seen so far) — it converges to the
+    utterance-global statistics but early frames are normalized by early
+    stats; see docs/STREAMING.md for the divergence characterization.
+    ``cfg.cmvn`` in {"sliding", "sliding-meanvar"} applies windowed
+    normalization (:class:`StreamingSlidingCMVN`, Kaldi
+    ``apply-cmvn-sliding`` semantics) — finite trailing windows, so the
+    online output MATCHES the offline :func:`tpufeat.extract` of the same
+    config (up to f32 summation order; emission is delayed by
+    ``cfg.cmvn_min_window`` frames at stream start). Pass ``cmvn="none"``
+    and normalize offline for bit-parity with global CMVN.
 
     ``pitch=True`` (or a :class:`tpufeat.pitch.PitchConfig`) appends the
     Kaldi-style 3-dim pitch rows (POV, mean-subtracted log-pitch,
@@ -689,8 +811,17 @@ class StreamingPipeline:
         w = cfg.delta_window
         self.d1 = StreamingDeltas(dim, w, batch_size)
         self.d2 = StreamingDeltas(dim, w, batch_size)
-        self.cmvn_stats = (init_cmvn(batch_size, cfg.feature_dim)
-                           if cfg.cmvn != "none" else None)
+        self.cmvn_stats = self._scmvn = None
+        if cfg.cmvn.startswith("sliding"):
+            if cfg.cmvn_center:
+                raise ValueError(
+                    "streaming sliding CMVN is causal; cmvn_center=True "
+                    "needs future context — use offline extract()")
+            self._scmvn = StreamingSlidingCMVN(
+                cfg.feature_dim, batch_size, cfg.cmvn_window,
+                cfg.cmvn_min_window, cfg.cmvn.endswith("meanvar"))
+        elif cfg.cmvn != "none":
+            self.cmvn_stats = init_cmvn(batch_size, cfg.feature_dim)
         # alignment FIFOs stay DEVICE-resident (jnp): a np.asarray here
         # would be a synchronous device->host fetch per chunk (~30 ms
         # through the relay, BASELINE.md readback rows) on the
@@ -726,6 +857,8 @@ class StreamingPipeline:
             self.cmvn_stats, out = streaming_cmvn(
                 self.cmvn_stats, out, jnp.ones(out.shape[:2], bool),
                 norm_vars=(self.cfg.cmvn == "meanvar"))
+        elif self._scmvn is not None:
+            out = self._scmvn.process(out)
         return out
 
     def _join(self, main: jnp.ndarray, prows: jnp.ndarray) -> jnp.ndarray:
@@ -765,6 +898,8 @@ class StreamingPipeline:
         d2_rows = jnp.concatenate(
             [self.d2.process(d1_tail), self.d2.flush()], axis=1)
         out = self._emit(d2_rows)
+        if self._scmvn is not None:
+            out = jnp.concatenate([out, self._scmvn.flush()], axis=1)
         assert self._base_fifo.shape[1] == self._d1_fifo.shape[1] == 0, \
             "FIFO accounting bug: rows left after flush"
         if self._pitch is None:
@@ -795,6 +930,8 @@ class StreamingPipeline:
             "base_fifo": self._base_fifo,
             "d1_fifo": self._d1_fifo,
         }
+        if self._scmvn is not None:
+            s["scmvn"] = self._scmvn.state()
         if self._pitch is not None:
             s["pitch"] = self._pitch.state()
             s["main_fifo"] = self._main_fifo
@@ -806,6 +943,8 @@ class StreamingPipeline:
         self.d1.carry, self.d1.n_seen = s["d1"][0], int(s["d1"][1])
         self.d2.carry, self.d2.n_seen = s["d2"][0], int(s["d2"][1])
         self.cmvn_stats = s["cmvn"]
+        if self._scmvn is not None:
+            self._scmvn.set_state(s["scmvn"])
         self._base_fifo = jnp.asarray(s["base_fifo"])
         self._d1_fifo = jnp.asarray(s["d1_fifo"])
         if self._pitch is not None:
