@@ -545,3 +545,31 @@ class TestAuxOnChip:
         # so the spectral count is one less; the CLI truncates to min)
         assert len(ghz) == 1 + 16000 // pc.hop_length
         assert WHISPER80.num_frames(16000) == len(ghz) - 1
+
+    def test_sliding_cmvn_fused_golden_parity(self):
+        """cfg.cmvn='sliding' through the production fused kernel on
+        hardware vs the f64 golden (the windowed normalization online
+        ASR deploys — Kaldi apply-cmvn-sliding semantics)."""
+        cfg = dataclasses.replace(KALDI39, cmvn="sliding-meanvar",
+                                  cmvn_window=150, cmvn_min_window=40,
+                                  matmul_precision="bf16x3", **FUSED)
+        sig = make_signal(32000, seed=340)
+        assert golden_err(sig, cfg) < 2e-3
+
+    def test_streaming_sliding_cmvn_on_chip(self):
+        """StreamingPipeline(cmvn='sliding') == offline extract() on
+        hardware (finite trailing windows -> exact online normalization,
+        modulo f32 sum order + the delta chain's 1-ulp FMA noise)."""
+        cfg = dataclasses.replace(KALDI39, cmvn="sliding",
+                                  cmvn_window=120, cmvn_min_window=30)
+        sig = make_signal(32000, seed=341)
+        want = features.extract(sig, cfg=cfg)
+        nf = int(np.asarray(want.num_frames))
+        sp = streaming.StreamingPipeline(cfg, batch_size=1)
+        outs = [sp.process(sig[None, i: i + 4800])
+                for i in range(0, 32000, 4800)]
+        outs.append(sp.flush())
+        got = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+        assert got.shape[0] == nf
+        np.testing.assert_allclose(got, np.asarray(want.features)[:nf],
+                                   atol=1e-4, rtol=0)
