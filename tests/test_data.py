@@ -112,3 +112,82 @@ class TestCmvnStats:
         allf = np.concatenate([z[k] for k in z.files])
         np.testing.assert_allclose(allf.mean(0), 0.0, atol=1e-4)
         np.testing.assert_allclose(allf.var(0), 1.0, atol=1e-3)
+
+
+class TestTransforms:
+    """apply_transform / LdaStats — the Kaldi transform-feats + acc-lda/
+    est-lda analogue pair over spliced frames."""
+
+    def _two_class(self, n=4000, d=6, seed=0):
+        rng = np.random.default_rng(seed)
+        A = rng.standard_normal((d, d)) * 0.5 + np.eye(d)
+        mean0 = np.zeros(d)
+        mean1 = np.full(d, 2.5)
+        f0 = rng.standard_normal((n, d)) @ A.T + mean0
+        f1 = rng.standard_normal((n, d)) @ A.T + mean1
+        feats = np.concatenate([f0, f1]).astype(np.float32)
+        labels = np.concatenate([np.zeros(n, int), np.ones(n, int)])
+        return feats, labels
+
+    def test_apply_transform_linear_and_affine(self):
+        rng = np.random.default_rng(1)
+        feat = rng.standard_normal((2, 5, 4)).astype(np.float32)
+        lin = rng.standard_normal((3, 4)).astype(np.float32)
+        bias = rng.standard_normal(3).astype(np.float32)
+        got_lin = np.asarray(data.apply_transform(feat, lin))
+        np.testing.assert_allclose(got_lin, feat @ lin.T, atol=1e-6)
+        aff = np.concatenate([lin, bias[:, None]], axis=1)
+        got_aff = np.asarray(data.apply_transform(feat, aff))
+        np.testing.assert_allclose(got_aff, feat @ lin.T + bias, atol=1e-6)
+
+    def test_apply_transform_shape_error(self):
+        import pytest
+        with pytest.raises(ValueError, match="transform is"):
+            data.apply_transform(np.zeros((2, 3, 4), np.float32),
+                                 np.zeros((3, 7), np.float32))
+
+    def test_lda_whitens_and_separates(self):
+        feats, labels = self._two_class()
+        st = data.LdaStats(feats.shape[1])
+        # two accumulation calls (order-independence of the moments)
+        st.accumulate(feats[:3000], labels[:3000])
+        st.accumulate(feats[3000:], labels[3000:])
+        T = st.estimate(2)
+        assert T.shape == (2, feats.shape[1] + 1)
+        out = np.asarray(data.apply_transform(feats, T), np.float64)
+        # zero global mean (affine bias folds the mean in)
+        np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-4)
+        # identity within-class covariance (Kaldi's normalization)
+        for c in (0, 1):
+            sel = out[labels == c]
+            cov = np.cov(sel.T, bias=True)
+            np.testing.assert_allclose(cov, np.eye(2), atol=0.15)
+        # the first LDA direction separates the classes strongly
+        m0, m1 = out[labels == 0, 0].mean(), out[labels == 1, 0].mean()
+        assert abs(m0 - m1) > 3.0
+
+    def test_lda_on_spliced_frames(self):
+        """The intended composition: splice_frames -> LDA to a lower dim."""
+        import jax.numpy as jnp
+        feats, labels = self._two_class(n=500, d=4, seed=2)
+        spliced = np.asarray(data.splice_frames(
+            jnp.asarray(feats[None]), np.asarray([feats.shape[0]]),
+            left=1, right=1))[0]
+        st = data.LdaStats(spliced.shape[1])
+        st.accumulate(spliced, labels)
+        T = st.estimate(3, within_floor=1e-4)
+        out = np.asarray(data.apply_transform(spliced, T))
+        assert out.shape == (feats.shape[0], 3)
+        assert np.isfinite(out).all()
+
+    def test_lda_validation(self):
+        import pytest
+        st = data.LdaStats(4)
+        with pytest.raises(ValueError, match="classes"):
+            st.estimate(2)
+        st.accumulate(np.zeros((3, 4)), np.zeros(3, int))
+        with pytest.raises(ValueError, match="frames vs"):
+            st.accumulate(np.zeros((3, 4)), np.zeros(2, int))
+        with pytest.raises(ValueError, match="target_dim"):
+            st.accumulate(np.ones((3, 4)), np.ones(3, int)) or \
+                st.estimate(9)

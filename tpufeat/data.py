@@ -17,7 +17,7 @@ import numpy as np
 from tpufeat import io
 
 __all__ = ["pad_batch", "bucket_length", "batched", "iter_wav_dir",
-           "splice_frames"]
+           "splice_frames", "apply_transform", "LdaStats"]
 
 
 def pad_batch(signals: Sequence[np.ndarray],
@@ -97,6 +97,96 @@ def splice_frames(feat, num_frames, left: int = 3, right: int = 3):
         idx = jnp.clip(t[None, :] + off, 0, hi)
         parts.append(jnp.take_along_axis(feat, idx[..., None], axis=-2))
     return jnp.concatenate(parts, axis=-1)
+
+
+def apply_transform(feat, mat):
+    """Apply a feature transform (the Kaldi ``transform-feats``
+    analogue): [..., F, D_in] @ A^T, where ``mat`` is [D_out, D_in]
+    (linear) or [D_out, D_in + 1] (affine — last column is the bias,
+    Kaldi's append-a-1 convention). One MXU matmul at HIGHEST precision;
+    the usual consumer is an LDA/MLLT matrix over spliced frames
+    (:func:`splice_frames` -> :class:`LdaStats`)."""
+    import jax
+    import jax.numpy as jnp
+    mat = jnp.asarray(mat, jnp.float32)
+    d_in = feat.shape[-1]
+    if mat.shape[1] == d_in + 1:
+        lin, bias = mat[:, :d_in], mat[:, d_in]
+    elif mat.shape[1] == d_in:
+        lin, bias = mat, None
+    else:
+        raise ValueError(
+            f"transform is {tuple(mat.shape)} but features have "
+            f"{d_in} dims (want [D_out, {d_in}] or [D_out, {d_in + 1}])")
+    out = jnp.matmul(feat, lin.T, precision=jax.lax.Precision.HIGHEST)
+    return out if bias is None else out + bias
+
+
+class LdaStats:
+    """LDA estimation from labeled frames (the Kaldi ``acc-lda`` /
+    ``est-lda`` pair, the standard consumer of :func:`splice_frames`):
+    accumulate per-class first moments + the global second moment in
+    float64, then estimate a whitening LDA transform.
+
+    ``estimate(target_dim)`` returns an AFFINE [k, D+1] matrix (feed to
+    :func:`apply_transform`) such that over the accumulated data the
+    transformed features have zero global mean, identity within-class
+    covariance (Kaldi's normalization), and directions ordered by
+    between-class variance. Host-side numpy/scipy by design, like
+    :class:`CmvnStats` — estimation is a one-off corpus pass; the hot
+    path is only the resulting matmul."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self._counts: dict[int, float] = {}
+        self._sums: dict[int, np.ndarray] = {}
+        self.sumsq = np.zeros((dim, dim), np.float64)
+
+    def accumulate(self, feats: np.ndarray, labels: np.ndarray) -> None:
+        """[F, D] frames + [F] integer class labels (e.g. aligned
+        phone/state ids)."""
+        f = np.asarray(feats, np.float64).reshape(-1, self.dim)
+        lab = np.asarray(labels).reshape(-1)
+        if lab.shape[0] != f.shape[0]:
+            raise ValueError(f"{f.shape[0]} frames vs {lab.shape[0]} labels")
+        self.sumsq += f.T @ f
+        for c in np.unique(lab):
+            sel = f[lab == c]
+            ci = int(c)
+            self._counts[ci] = self._counts.get(ci, 0.0) + sel.shape[0]
+            if ci not in self._sums:
+                self._sums[ci] = np.zeros(self.dim, np.float64)
+            self._sums[ci] += sel.sum(axis=0)
+
+    def estimate(self, target_dim: int, *,
+                 within_floor: float = 1e-6) -> np.ndarray:
+        """-> affine [target_dim, dim + 1] LDA transform (see class doc).
+
+        Classic two-step solve: whiten by the within-class covariance
+        (eigh, eigenvalues floored at ``within_floor`` * max for spliced
+        features' rank deficiency), then rotate to the between-class
+        covariance's top eigenvectors in the whitened space."""
+        import scipy.linalg
+        if not 1 <= target_dim <= self.dim:
+            raise ValueError(f"target_dim {target_dim} outside [1, {self.dim}]")
+        n = sum(self._counts.values())
+        if n < 2 or len(self._counts) < 2:
+            raise ValueError("need >= 2 classes and >= 2 frames")
+        mean = sum(self._sums.values()) / n
+        total = self.sumsq / n - np.outer(mean, mean)
+        between = np.zeros_like(total)
+        for c, cnt in self._counts.items():
+            d = self._sums[c] / cnt - mean
+            between += (cnt / n) * np.outer(d, d)
+        within = total - between
+        w, v = scipy.linalg.eigh(within)
+        w = np.maximum(w, within_floor * max(w.max(), 1e-30))
+        whiten = (v / np.sqrt(w)) @ v.T                     # W^{-1/2}
+        bw, bv = scipy.linalg.eigh(whiten @ between @ whiten)
+        rot = bv[:, ::-1][:, :target_dim].T                 # top-k rows
+        lin = rot @ whiten
+        return np.concatenate(
+            [lin, -(lin @ mean)[:, None]], axis=1).astype(np.float32)
 
 
 class CmvnStats:
