@@ -102,3 +102,58 @@ class TestEnergyVad:
         nf = FeatureConfig(preemphasis=0.0).num_frames(8000)
         assert not vad[nf:].any()
         assert vad[:nf].any()
+
+
+class TestAddNoise:
+    def test_target_snr_achieved(self):
+        import jax.numpy as jnp
+        from tpufeat.augment import add_noise
+        rng = np.random.default_rng(50)
+        x = rng.standard_normal((3, 8000)).astype(np.float32)
+        v = rng.standard_normal((3, 8000)).astype(np.float32)
+        lens = np.asarray([8000, 5000, 1000])
+        for snr in (0.0, 10.0, 20.0):
+            y = np.asarray(add_noise(x, v, lens, snr))
+            d = y - x
+            m = np.arange(8000) < lens[:, None]
+            got = 10 * np.log10((x * x * m).sum(1) / (d * d * m).sum(1))
+            np.testing.assert_allclose(got, snr, atol=1e-3)
+            # padding untouched
+            assert (d[1, 5000:] == 0).all() and (d[2, 1000:] == 0).all()
+
+    def test_per_utterance_snr_and_silence(self):
+        from tpufeat.augment import add_noise
+        rng = np.random.default_rng(51)
+        x = rng.standard_normal((2, 4000)).astype(np.float32)
+        x[1] = 0.0                                   # silent utterance
+        v = rng.standard_normal((2, 4000)).astype(np.float32)
+        lens = np.asarray([4000, 4000])
+        y = np.asarray(add_noise(x, v, lens, np.asarray([5.0, 5.0])))
+        d = y - x
+        snr0 = 10 * np.log10((x[0] ** 2).sum() / (d[0] ** 2).sum())
+        np.testing.assert_allclose(snr0, 5.0, atol=1e-3)
+        assert (y[1] == 0).all()                     # no 0/0 blowup
+
+
+class TestSpeedPerturb:
+    def test_length_and_pitch_shift(self):
+        from tpufeat.augment import speed_perturb
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)[None]
+        for factor in (0.9, 1.1):
+            y = np.asarray(speed_perturb(x, sr, factor))[0]
+            assert abs(y.shape[0] - round(sr / factor)) <= 2
+            # dominant frequency moves to 440*factor
+            spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+            f_peak = np.argmax(spec) * sr / len(y)
+            assert abs(f_peak - 440.0 * factor) < 5.0, (factor, f_peak)
+
+    def test_identity_and_validation(self):
+        import pytest
+        from tpufeat.augment import speed_perturb
+        x = np.zeros((1, 100), np.float32)
+        y = np.asarray(speed_perturb(x, 16000, 1.0))
+        assert y.shape == (1, 100)
+        with pytest.raises(ValueError, match="integral"):
+            speed_perturb(x, 16000, 1.0001)

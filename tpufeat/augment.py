@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["spec_augment", "energy_vad"]
+__all__ = ["spec_augment", "energy_vad", "add_noise", "speed_perturb"]
 
 
 @functools.partial(
@@ -109,3 +109,46 @@ def energy_vad(signal: jnp.ndarray, lengths: jnp.ndarray,
     peak = jnp.max(jnp.where(mask, e_db, -jnp.inf), axis=-1, keepdims=True)
     peak = jnp.where(jnp.isfinite(peak), peak, 0.0)
     return (e_db >= peak + threshold_db) & mask
+
+
+@functools.partial(jax.jit, static_argnames=())
+def add_noise(signal: jnp.ndarray, noise: jnp.ndarray,
+              lengths: jnp.ndarray, snr_db: jnp.ndarray) -> jnp.ndarray:
+    """Mix noise into signal at a target SNR (the additive half of the
+    standard training-time augmentation pair; speed perturbation is the
+    other): [B, N] + [B, N] -> [B, N].
+
+    The noise is scaled per utterance so that over the VALID samples
+    (``lengths``-masked) 10*log10(P_signal / P_noise_scaled) == snr_db;
+    padding samples stay untouched. ``snr_db`` broadcasts: scalar or [B]
+    (per-utterance SNR draws compose with an explicit PRNG upstream).
+    Silence is safe: zero-power signal leaves the mix unscaled-noise-free
+    (scale 0) rather than dividing by zero."""
+    x = jnp.asarray(signal, jnp.float32)
+    v = jnp.asarray(noise, jnp.float32)
+    m = (jnp.arange(x.shape[-1]) < jnp.asarray(lengths)[:, None]).astype(
+        x.dtype)
+    n_valid = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    p_sig = jnp.sum(x * x * m, axis=-1) / n_valid
+    p_noi = jnp.sum(v * v * m, axis=-1) / n_valid
+    want = p_sig / 10.0 ** (jnp.asarray(snr_db, x.dtype) / 10.0)
+    scale = jnp.sqrt(want / jnp.maximum(p_noi, 1e-20))
+    scale = jnp.where(p_noi > 0, scale, 0.0)
+    return x + scale[:, None] * v * m
+
+
+def speed_perturb(signal, sr: int, factor: float) -> "jnp.ndarray":
+    """Kaldi-style speed perturbation (0.9/1.0/1.1 are the classic
+    triple): resample so the audio plays ``factor``x faster — output
+    length ~ N/factor, pitch and formants shift together (sox ``speed``,
+    not tempo). Rides the polyphase MXU resampler: sample rate
+    ``sr*factor -> sr`` with the rational reduced internally."""
+    from tpufeat import resampling
+    sr_in = int(round(sr * factor))
+    if sr_in <= 0:
+        raise ValueError(f"factor {factor} gives non-positive rate")
+    if abs(sr_in - sr * factor) > 1e-6:
+        raise ValueError(f"sr*factor must be integral (got {sr * factor})")
+    if factor == 1.0:
+        return jnp.asarray(signal, jnp.float32)
+    return resampling.resample(signal, sr_in, sr)
