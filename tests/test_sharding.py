@@ -155,6 +155,23 @@ class TestDataParallel:
         shard_shapes = {s.data.shape for s in res.features.addressable_shards}
         assert all(s[0] == B // N_DEV for s in shard_shapes)
 
+    def test_sliding_cmvn_matches_local(self):
+        """cfg.cmvn='sliding' is per-utterance (windows never cross the
+        batch axis), so the DP path must reproduce it with zero
+        collectives."""
+        import dataclasses
+        from tpufeat.config import KALDI39
+        cfg = dataclasses.replace(KALDI39, cmvn="sliding",
+                                  cmvn_window=80, cmvn_min_window=20)
+        B = N_DEV
+        sigs = np.stack([make_signal(16000, seed=120 + i)
+                         for i in range(B)])
+        lengths = np.full((B,), 16000, np.int32)
+        lengths[2] = 11000
+        res = sharding.extract_data_parallel(sigs, lengths, cfg)
+        local = features.extract(sigs, lengths, cfg)
+        assert_close(np.asarray(res.features), np.asarray(local.features))
+
 
 FUSED = dict(use_pallas=True, gemm_dft=True, fused_framing=True)
 
