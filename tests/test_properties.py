@@ -83,3 +83,71 @@ class TestFramingProperties:
         res = features.extract(sig, cfg=WHISPER80)
         gold = cpu.extract(sig.astype(np.float64), WHISPER80)
         assert np.abs(np.asarray(res.features) - gold).max() < 1e-4
+
+
+class TestSlidingCmvnProperties:
+    @given(T=st.integers(1, 400), window=st.integers(1, 200),
+           min_window=st.integers(1, 120), center=st.booleans(),
+           seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_golden_agreement_random_geometry(self, T, window, min_window,
+                                              center, seed):
+        """Random (T, window, min_window, center) geometry: the f32 op
+        matches the f64 per-frame-loop golden — every clamp branch gets
+        hit somewhere in this space.
+
+        Mean normalization is asserted for EVERY geometry. Variance
+        normalization only for windows >= 8: the variance path is
+        one-pass (E[x^2] - mean^2; a two-pass per-window mean is not
+        expressible with one cumsum), so degenerate 1-3-frame windows
+        hit catastrophic cancellation in f32 that 1/sqrt(var) amplifies
+        WITHOUT BOUND as the window variance -> 0 (two near-equal
+        adjacent frames) — an ill-posed comparison, not a defect.
+        Realistic windows sit at ~1e-5 (the fixed-geometry tests assert
+        2e-5 at windows 9 and 600)."""
+        rng = np.random.default_rng(seed)
+        f = (rng.standard_normal((T, 5)) * 2).astype(np.float32)
+        want = cpu.sliding_cmvn(f, window=window, min_window=min_window,
+                                center=center)
+        got = features.sliding_cmvn(
+            jnp.asarray(f)[None], None, window=window,
+            min_window=min_window, center=center)[0]
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-5,
+                                   rtol=0)
+        if window >= 8:
+            want_v = cpu.sliding_cmvn(f, window=window,
+                                      min_window=min_window,
+                                      center=center, norm_vars=True)
+            got_v = features.sliding_cmvn(
+                jnp.asarray(f)[None], None, window=window,
+                min_window=min_window, center=center, norm_vars=True)[0]
+            np.testing.assert_allclose(np.asarray(got_v), want_v,
+                                       atol=5e-4, rtol=0)
+
+    @given(T=st.integers(50, 300), chunks=st.lists(
+        st.integers(1, 80), min_size=1, max_size=8),
+        seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=15, deadline=None)
+    def test_streaming_exact_any_chunk_plan(self, T, chunks, seed):
+        """Any chunk plan drains to the offline causal operator."""
+        from tpufeat import streaming
+        rng = np.random.default_rng(seed)
+        f = rng.standard_normal((T, 4)).astype(np.float32)
+        want = features.sliding_cmvn(jnp.asarray(f)[None], None,
+                                     window=60, min_window=25)[0]
+        sc = streaming.StreamingSlidingCMVN(4, 1, window=60,
+                                            min_window=25)
+        outs, pos = [], 0
+        for c in chunks:
+            c = min(c, T - pos)
+            if c <= 0:
+                break
+            outs.append(sc.process(jnp.asarray(f[None, pos:pos + c])))
+            pos += c
+        if pos < T:
+            outs.append(sc.process(jnp.asarray(f[None, pos:])))
+        outs.append(sc.flush())
+        got = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+        assert got.shape[0] == T
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5,
+                                   rtol=0)
