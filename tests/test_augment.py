@@ -157,3 +157,76 @@ class TestSpeedPerturb:
         assert y.shape == (1, 100)
         with pytest.raises(ValueError, match="integral"):
             speed_perturb(x, 16000, 1.0001)
+
+
+class TestStreamingEnergyVAD:
+    def _speech_like(self, n=16000, seed=60, loud_first=False):
+        rng = np.random.default_rng(seed)
+        x = 0.001 * rng.standard_normal(n).astype(np.float32)
+        # loud bursts
+        a, b = (0, n // 4) if loud_first else (n // 2, 3 * n // 4)
+        x[a:b] += 0.5 * np.sin(
+            2 * np.pi * 220 * np.arange(b - a) / 16000).astype(np.float32)
+        return x
+
+    def test_chunk_plan_invariance(self):
+        from tpufeat.augment import StreamingEnergyVAD
+        x = self._speech_like()
+        plans = [[16000], [160] * 100, [37, 4000, 1, 11962],
+                 [7000, 9000]]
+        rows = []
+        for plan in plans:
+            v = StreamingEnergyVAD()
+            outs, pos = [], 0
+            for c in plan:
+                outs.append(np.asarray(v.process(x[None, pos:pos + c])))
+                pos += c
+            rows.append(np.concatenate(outs, axis=1))
+        for r in rows[1:]:
+            np.testing.assert_array_equal(r, rows[0])
+
+    def test_matches_offline_when_peak_first(self):
+        from tpufeat.augment import StreamingEnergyVAD, energy_vad
+        x = self._speech_like(loud_first=True)
+        want = np.asarray(energy_vad(x[None], np.asarray([len(x)])))
+        v = StreamingEnergyVAD()
+        got = np.concatenate(
+            [np.asarray(v.process(x[None, i:i + 3200]))
+             for i in range(0, len(x), 3200)], axis=1)
+        F = got.shape[1]
+        assert F > 0
+        np.testing.assert_array_equal(got, want[:, :F])
+
+    def test_only_more_permissive_early(self):
+        """Online decisions can only ADD speech frames vs offline (the
+        running peak is <= the global peak)."""
+        from tpufeat.augment import StreamingEnergyVAD, energy_vad
+        x = self._speech_like(loud_first=False)
+        want = np.asarray(energy_vad(x[None], np.asarray([len(x)])))
+        v = StreamingEnergyVAD()
+        got = np.concatenate(
+            [np.asarray(v.process(x[None, i:i + 1600]))
+             for i in range(0, len(x), 1600)], axis=1)
+        F = got.shape[1]
+        assert (want[:, :F] & ~got).sum() == 0    # offline-speech ⊆ online
+        # and from the global peak frame on, they agree exactly
+        frame_e = np.asarray(
+            [(x[t * 160: t * 160 + 400] ** 2).sum() for t in range(F)])
+        peak_t = int(np.argmax(frame_e))
+        np.testing.assert_array_equal(got[:, peak_t:F],
+                                      want[:, peak_t:F])
+
+    def test_state_roundtrip(self, tmp_path):
+        from tpufeat import streaming
+        from tpufeat.augment import StreamingEnergyVAD
+        x = self._speech_like(seed=61)
+        v1 = StreamingEnergyVAD()
+        out1 = np.asarray(v1.process(x[None, :7000]))
+        p = str(tmp_path / "vad.npz")
+        streaming.save_state(p, v1.state())
+        v2 = StreamingEnergyVAD()
+        v2.set_state(streaming.load_state(p, v2.state()))
+        a = np.asarray(v1.process(x[None, 7000:]))
+        b = np.asarray(v2.process(x[None, 7000:]))
+        np.testing.assert_array_equal(a, b)
+        assert out1.shape[1] + a.shape[1] == 1 + (16000 - 400) // 160

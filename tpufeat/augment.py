@@ -20,7 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["spec_augment", "energy_vad", "add_noise", "speed_perturb"]
+__all__ = ["spec_augment", "energy_vad", "add_noise", "speed_perturb",
+           "StreamingEnergyVAD"]
 
 
 @functools.partial(
@@ -135,6 +136,86 @@ def add_noise(signal: jnp.ndarray, noise: jnp.ndarray,
     scale = jnp.sqrt(want / jnp.maximum(p_noi, 1e-20))
     scale = jnp.where(p_noi > 0, scale, 0.0)
     return x + scale[:, None] * v * m
+
+
+class StreamingEnergyVAD:
+    """Causal sibling of :func:`energy_vad`: per-frame speech decisions
+    from a live stream, gating each frame against the RUNNING peak frame
+    energy (the utterance peak is unknowable online).
+
+    Properties (tested):
+      - chunk-plan invariant: any chunking of the same audio yields the
+        same decisions (the running cummax is causal and deterministic);
+      - matches offline :func:`energy_vad` from the global-peak frame
+        onward — and for the whole utterance when the loudest frame
+        comes first. Early frames are judged against the early peak, so
+        they can only be MORE permissive than offline (peak only grows);
+        the classic online-VAD asymmetry, same shape as running CMVN's
+        (docs/STREAMING.md).
+
+    State: a (frame_length - hop)-sample carry + the running peak, all
+    device-resident; host-tracked fill like the other wrappers."""
+
+    def __init__(self, batch_size: int = 1, frame_length: int = 400,
+                 hop_length: int = 160, threshold_db: float = -40.0):
+        if hop_length > frame_length:
+            raise ValueError("hop > frame_length leaves gaps")
+        self.frame_length, self.hop_length = frame_length, hop_length
+        self.threshold_db = float(threshold_db)
+        self._cap = frame_length - 1
+        self.buf = jnp.zeros((batch_size, self._cap), jnp.float32)
+        self.peak_db = jnp.full((batch_size,), -jnp.inf, jnp.float32)
+        self._fill = 0
+
+    def process(self, chunk) -> jnp.ndarray:
+        """[B, C] (or [C]) raw samples -> [B, n_new] bool speech flags."""
+        chunk = jnp.asarray(chunk, jnp.float32)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        W, hop = self.frame_length, self.hop_length
+        total = self._fill + chunk.shape[1]
+        n_new = max(0, 1 + (total - W) // hop)
+        fn = _vad_step_jit(chunk.shape[1], W, hop, self._fill, n_new,
+                           self.threshold_db)
+        self.buf, self.peak_db, out = fn(self.buf, self.peak_db, chunk)
+        self._fill = total - n_new * hop
+        return out
+
+    def state(self) -> dict:
+        return {"buf": self.buf, "peak_db": self.peak_db,
+                "fill": self._fill}
+
+    def set_state(self, s: dict) -> None:
+        self.buf = jnp.asarray(s["buf"])
+        self.peak_db = jnp.asarray(s["peak_db"])
+        self._fill = int(s["fill"])
+
+
+@functools.lru_cache(maxsize=None)
+def _vad_step_jit(chunk_len: int, W: int, hop: int, fill: int, n_new: int,
+                  threshold_db: float):
+    cap = W - 1
+
+    def impl(buf, peak_db, chunk):
+        B = chunk.shape[0]
+        data = jnp.concatenate([buf[:, cap - fill:], chunk], axis=-1)
+        total = fill + chunk_len
+        leftover = data[:, n_new * hop:]
+        new_buf = jnp.concatenate(
+            [jnp.zeros((B, cap - (total - n_new * hop)), data.dtype),
+             leftover], axis=-1)
+        if n_new == 0:
+            return new_buf, peak_db, jnp.zeros((B, 0), bool)
+        from tpufeat import framing
+        frames = framing.frames_from_buffer(data, n_new, W, hop)
+        e = jnp.sum(frames * frames, axis=-1)
+        e_db = 10.0 * jnp.log10(jnp.maximum(e, 1e-12))
+        run_peak = jax.lax.cummax(
+            jnp.maximum(e_db, peak_db[:, None]), axis=1)
+        out = e_db >= run_peak + threshold_db
+        return new_buf, run_peak[:, -1], out
+
+    return jax.jit(impl)
 
 
 def speed_perturb(signal, sr: int, factor: float) -> "jnp.ndarray":
