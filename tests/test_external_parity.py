@@ -94,3 +94,57 @@ def test_spectrogram_stage_matches_torch_stft():
     assert f >= 96
     rel = np.abs(ref[:f] - spec[:f]) / (np.abs(ref[:f]) + 1e-6)
     assert rel.max() < 1e-3
+
+
+class TestCompatShim:
+    """tpufeat.compat.WhisperFeatureExtractor — the drop-in HF surface —
+    against the real transformers implementation."""
+
+    def test_batch_matches_transformers(self, whisper_fe):
+        from tpufeat.compat import WhisperFeatureExtractor
+        rng = np.random.default_rng(9)
+        utts = [(rng.standard_normal(n) * 0.3).astype(np.float32)
+                for n in (16000 * 30, 16000 * 7 + 731, 913)]
+        ref = whisper_fe(utts, sampling_rate=16000, return_tensors="np",
+                         padding="max_length")
+        fe = WhisperFeatureExtractor()
+        got = fe(utts, sampling_rate=16000)
+        assert got.input_features.shape == ref.input_features.shape \
+            == (3, 80, 3000)
+        np.testing.assert_allclose(got.input_features,
+                                   ref.input_features, atol=5e-5)
+        assert isinstance(got["input_features"], np.ndarray)
+
+    def test_truncation_and_mask(self, whisper_fe):
+        from tpufeat.compat import WhisperFeatureExtractor
+        rng = np.random.default_rng(10)
+        long = (rng.standard_normal(16000 * 35) * 0.3).astype(np.float32)
+        ref = whisper_fe([long], sampling_rate=16000, return_tensors="np",
+                         padding="max_length")
+        fe = WhisperFeatureExtractor()
+        got = fe([long], return_attention_mask=True)
+        np.testing.assert_allclose(got.input_features,
+                                   ref.input_features, atol=5e-5)
+        assert got.attention_mask.shape == (1, 3000)
+        assert got.attention_mask.all()    # truncated-to-full utterance
+
+    def test_unsupported_corners_raise(self):
+        import pytest as _pytest
+        from tpufeat.compat import WhisperFeatureExtractor
+        fe = WhisperFeatureExtractor()
+        x = np.zeros(100, np.float32)
+        with _pytest.raises(ValueError, match="max_length"):
+            fe(x, padding=False)
+        with _pytest.raises(ValueError, match="resample"):
+            fe(x, sampling_rate=8000)
+        with _pytest.raises(TypeError, match="unsupported"):
+            fe(x, return_token_timestamps=True)
+        with _pytest.raises(ValueError, match="truncation"):
+            fe(np.zeros(16000 * 31, np.float32), truncation=False)
+
+    def test_jax_tensors(self):
+        import jax.numpy as jnp
+        from tpufeat.compat import WhisperFeatureExtractor
+        fe = WhisperFeatureExtractor()
+        got = fe(np.zeros(16000, np.float32), return_tensors="jax")
+        assert isinstance(got.input_features, jnp.ndarray)

@@ -1,0 +1,136 @@
+"""Drop-in compatibility shims for existing toolchains.
+
+``tpufeat.compat.WhisperFeatureExtractor`` mirrors the call surface of
+``transformers.WhisperFeatureExtractor`` (the de-facto implementation of
+BASELINE.json:configs[1]'s Whisper-style log-mel) so an HF pipeline can
+switch front-ends by changing one import:
+
+    from tpufeat.compat import WhisperFeatureExtractor
+    fe = WhisperFeatureExtractor()                     # same defaults
+    batch = fe([wav1, wav2], sampling_rate=16000)
+    batch["input_features"]                            # [B, 80, 3000]
+
+Parity vs the transformers implementation is asserted at 5e-5 in
+tests/test_external_parity.py (both compute in float32). The compute
+runs through :func:`tpufeat.extract` — batched, jitted, fused Pallas
+kernels on TPU — instead of per-utterance NumPy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+__all__ = ["WhisperFeatureExtractor"]
+
+
+class WhisperFeatureExtractor:
+    """API-compatible subset of ``transformers.WhisperFeatureExtractor``.
+
+    Supported surface: the constructor geometry arguments, ``__call__``
+    with list/array input, ``padding="max_length"`` (Whisper's only
+    deployed mode: zero-pad/truncate every utterance to ``chunk_length``
+    seconds, normalization max over ALL frames including padding),
+    ``return_tensors`` in {"np", "jax"}, and ``return_attention_mask``
+    (frame-level validity). Unsupported HF corners (``padding=False``,
+    ``return_token_timestamps``) raise rather than silently diverge.
+    """
+
+    def __init__(self, feature_size: int = 80, sampling_rate: int = 16000,
+                 hop_length: int = 160, chunk_length: int = 30,
+                 n_fft: int = 400, padding_value: float = 0.0):
+        from tpufeat.config import WHISPER80
+        import jax
+        self.feature_size = feature_size
+        self.sampling_rate = sampling_rate
+        self.hop_length = hop_length
+        self.chunk_length = chunk_length
+        self.n_fft = n_fft
+        self.padding_value = padding_value
+        self.n_samples = chunk_length * sampling_rate
+        self.nb_max_frames = self.n_samples // hop_length
+        on_tpu = jax.default_backend() == "tpu"
+        self.config = dataclasses.replace(
+            WHISPER80, sample_rate=sampling_rate, n_mels=feature_size,
+            frame_length=n_fft, n_fft=n_fft, hop_length=hop_length,
+            use_pallas=on_tpu, gemm_dft=on_tpu, fused_framing=on_tpu,
+            matmul_precision="bf16x3" if on_tpu else "highest")
+
+    def __call__(self, raw_speech, sampling_rate: int | None = None,
+                 return_tensors: str = "np", padding: str = "max_length",
+                 max_length: int | None = None, truncation: bool = True,
+                 return_attention_mask: bool = False, **kwargs):
+        if kwargs:
+            raise TypeError(f"unsupported arguments: {sorted(kwargs)}")
+        if padding != "max_length":
+            raise ValueError(
+                "only padding='max_length' (Whisper's deployed mode) is "
+                f"supported, got {padding!r}")
+        if sampling_rate is not None and sampling_rate != self.sampling_rate:
+            raise ValueError(
+                f"input sampling_rate {sampling_rate} != extractor's "
+                f"{self.sampling_rate}; resample first "
+                "(tpufeat.resample)")
+        n = self.n_samples if max_length is None else max_length
+        utts = self._as_list(raw_speech)
+        true_lens = []
+        batch = np.zeros((len(utts), n), np.float32)
+        if self.padding_value != 0.0:
+            batch += np.float32(self.padding_value)
+        for i, u in enumerate(utts):
+            u = np.asarray(u, np.float32).reshape(-1)
+            if len(u) > n:
+                if not truncation:
+                    raise ValueError(
+                        f"utterance {i} is {len(u)} samples > max "
+                        f"{n} and truncation=False")
+                u = u[:n]
+            batch[i, : len(u)] = u
+            true_lens.append(len(u))
+
+        from tpufeat import features
+        # transformers semantics: the zero padding is REAL audio (the
+        # normalization max runs over all frames), so lengths = full n
+        import jax.numpy as jnp
+        res = features.extract(
+            batch, np.full((len(utts),), n, np.int32), self.config)
+        feats = jnp.swapaxes(res.features, -1, -2)     # [B, mel, T]
+
+        out = {"input_features": feats}
+        if return_attention_mask:
+            t = np.arange(feats.shape[-1])[None, :]
+            nf = np.asarray([self.config.num_frames(l) for l in true_lens],
+                            np.int64)
+            out["attention_mask"] = (t < nf[:, None]).astype(np.int32)
+        if return_tensors == "np":
+            out = {k: np.asarray(v) for k, v in out.items()}
+        elif return_tensors != "jax":
+            raise ValueError(
+                f"return_tensors={return_tensors!r} not supported "
+                "(use 'np' or 'jax')")
+        return _BatchFeature(out)
+
+    @staticmethod
+    def _as_list(raw_speech) -> Sequence[np.ndarray]:
+        if isinstance(raw_speech, (list, tuple)):
+            return [np.asarray(u) for u in raw_speech]
+        arr = np.asarray(raw_speech)
+        if arr.ndim == 1:
+            return [arr]
+        if arr.ndim == 2:
+            return list(arr)
+        raise ValueError(f"raw_speech must be 1-D, 2-D, or a list; got "
+                         f"shape {arr.shape}")
+
+
+class _BatchFeature(dict):
+    """Minimal stand-in for transformers.BatchFeature: a dict whose keys
+    are also attributes (``batch.input_features``)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
