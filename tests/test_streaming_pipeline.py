@@ -245,3 +245,28 @@ class TestStreamingPipelinePitch:
         assert pipe.out_dim == 42
         out = _run(pipe, x, [4000, 4000])
         assert out.shape[-1] == 42 and np.isfinite(out).all()
+
+
+class TestSlidingCmvnPitchComposition:
+    def test_sliding_cmvn_with_pitch(self):
+        """cmvn='sliding' + pitch=True compose: spectral columns match the
+        offline sliding-CMVN extract truncated to the pitch grid (CMVN
+        covers spectral columns only, like the offline CLI), pitch
+        columns match the pitch-only composition."""
+        from tpufeat import pitch as pm
+        cfg = dataclasses.replace(KALDI39, cmvn="sliding",
+                                  cmvn_window=60, cmvn_min_window=20)
+        b, n = 2, 24000
+        x = _voiced(b, n, 99)
+        pcfg = pm.config_for(cfg, ballast=0.0)
+        Fp = pcfg.num_frames(n)
+        pipe = streaming.StreamingPipeline(cfg, batch_size=b, pitch=pcfg,
+                                           pitch_lookahead=Fp + 4)
+        got = _run(pipe, x, [4800] * 5)
+        main = np.asarray(features.extract(x, cfg=cfg).features)
+        pf, _ = pm.pitch_features(x, cfg=pcfg)
+        assert got.shape == (b, Fp, 42)
+        np.testing.assert_allclose(got[..., :39], main[:, :Fp],
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(got[..., 39:], np.asarray(pf)[:, :Fp],
+                                   rtol=0, atol=2e-5)
