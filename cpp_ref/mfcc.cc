@@ -505,6 +505,52 @@ long tpufeat_read_wav(const char* path, float* out, long cap, int* rate) {
   return n_out;
 }
 
+// Sliding-window CMVN (Kaldi apply-cmvn-sliding window clamping; the
+// C16 online-normalization sibling). Third independent implementation
+// next to tpufeat/reference/cpu.py::sliding_cmvn and the JAX op —
+// direct per-frame double loops, no cumsum. feat/out: [n_frames x dim]
+// row-major.
+void tpufeat_sliding_cmvn_f64(const double* feat, long n_frames, int dim,
+                              int window, int min_window, int center,
+                              int norm_vars, double* out) {
+  for (long t = 0; t < n_frames; ++t) {
+    long ws, we;
+    if (center) {
+      ws = t - window / 2;
+      we = ws + window;
+    } else {
+      ws = t - window;
+      we = t + 1;
+    }
+    if (ws < 0) {
+      we -= ws;
+      ws = 0;
+    }
+    if (!center && we > t + 1) we = std::max(t + 1, (long)min_window);
+    if (we > n_frames) {
+      ws = std::max(ws - (we - n_frames), 0L);
+      we = n_frames;
+    }
+    const long cnt = std::max(we - ws, 1L);
+    for (int d = 0; d < dim; ++d) {
+      double s = 0.0, s2 = 0.0;
+      for (long u = ws; u < we; ++u) {
+        const double v = feat[u * dim + d];
+        s += v;
+        s2 += v * v;
+      }
+      const double mean = s / cnt;
+      double o = feat[t * dim + d] - mean;
+      if (norm_vars) {
+        double var = s2 / cnt - mean * mean;
+        if (var < 1e-10) var = 1e-10;
+        o /= std::sqrt(var);
+      }
+      out[t * dim + d] = o;
+    }
+  }
+}
+
 }  // extern "C"
 
 // ---- multithreaded batch WAV loader (native data-loading path) ----

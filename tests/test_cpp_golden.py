@@ -186,3 +186,29 @@ class TestNativeWav:
             f.write(b"not a wav file at all")
         with pytest.raises(ValueError):
             cpp_golden.read_wav_native(path)
+
+
+class TestSlidingCmvnThreeWay:
+    @pytest.mark.parametrize("center,norm_vars", [
+        (False, False), (False, True), (True, False), (True, True)])
+    @pytest.mark.parametrize("T", [5, 80, 400])
+    def test_three_way(self, T, center, norm_vars):
+        """NumPy f64 golden == C++ double to 1e-12; JAX f32 within 2e-5
+        (or 5e-4 variance-normalized at small T; see the one-pass
+        cancellation note in test_properties.py)."""
+        if not cpp_golden.available():
+            pytest.skip("C++ golden not built")
+        rng = np.random.default_rng(T)
+        f = (rng.standard_normal((T, 7)) * 2 + 1).astype(np.float64)
+        a = cpu.sliding_cmvn(f, window=50, min_window=15, center=center,
+                             norm_vars=norm_vars)
+        b = cpp_golden.sliding_cmvn_native(
+            f, window=50, min_window=15, center=center,
+            norm_vars=norm_vars)
+        np.testing.assert_allclose(a, b, atol=1e-12, rtol=0)
+        import jax.numpy as jnp
+        from tpufeat import features
+        c = features.sliding_cmvn(
+            jnp.asarray(f, jnp.float32)[None], None, window=50,
+            min_window=15, center=center, norm_vars=norm_vars)[0]
+        np.testing.assert_allclose(np.asarray(c), a, atol=5e-4, rtol=0)

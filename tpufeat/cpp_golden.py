@@ -59,6 +59,11 @@ def _lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+    lib.tpufeat_sliding_cmvn_f64.restype = None
+    lib.tpufeat_sliding_cmvn_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_read_wav.restype = ctypes.c_long
     lib.tpufeat_read_wav.argtypes = [ctypes.c_char_p,
                                      ctypes.POINTER(ctypes.c_float),
@@ -153,6 +158,26 @@ def pitch_native(signal: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray]:
             pov.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         assert got == nf
     return hz, pov
+
+
+def sliding_cmvn_native(feat: np.ndarray, window: int = 600,
+                        min_window: int = 100, center: bool = False,
+                        norm_vars: bool = False) -> np.ndarray:
+    """C++ double sliding-window CMVN — the third independent
+    implementation (three-way parity with reference/cpu.py and the JAX
+    op, tests/test_cpp_golden.py)."""
+    lib = _lib()
+    f = np.ascontiguousarray(feat, dtype=np.float64)
+    if f.ndim != 2:
+        raise ValueError(f"want [T, D], got shape {f.shape}")
+    out = np.zeros_like(f)
+    if f.shape[0]:
+        lib.tpufeat_sliding_cmvn_f64(
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            f.shape[0], f.shape[1], window, min_window, int(center),
+            int(norm_vars),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
 
 
 def read_wav_native(path: str) -> tuple[np.ndarray, int]:
