@@ -80,15 +80,79 @@ class TestHTK:
         with pytest.raises(ValueError, match="truncated"):
             feats_io.read_htk(str(bad))
 
-    def test_rejects_compressed(self, tmp_path):
-        """_C-compressed files store int16 data — must fail loudly, not
-        decode as garbage float32."""
-        p = tmp_path / "c.htk"
-        kind = feats_io.parm_kind(feats_io.HTK_MFCC, "C")
+    def test_rejects_crc(self, tmp_path):
+        """_K files carry a checksum this reader does not verify — must
+        fail loudly."""
+        p = tmp_path / "k.htk"
+        kind = feats_io.parm_kind(feats_io.HTK_MFCC, "K")
         p.write_bytes(struct.pack(">iihh", 2, 100000, 80, kind)
                       + b"\x00" * 160)
-        with pytest.raises(ValueError, match="compressed"):
+        with pytest.raises(ValueError, match="CRC"):
             feats_io.read_htk(str(p))
+
+    def test_rejects_malformed_compressed(self, tmp_path):
+        p = tmp_path / "c.htk"
+        kind = feats_io.parm_kind(feats_io.HTK_MFCC, "C")
+        # nSamples < 4: no room for the A/B vectors
+        p.write_bytes(struct.pack(">iihh", 2, 100000, 80, kind)
+                      + b"\x00" * 160)
+        with pytest.raises(ValueError, match="nSamples"):
+            feats_io.read_htk(str(p))
+
+
+class TestHTKCompressed:
+    def test_round_trip_quantization_budget(self, tmp_path):
+        """_C round trip: per-column error <= range/65534 (one int16
+        quantization step / 2), header nSamples = T + 4, sampSize = 2D."""
+        rng = np.random.default_rng(70)
+        feats = (rng.standard_normal((57, 13)) * [10.0] * 12 + [100.0]
+                 ).astype(np.float32)
+        p = str(tmp_path / "c.htk")
+        kind = feats_io.parm_kind(feats_io.HTK_MFCC, "0")
+        feats_io.write_htk(p, feats, kind=kind, compress=True)
+        with open(p, "rb") as f:
+            t, period, samp, got_kind = struct.unpack(">iihh", f.read(12))
+        assert t == 57 + 4 and samp == 2 * 13
+        assert got_kind == (kind | feats_io.HTK_QUALIFIERS["C"])
+        back, shift, k2 = feats_io.read_htk(p)
+        assert back.shape == feats.shape and k2 == got_kind
+        budget = (feats.max(0) - feats.min(0)) / 65534 + 1e-7
+        assert (np.abs(back - feats) <= budget[None, :]).all()
+
+    def test_constant_and_empty_columns(self, tmp_path):
+        """Zero-range columns carry the value entirely in B; T=0 files
+        round-trip."""
+        feats = np.zeros((10, 3), np.float32)
+        feats[:, 0] = 42.5
+        feats[:, 2] = np.linspace(-1, 1, 10)
+        p = str(tmp_path / "const.htk")
+        feats_io.write_htk(p, feats, compress=True)
+        back, _, _ = feats_io.read_htk(p)
+        np.testing.assert_allclose(back[:, 0], 42.5, atol=1e-5)
+        np.testing.assert_allclose(back[:, 1], 0.0, atol=1e-7)
+        np.testing.assert_allclose(back[:, 2], feats[:, 2], atol=1e-4)
+        p2 = str(tmp_path / "empty.htk")
+        feats_io.write_htk(p2, np.zeros((0, 5), np.float32), compress=True)
+        back2, _, _ = feats_io.read_htk(p2)
+        assert back2.shape == (0, 5)
+
+    def test_cli_htk_compress(self, tmp_path):
+        from tpufeat import cli, io
+        from conftest import make_signal
+        wav = str(tmp_path / "u.wav")
+        io.write_wav(wav, make_signal(8000, seed=71), 16000)
+        full = str(tmp_path / "full.htk")
+        comp = str(tmp_path / "comp.htk")
+        cli.main([wav, full, "--preset", "mfcc13"])
+        cli.main([wav, comp, "--preset", "mfcc13", "--htk-compress"])
+        a, sa, ka = feats_io.read_htk(full)
+        b, sb, kb = feats_io.read_htk(comp)
+        assert kb == (ka | feats_io.HTK_QUALIFIERS["C"])
+        assert sa == sb and a.shape == b.shape
+        budget = (a.max(0) - a.min(0)) / 65534 + 1e-6
+        assert (np.abs(a - b) <= budget[None, :]).all()
+        import os
+        assert os.path.getsize(comp) < os.path.getsize(full) * 0.6
 
 
 class TestKaldiArk:

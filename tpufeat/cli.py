@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resample inputs whose rate differs from the "
                         "config's sample_rate (polyphase MXU matmul, "
                         "matches scipy.resample_poly)")
+    p.add_argument("--htk-compress", action="store_true",
+                   help="write .htk outputs in HTKBook _C compressed "
+                        "form (per-column int16 quantization, half the "
+                        "file size)")
     p.add_argument("--pitch", action="store_true",
                    help="append Kaldi-style 3-dim pitch features (POV, "
                         "log-pitch, delta-log-pitch) to every frame; the "
@@ -203,7 +207,8 @@ def main(argv=None) -> int:
             for b in range(len(wavs))]
         for b, p in enumerate(paths):
             feats_io.write_htk(p, reorder(feats[b][mask[b]]),
-                               frame_shift_s=shift, kind=kind)
+                               frame_shift_s=shift, kind=kind,
+                               compress=args.htk_compress)
     elif ext == ".ark":
         from tpufeat import feats_io
         utts = {}

@@ -80,22 +80,47 @@ def from_htk_order(feats: np.ndarray, base_dim: int) -> np.ndarray:
 
 
 def write_htk(path: str, feats: np.ndarray, *, frame_shift_s: float = 0.010,
-              kind: int = HTK_USER) -> None:
+              kind: int = HTK_USER, compress: bool = False) -> None:
     """Write one utterance's [T, D] float features as an HTK file.
 
     ``kind`` defaults to USER; pass e.g. ``parm_kind(HTK_MFCC, "0")`` for
     MFCCs whose first column is c0 (this package's DCT convention), or
     ``parm_kind(HTK_MFCC, "0", "D", "A")`` for the 39-dim KALDI39 layout.
-    """
+
+    ``compress=True`` writes the HTKBook §5.10 ``_C`` format: per-column
+    affine int16 quantization ``short = A*x - B`` with the A and B vectors
+    stored as float32 in the space of the first four "samples" (hence the
+    header's ``nSamples = T + 4`` convention), halving file size at
+    ~range/65534 per-column quantization error."""
     feats = np.ascontiguousarray(feats, dtype=np.float32)
     if feats.ndim != 2:
         raise ValueError(f"expected [T, D] features, got {feats.shape}")
     t, d = feats.shape
     period = int(round(frame_shift_s * 1e7))        # 100 ns units
-    header = struct.pack(">iihh", t, period, 4 * d, kind)
+    if not compress:
+        with open(path, "wb") as f:
+            f.write(struct.pack(">iihh", t, period, 4 * d, kind))
+            f.write(feats.astype(">f4").tobytes())
+        return
+    kind |= HTK_QUALIFIERS["C"]
+    x = feats.astype(np.float64)
+    xmax = x.max(axis=0) if t else np.zeros(d)
+    xmin = x.min(axis=0) if t else np.zeros(d)
+    rng = xmax - xmin
+    const = rng <= 0
+    # HTK scaling: A = 2I/range, B = (max+min)*I/range (I = 32767);
+    # constant columns encode as 0 with the value carried entirely in B
+    a = np.where(const, 1.0, 2.0 * 32767.0 / np.where(const, 1.0, rng))
+    b = np.where(const, xmax, (xmax + xmin) * 32767.0
+                 / np.where(const, 1.0, rng))
+    q = np.rint(a * x - b)
+    if t and (np.abs(q) > 32767).any():             # rint at the extremes
+        q = np.clip(q, -32767, 32767)
     with open(path, "wb") as f:
-        f.write(header)
-        f.write(feats.astype(">f4").tobytes())
+        f.write(struct.pack(">iihh", t + 4, period, 2 * d, kind))
+        f.write(a.astype(">f4").tobytes())
+        f.write(b.astype(">f4").tobytes())
+        f.write(q.astype(">i2").tobytes())
 
 
 def read_htk(path: str) -> tuple[np.ndarray, float, int]:
@@ -106,11 +131,30 @@ def read_htk(path: str) -> tuple[np.ndarray, float, int]:
         if len(header) != 12:
             raise ValueError(f"{path}: truncated HTK header")
         t, period, samp_size, kind = struct.unpack(">iihh", header)
-        if kind & (HTK_QUALIFIERS["C"] | HTK_QUALIFIERS["K"]):
+        if kind & HTK_QUALIFIERS["K"]:
             raise ValueError(
-                f"{path}: compressed/CRC HTK files (_C/_K qualifiers, "
-                f"parmKind 0o{kind:o}) are not supported — int16-compressed "
-                "data would silently decode as garbage float32")
+                f"{path}: CRC HTK files (_K qualifier, parmKind "
+                f"0o{kind:o}) are not supported")
+        if kind & HTK_QUALIFIERS["C"]:
+            # HTKBook §5.10 compressed: nSamples includes the 4 pseudo-
+            # samples holding the float32 A/B vectors; data is int16
+            if samp_size <= 0 or samp_size % 2:
+                raise ValueError(f"{path}: bad compressed sampSize "
+                                 f"{samp_size}")
+            d = samp_size // 2
+            t -= 4
+            if t < 0:
+                raise ValueError(f"{path}: compressed header nSamples < 4")
+            a = np.frombuffer(f.read(4 * d), dtype=">f4").astype(np.float64)
+            b = np.frombuffer(f.read(4 * d), dtype=">f4").astype(np.float64)
+            if a.size != d or b.size != d or (a == 0).any():
+                raise ValueError(f"{path}: bad compression vectors")
+            q = np.frombuffer(f.read(t * samp_size), dtype=">i2")
+            if q.size != t * d:
+                raise ValueError(f"{path}: truncated HTK data "
+                                 f"({q.size} of {t * d} values)")
+            out = (q.reshape(t, d).astype(np.float64) + b) / a
+            return out.astype(np.float32), period / 1e7, kind
         if samp_size <= 0 or samp_size % 4:
             raise ValueError(f"{path}: bad sampSize {samp_size} "
                              "(only float32 parameter files supported)")
