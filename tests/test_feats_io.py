@@ -351,3 +351,43 @@ class TestArkKeyHygiene:
         cli.main([w0, w1, w2, ark, "--preset", "mfcc13"])
         got = feats_io.read_kaldi_ark(ark)
         assert len(got) == 3
+
+
+class TestKaldiScp:
+    def test_scp_random_access(self, tmp_path):
+        rng = np.random.default_rng(80)
+        utts = {f"utt{i}": rng.standard_normal((10 + i, 4)).astype(
+            np.float32) for i in range(5)}
+        ark = str(tmp_path / "f.ark")
+        scp = str(tmp_path / "f.scp")
+        feats_io.write_kaldi_ark(ark, utts, scp_path=scp)
+        index = feats_io.read_kaldi_scp(scp)
+        assert list(index) == list(utts)
+        # random access in arbitrary order, no sequential scan
+        for key in ["utt3", "utt0", "utt4"]:
+            path, off = index[key]
+            got = feats_io.read_kaldi_matrix(path, off, key)
+            np.testing.assert_array_equal(got, utts[key])
+
+    def test_scp_malformed_lines(self, tmp_path):
+        p = tmp_path / "bad.scp"
+        p.write_text("utt1 f.ark:12\nutt2 no_offset_here\n")
+        with pytest.raises(ValueError, match="bad.scp:2"):
+            feats_io.read_kaldi_scp(str(p))
+        p.write_text("utt1 f.ark:12\nutt1 f.ark:40\n")
+        with pytest.raises(ValueError, match="duplicate"):
+            feats_io.read_kaldi_scp(str(p))
+
+    def test_scp_path_with_colon_dirs(self, tmp_path):
+        """ark paths may contain ':' (rsplit, not split)."""
+        d = tmp_path / "od:d"
+        d.mkdir()
+        ark = str(d / "f.ark")
+        scp = str(tmp_path / "f.scp")
+        utts = {"u": np.ones((2, 3), np.float32)}
+        feats_io.write_kaldi_ark(ark, utts, scp_path=scp)
+        index = feats_io.read_kaldi_scp(scp)
+        path, off = index["u"]
+        assert path == ark
+        np.testing.assert_array_equal(
+            feats_io.read_kaldi_matrix(path, off), utts["u"])

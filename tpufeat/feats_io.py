@@ -23,6 +23,7 @@ import struct
 import numpy as np
 
 __all__ = ["write_htk", "read_htk", "write_kaldi_ark", "read_kaldi_ark",
+           "read_kaldi_scp", "read_kaldi_matrix",
            "to_htk_order", "from_htk_order",
            "HTK_MFCC", "HTK_FBANK", "HTK_USER", "HTK_PLP",
            "HTK_QUALIFIERS"]
@@ -219,29 +220,69 @@ def read_kaldi_ark(ark_path: str) -> dict[str, np.ndarray]:
                 # silently lose the earlier matrix
                 raise ValueError(f"{ark_path}: duplicate utterance id "
                                  f"{key!r}")
-            marker = f.read(2)
-            if marker != b"\0B":
-                raise ValueError(f"{ark_path}: {key}: only binary archives "
-                                 f"supported (marker {marker!r})")
-            token = f.read(3)
-            if token != b"FM ":
-                raise ValueError(f"{ark_path}: {key}: expected float matrix "
-                                 f"'FM ', got {token!r}")
-            dims = []
-            for _ in range(2):
-                size = f.read(1)
-                if size != b"\x04":
-                    raise ValueError(f"{ark_path}: {key}: bad dim size "
-                                     f"{size!r}")
-                raw = f.read(4)
-                if len(raw) != 4:
-                    raise ValueError(f"{ark_path}: {key}: truncated dim")
-                dims.append(struct.unpack("<i", raw)[0])
-            t, d = dims
-            if t < 0 or d < 0 or t * d > (1 << 31):
-                raise ValueError(f"{ark_path}: {key}: implausible matrix "
-                                 f"dims {t}x{d} (corrupt archive)")
-            data = np.frombuffer(f.read(4 * t * d), dtype="<f4")
-            if data.size != t * d:
-                raise ValueError(f"{ark_path}: {key}: truncated matrix")
-            out[key] = data.reshape(t, d).astype(np.float32)
+            out[key] = _read_matrix_body(f, ark_path, key)
+
+
+def _read_matrix_body(f, ark_path: str, key: str) -> np.ndarray:
+    """One binary float matrix starting at the \\0B marker (the position
+    a .scp offset points at)."""
+    marker = f.read(2)
+    if marker != b"\0B":
+        raise ValueError(f"{ark_path}: {key}: only binary archives "
+                         f"supported (marker {marker!r})")
+    token = f.read(3)
+    if token != b"FM ":
+        raise ValueError(f"{ark_path}: {key}: expected float matrix "
+                         f"'FM ', got {token!r}")
+    dims = []
+    for _ in range(2):
+        size = f.read(1)
+        if size != b"\x04":
+            raise ValueError(f"{ark_path}: {key}: bad dim size "
+                             f"{size!r}")
+        raw = f.read(4)
+        if len(raw) != 4:
+            raise ValueError(f"{ark_path}: {key}: truncated dim")
+        dims.append(struct.unpack("<i", raw)[0])
+    t, d = dims
+    if t < 0 or d < 0 or t * d > (1 << 31):
+        raise ValueError(f"{ark_path}: {key}: implausible matrix "
+                         f"dims {t}x{d} (corrupt archive)")
+    data = np.frombuffer(f.read(4 * t * d), dtype="<f4")
+    if data.size != t * d:
+        raise ValueError(f"{ark_path}: {key}: truncated matrix")
+    return data.reshape(t, d).astype(np.float32)
+
+
+def read_kaldi_scp(scp_path: str) -> dict[str, tuple[str, int]]:
+    """Parse a .scp index -> ordered ``{key: (ark_path, offset)}``.
+
+    Offsets point at each matrix's binary marker, so
+    :func:`read_kaldi_matrix` fetches single utterances without scanning
+    the archive — the random-access half of the Kaldi ark/scp pair."""
+    out: dict[str, tuple[str, int]] = {}
+    with open(scp_path) as f:
+        for ln, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                key, rx = line.split(None, 1)
+                ark, off = rx.rsplit(":", 1)
+                off_i = int(off)
+            except ValueError:
+                raise ValueError(
+                    f"{scp_path}:{ln}: expected '<key> <ark>:<offset>', "
+                    f"got {line!r}") from None
+            if key in out:
+                raise ValueError(f"{scp_path}:{ln}: duplicate key {key!r}")
+            out[key] = (ark, off_i)
+    return out
+
+
+def read_kaldi_matrix(ark_path: str, offset: int,
+                      key: str = "?") -> np.ndarray:
+    """Random-access read of one [T, D] matrix at a .scp offset."""
+    with open(ark_path, "rb") as f:
+        f.seek(offset)
+        return _read_matrix_body(f, ark_path, key)
