@@ -154,3 +154,23 @@ class TestBatchPadding:
         for k in out:
             d_ = np.abs(out[k] - clean[k])
             assert 0 < d_.max() < 0.5            # noise present, small
+
+
+def test_corpus_ark_output(tmp_path):
+    """Corpus driver writing a Kaldi ark + scp: keys are sanitized
+    relpaths, scp offsets random-access correctly."""
+    from conftest import make_signal
+    from tpufeat import feats_io, io, pipeline
+    d = tmp_path / "wavs"
+    d.mkdir()
+    for i in range(3):
+        io.write_wav(str(d / f"utt {i}.wav"),
+                     make_signal(8000 + 500 * i, seed=70 + i), 16000)
+    ark = str(tmp_path / "feats.ark")
+    pipeline.main([str(d), ark, "--batch", "2"])
+    got = feats_io.read_kaldi_ark(ark)
+    assert sorted(got) == [f"utt_{i}" for i in range(3)]
+    index = feats_io.read_kaldi_scp(str(tmp_path / "feats.scp"))
+    for key, (path, off) in index.items():
+        np.testing.assert_array_equal(
+            feats_io.read_kaldi_matrix(path, off, key), got[key])

@@ -556,6 +556,22 @@ class TestAuxOnChip:
         sig = make_signal(32000, seed=340)
         assert golden_err(sig, cfg) < 2e-3
 
+    def test_compat_shim_fused_on_chip(self):
+        """tpufeat.compat.WhisperFeatureExtractor constructed ON TPU
+        engages the fused kernels + bf16x3 — parity vs the plain
+        WHISPER80 highest-precision extract within the bf16x3 budget."""
+        from tpufeat.compat import WhisperFeatureExtractor
+        fe = WhisperFeatureExtractor()
+        assert fe.config.use_pallas and fe.config.fused_framing
+        sig = make_signal(16000 * 3, seed=350)
+        out = fe([sig], sampling_rate=16000, return_attention_mask=True)
+        assert out.input_features.shape == (1, 80, 3000)
+        want = features.extract(
+            np.pad(sig, (0, 16000 * 27)), cfg=WHISPER80).features
+        err = np.abs(out.input_features[0].T - np.asarray(want)).max()
+        assert err < 2e-3, err
+        assert out.attention_mask.sum() == WHISPER80.num_frames(len(sig))
+
     def test_streaming_sliding_cmvn_on_chip(self):
         """StreamingPipeline(cmvn='sliding') == offline extract() on
         hardware (finite trailing windows -> exact online normalization,

@@ -200,7 +200,9 @@ def main(argv=None) -> int:
         prog="tpufeat.pipeline",
         description="extract features for a directory of WAVs")
     p.add_argument("wav_dir")
-    p.add_argument("out_npz")
+    p.add_argument("out_npz",
+                   help="output archive: .npz, or .ark for a Kaldi "
+                        "binary archive + .scp index")
     p.add_argument("--preset", default="mfcc13", choices=sorted(PRESETS))
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--fused", action="store_true",
@@ -249,7 +251,21 @@ def main(argv=None) -> int:
     if cmvn_acc is not None:
         cmvn_acc.save(args.global_cmvn)
     dt = passes[-1]                    # steady-state (or only) pass
-    np.savez(args.out_npz, **out)
+    if args.out_npz.lower().endswith(".ark"):
+        from tpufeat import feats_io
+        utts = {}
+        for rel, feats in out.items():
+            key = "_".join(os.path.splitext(rel)[0].split()) or "utt"
+            if key in utts:                 # duplicate basenames/paths
+                key = f"{key}.{len(utts)}"
+                while key in utts:
+                    key += "_"
+            utts[key] = feats
+        feats_io.write_kaldi_ark(
+            args.out_npz, utts,
+            scp_path=os.path.splitext(args.out_npz)[0] + ".scp")
+    else:
+        np.savez(args.out_npz, **out)
     audio_s = sum(f.shape[0] for f in out.values()) * cfg.hop_length \
         / cfg.sample_rate
     print(json.dumps({"files": len(out), "audio_s": round(audio_s, 1),
