@@ -29,6 +29,20 @@ class TestRoundTripProperties:
         np.testing.assert_array_equal(got, m)      # f32 -> BE f32 is exact
         assert s == pytest.approx(shift) and kind == feats_io.HTK_USER
 
+    @given(m=matrices_())
+    @settings(max_examples=25, deadline=None)
+    def test_htk_compressed_round_trip_any_shape(self, tmp_path_factory, m):
+        """_C quantization across shapes and extreme scales (1e-6..1e6):
+        error bounded by half a quantization step per column."""
+        p = str(tmp_path_factory.mktemp("htkc") / "u.htk")
+        feats_io.write_htk(p, m, compress=True)
+        got, _, kind = feats_io.read_htk(p)
+        assert kind & feats_io.HTK_QUALIFIERS["C"]
+        assert got.shape == m.shape
+        rng_col = m.max(axis=0) - m.min(axis=0)
+        budget = rng_col / 65534 + np.abs(m).max() * 1e-6 + 1e-12
+        assert (np.abs(got - m) <= budget[None, :]).all()
+
     @given(ms=st.lists(matrices_(), min_size=1, max_size=4))
     @settings(max_examples=15, deadline=None)
     def test_ark_round_trip_any_shapes(self, tmp_path_factory, ms):
