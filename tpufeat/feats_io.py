@@ -110,10 +110,15 @@ def write_htk(path: str, feats: np.ndarray, *, frame_shift_s: float = 0.010,
     rng = xmax - xmin
     const = rng <= 0
     # HTK scaling: A = 2I/range, B = (max+min)*I/range (I = 32767);
-    # constant columns encode as 0 with the value carried entirely in B
+    # constant columns encode as 0 with the value carried entirely in B.
+    # Encode with the float32-ROUNDED vectors — the reader can only use
+    # what the file stores, so quantizing against anything else would add
+    # a decode mismatch on top of the int16 step.
     a = np.where(const, 1.0, 2.0 * 32767.0 / np.where(const, 1.0, rng))
     b = np.where(const, xmax, (xmax + xmin) * 32767.0
                  / np.where(const, 1.0, rng))
+    a = a.astype(np.float32).astype(np.float64)
+    b = b.astype(np.float32).astype(np.float64)
     q = np.rint(a * x - b)
     if t and (np.abs(q) > 32767).any():             # rint at the extremes
         q = np.clip(q, -32767, 32767)
