@@ -114,6 +114,15 @@ class TestCompatShim:
         np.testing.assert_allclose(got.input_features,
                                    ref.input_features, atol=5e-5)
         assert isinstance(got["input_features"], np.ndarray)
+        # frame-mask parity on NON-hop-aligned lengths: transformers
+        # strides a sample mask by hop => ceil(len/hop) ones (a review
+        # caught this off-by-one vs the package's drop-last convention)
+        ref_m = whisper_fe(utts, sampling_rate=16000, return_tensors="np",
+                           padding="max_length",
+                           return_attention_mask=True).attention_mask
+        got_m = fe(utts, sampling_rate=16000,
+                   return_attention_mask=True).attention_mask
+        np.testing.assert_array_equal(got_m, ref_m)
 
     def test_truncation_and_mask(self, whisper_fe):
         from tpufeat.compat import WhisperFeatureExtractor

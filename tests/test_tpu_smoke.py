@@ -556,6 +556,37 @@ class TestAuxOnChip:
         sig = make_signal(32000, seed=340)
         assert golden_err(sig, cfg) < 2e-3
 
+    def test_add_noise_snr_on_chip(self):
+        """Target-SNR mixing on hardware: the achieved SNR over valid
+        samples is the oracle by definition (f32 accumulation on chip
+        must hold it to ~1e-3 dB), padding untouched."""
+        from tpufeat.augment import add_noise
+        rng = np.random.default_rng(360)
+        x = rng.standard_normal((4, 32000)).astype(np.float32)
+        v = rng.standard_normal((4, 32000)).astype(np.float32)
+        lens = np.asarray([32000, 24000, 16000, 32000])
+        y = np.asarray(add_noise(x, v, lens, 12.0))
+        d = y - x
+        m = np.arange(32000) < lens[:, None]
+        snr = 10 * np.log10((x * x * m).sum(1) / (d * d * m).sum(1))
+        np.testing.assert_allclose(snr, 12.0, atol=1e-2)
+        assert (d[1, 24000:] == 0).all()
+
+    def test_streaming_vad_on_chip(self):
+        """Online VAD on hardware: chunked decisions == one-chunk
+        decisions (cummax determinism holds on the TPU relay)."""
+        from tpufeat.augment import StreamingEnergyVAD
+        x = 0.001 * np.random.default_rng(361).standard_normal(
+            16000).astype(np.float32)
+        x[:4000] += 0.5
+        one = StreamingEnergyVAD()
+        ref = np.asarray(one.process(x[None]))
+        many = StreamingEnergyVAD()
+        got = np.concatenate([np.asarray(many.process(x[None, i:i + 1600]))
+                              for i in range(0, 16000, 1600)], axis=1)
+        np.testing.assert_array_equal(got, ref)
+        assert ref[:, :20].all() and not ref[:, 30:].any()
+
     def test_compat_shim_fused_on_chip(self):
         """tpufeat.compat.WhisperFeatureExtractor constructed ON TPU
         engages the fused kernels + bf16x3 — parity vs the plain

@@ -211,19 +211,8 @@ def main(argv=None) -> int:
                                compress=args.htk_compress)
     elif ext == ".ark":
         from tpufeat import feats_io
-        utts = {}
-        for b, w in enumerate(wavs):
-            # whitespace-free, collision-safe keys (duplicate basenames
-            # across directories must not silently drop utterances)
-            key = "_".join(os.path.splitext(os.path.basename(w))[0].split())
-            key = key or f"utt{b}"
-            if key in utts:
-                # inputs like a.wav, a.1.wav + a second a.wav can make the
-                # first-choice suffix collide too — keep extending until free
-                key = f"{key}.{b}"
-                while key in utts:
-                    key += "_"
-            utts[key] = feats[b][mask[b]]
+        keys = feats_io.ark_keys([os.path.basename(w) for w in wavs])
+        utts = {k: feats[b][mask[b]] for b, k in enumerate(keys)}
         feats_io.write_kaldi_ark(out_path, utts,
                                  scp_path=os.path.splitext(out_path)[0]
                                  + ".scp")

@@ -101,12 +101,20 @@ class WhisperFeatureExtractor:
         out = {"input_features": feats}
         if return_attention_mask:
             t = np.arange(feats.shape[-1])[None, :]
-            nf = np.asarray([self.config.num_frames(l) for l in true_lens],
-                            np.int64)
+            # transformers builds a sample-level mask and strides it by
+            # hop, i.e. ceil(len/hop) frames — NOT this package's
+            # drop-last num_frames convention (verified off-by-one for
+            # non-hop-aligned lengths in test_external_parity.py)
+            nf = np.minimum(
+                -(-np.asarray(true_lens, np.int64) // self.hop_length),
+                feats.shape[-1])
             out["attention_mask"] = (t < nf[:, None]).astype(np.int32)
         if return_tensors == "np":
             out = {k: np.asarray(v) for k, v in out.items()}
-        elif return_tensors != "jax":
+        elif return_tensors == "jax":
+            import jax.numpy as jnp
+            out = {k: jnp.asarray(v) for k, v in out.items()}
+        else:
             raise ValueError(
                 f"return_tensors={return_tensors!r} not supported "
                 "(use 'np' or 'jax')")

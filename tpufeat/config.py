@@ -157,6 +157,14 @@ class FeatureConfig:
                     "sliding CMVN needs cmvn_window >= 1 and "
                     f"cmvn_min_window >= 1 (got {self.cmvn_window}, "
                     f"{self.cmvn_min_window})")
+            if self.cmvn_min_window > self.cmvn_window:
+                # Kaldi asserts this too; beyond-window borrow would also
+                # break the streaming twin's exactness (its first-batch
+                # emission assumes the borrow never reaches past the
+                # window, streaming.StreamingSlidingCMVN)
+                raise ValueError(
+                    f"cmvn_min_window {self.cmvn_min_window} > "
+                    f"cmvn_window {self.cmvn_window}")
         if self.spectrum not in ("power", "magnitude"):
             raise ValueError(f"unknown spectrum {self.spectrum!r}")
         if self.out_dtype not in ("float32", "bfloat16"):

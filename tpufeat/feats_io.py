@@ -18,15 +18,38 @@ testable against themselves (no HTK/Kaldi binaries exist in this sandbox).
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
 
 __all__ = ["write_htk", "read_htk", "write_kaldi_ark", "read_kaldi_ark",
-           "read_kaldi_scp", "read_kaldi_matrix",
+           "read_kaldi_scp", "read_kaldi_matrix", "ark_keys",
            "to_htk_order", "from_htk_order",
            "HTK_MFCC", "HTK_FBANK", "HTK_USER", "HTK_PLP",
            "HTK_QUALIFIERS"]
+
+
+def ark_keys(names) -> list[str]:
+    """Collision-safe Kaldi utterance keys for a sequence of file names
+    (basenames or relpaths), order-preserving — the ONE sanitization
+    shared by the CLI and corpus-driver ark writers: extension stripped,
+    whitespace collapsed to '_', empty names fall back to ``utt<i>``,
+    and duplicates (same basename in different directories, or inputs
+    like ``a.wav`` + ``a.1.wav`` + another ``a.wav``) get a suffix
+    extended until free — a silent key collision would drop an
+    utterance."""
+    taken: set[str] = set()
+    out = []
+    for i, name in enumerate(names):
+        key = "_".join(os.path.splitext(name)[0].split()) or f"utt{i}"
+        if key in taken:
+            key = f"{key}.{i}"
+            while key in taken:
+                key += "_"
+        taken.add(key)
+        out.append(key)
+    return out
 
 # HTKBook table of base parameter kinds and qualifier bits.
 HTK_MFCC = 6

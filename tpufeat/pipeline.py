@@ -253,14 +253,8 @@ def main(argv=None) -> int:
     dt = passes[-1]                    # steady-state (or only) pass
     if args.out_npz.lower().endswith(".ark"):
         from tpufeat import feats_io
-        utts = {}
-        for rel, feats in out.items():
-            key = "_".join(os.path.splitext(rel)[0].split()) or "utt"
-            if key in utts:                 # duplicate basenames/paths
-                key = f"{key}.{len(utts)}"
-                while key in utts:
-                    key += "_"
-            utts[key] = feats
+        keys = feats_io.ark_keys(list(out))
+        utts = dict(zip(keys, out.values()))
         feats_io.write_kaldi_ark(
             args.out_npz, utts,
             scp_path=os.path.splitext(args.out_npz)[0] + ".scp")

@@ -639,6 +639,12 @@ class StreamingSlidingCMVN:
                  min_window: int = 100, norm_vars: bool = False):
         if window < 1 or min_window < 1:
             raise ValueError("window and min_window must be >= 1")
+        if min_window > window:
+            # the offline operator borrows future context only for frames
+            # t < window; the first-emission batch here applies the
+            # min_window end to every frame, so beyond-window borrows
+            # would silently diverge (Kaldi asserts the same invariant)
+            raise ValueError(f"min_window {min_window} > window {window}")
         self.dim, self.window = dim, window
         self.min_window, self.norm_vars = min_window, norm_vars
         self.carry = jnp.zeros((batch_size, window, dim), jnp.float32)
