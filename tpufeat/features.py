@@ -128,14 +128,22 @@ def sliding_cmvn(feat: jnp.ndarray, num_frames: jnp.ndarray = None, *,
     ``[t - window, t + 1)`` with the first frames borrowing future
     context up to ``min_window`` frames.
 
-    TPU formulation: one cumulative sum over the frame axis, window sums
-    as two ``take_along_axis`` rows per frame — O(B*T*D) and gather-light
-    (frame-rate data, ~1000x smaller than the sample-rate signal path
-    where gathers are banned; see framing.py). Features are pre-centered
-    by the per-utterance masked mean so the cumsum stays small — the
-    sliding mean of (x - g) is (sliding mean of x) - g, so the result is
-    mathematically identical and the f32 cumsum over minutes of audio
-    keeps ~1e-6 precision vs the f64 golden (tested).
+    TPU formulation: one cumulative sum over the frame axis. The CAUSAL
+    window ends are pure shifts of the frame index (plus one static
+    ``min_window`` pick), so its window sums are static slices — no
+    gathers at all; measured on chip the earlier take_along_axis
+    formulation cost +16 ms at B=128x30 s (2.1x the whole pipeline,
+    BASELINE.md) while slices are noise. End-of-utterance clamps are
+    free for the SUMS because features are masked to zero beyond
+    ``num_frames`` (the cumsum is constant there) — only the COUNT needs
+    the clamp arithmetic, which is elementwise iota math. The CENTERED
+    variant keeps two ``take_along_axis`` rows per frame (its tail clamp
+    shifts window STARTS per-utterance); it is the offline
+    post-processing flavor, not the deployed in-jit path. Features are
+    pre-centered by the per-utterance masked mean so the cumsum stays
+    small — the sliding mean of (x - g) is (sliding mean of x) - g, so
+    the result is mathematically identical and the f32 cumsum over
+    minutes of audio keeps ~1e-6 precision vs the f64 golden (tested).
 
     Padded rows get the last valid window's statistics (harmless — they
     stay masked downstream), never contribute to any window."""
@@ -163,11 +171,39 @@ def sliding_cmvn(feat: jnp.ndarray, num_frames: jnp.ndarray = None, *,
          / jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0))
     x = (feat - g) * mask
 
-    def windowed_mean(v):
-        cs = jnp.cumsum(
-            jnp.concatenate([jnp.zeros_like(v[:, :1]), v], axis=1), axis=1)
-        return (jnp.take_along_axis(cs, we[..., None], axis=1)
-                - jnp.take_along_axis(cs, ws[..., None], axis=1)) / cnt
+    if center:
+        def windowed_mean(v):
+            cs = jnp.cumsum(
+                jnp.concatenate([jnp.zeros_like(v[:, :1]), v], axis=1),
+                axis=1)
+            return (jnp.take_along_axis(cs, we[..., None], axis=1)
+                    - jnp.take_along_axis(cs, ws[..., None], axis=1)) / cnt
+    else:
+        # gather-free: cs[we_eff] == cs[min(t+1, min_window-borrow)] is a
+        # shift (+ one static min_window pick), cs[ws_eff] == cs[t-window]
+        # is a shift with zero fill; end clamps are free for sums because
+        # x is zero beyond num_frames (cs constant there). The borrow
+        # applies only to frames whose raw window underflows the start
+        # (t < window) — Kaldi's clamp order; with min_window > window
+        # later frames keep their t+1 end even below min_window
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        first = (t_idx < window) & (t_idx + 1 < min_window)       # [T]
+        mw = min(min_window, T)
+
+        def windowed_mean(v):
+            cs = jnp.cumsum(
+                jnp.concatenate([jnp.zeros_like(v[:, :1]), v], axis=1),
+                axis=1)
+            upper = cs[:, 1:]                                 # cs[t+1]
+            if mw > 1:
+                upper = jnp.where(first[None, :, None],
+                                  cs[:, mw:mw + 1], upper)
+            if T > window:
+                lower = jnp.concatenate(
+                    [jnp.zeros_like(cs[:, :window]),
+                     cs[:, : T - window]], axis=1)            # cs[t-w]
+                return (upper - lower) / cnt
+            return upper / cnt
 
     mean = windowed_mean(x)
     out = x - mean

@@ -718,13 +718,28 @@ def _sliding_cmvn_step_jit(n: int, window: int, min_window: int,
         we_rel = jnp.maximum(t_abs + 1, min_window) - (n_prev - w)
         cnt = (we_rel - ws_rel).astype(x.dtype)[None, :, None]
 
+        # gather-free window sums (the take_along_axis formulation cost
+        # 2.1x the whole extract pipeline on chip — BASELINE.md): both
+        # rel indices are shifts of j, except a traced-scalar pick for
+        # the first-emission min_window borrow / short-carry floor —
+        # each ONE dynamic_slice row, not a per-frame gather
+        upper_mask = (t_abs + 1 < min_window)[None, :, None]
+        lower_mask = (j < w - n_prev)[None, :, None]
+
         def winmean(v):
             cs = jnp.cumsum(
                 jnp.concatenate([jnp.zeros_like(v[:, :1]), v], axis=1),
+                axis=1)                                    # [B, w+n+1, D]
+            upper = cs[:, w + 1:]                          # cs[j+w+1]
+            borrow = jax.lax.dynamic_slice_in_dim(
+                cs, jnp.clip(min_window - n_prev + w, 0, w + n), 1,
                 axis=1)
-            take = lambda idx: jnp.take_along_axis(  # noqa: E731
-                cs, idx[None, :, None], axis=1)
-            return (take(we_rel) - take(ws_rel)) / cnt
+            upper = jnp.where(upper_mask, borrow, upper)
+            lower = cs[:, :n]                              # cs[j]
+            floor = jax.lax.dynamic_slice_in_dim(
+                cs, jnp.clip(w - n_prev, 0, w + n), 1, axis=1)
+            lower = jnp.where(lower_mask, floor, lower)
+            return (upper - lower) / cnt
 
         mean = winmean(x)
         out = x[:, w:] - mean
