@@ -1,6 +1,7 @@
 """Batching/bucketing utilities (recompile-storm guard, SURVEY.md §7 #4)."""
 
 import numpy as np
+import pytest
 
 from tpufeat import data
 
@@ -191,3 +192,57 @@ class TestTransforms:
         with pytest.raises(ValueError, match="target_dim"):
             st.accumulate(np.ones((3, 4)), np.ones(3, int)) or \
                 st.estimate(9)
+
+
+class TestCmvnKaldiInterchange:
+    """CmvnStats <-> Kaldi compute-cmvn-stats double-matrix archives."""
+
+    def _stats(self, dim=13, seed=40):
+        from tpufeat.data import CmvnStats
+        rng = np.random.default_rng(seed)
+        st = CmvnStats(dim)
+        st.accumulate(rng.standard_normal((57, dim)) + 3.0)
+        st.accumulate(rng.standard_normal((21, dim)) * 2.0)
+        return st
+
+    def test_to_from_kaldi_exact(self):
+        from tpufeat.data import CmvnStats
+        st = self._stats()
+        mat = st.to_kaldi()
+        assert mat.shape == (2, 14) and mat.dtype == np.float64
+        assert mat[0, -1] == st.count and mat[1, -1] == 0.0
+        back = CmvnStats.from_kaldi(mat)
+        np.testing.assert_array_equal(back.sum, st.sum)
+        np.testing.assert_array_equal(back.sumsq, st.sumsq)
+        assert back.count == st.count
+
+    def test_ark_save_load_dispatch(self, tmp_path):
+        from tpufeat.data import CmvnStats
+        st = self._stats()
+        p = str(tmp_path / "cmvn.ark")
+        st.save(p)
+        back = CmvnStats.load(p)
+        np.testing.assert_array_equal(back.mean, st.mean)
+        np.testing.assert_array_equal(back.var, st.var)
+        # the archive really is Kaldi binary DM (readable generically)
+        from tpufeat import feats_io
+        utts = feats_io.read_kaldi_ark(p)
+        assert list(utts) == ["global"] and utts["global"].shape == (2, 14)
+
+    def test_per_speaker_archive(self, tmp_path):
+        from tpufeat import feats_io
+        from tpufeat.data import CmvnStats
+        spk = {f"spk{i}": self._stats(seed=50 + i) for i in range(3)}
+        p = str(tmp_path / "cmvn.ark")
+        feats_io.write_kaldi_ark(
+            p, {k: s.to_kaldi() for k, s in spk.items()}, dtype="f64")
+        with pytest.raises(ValueError, match="pass key="):
+            CmvnStats.load(p)
+        got = CmvnStats.load(p, key="spk1")
+        np.testing.assert_array_equal(got.mean, spk["spk1"].mean)
+
+    def test_from_kaldi_validates(self):
+        from tpufeat.data import CmvnStats
+        for bad in (np.ones((3, 5)), np.ones((2,)), np.ones((2, 1))):
+            with pytest.raises(ValueError, match="2, D"):
+                CmvnStats.from_kaldi(bad)

@@ -405,3 +405,43 @@ class TestKaldiScp:
         assert path == ark
         np.testing.assert_array_equal(
             feats_io.read_kaldi_matrix(path, off), utts["u"])
+
+
+class TestKaldiDoubleMatrix:
+    """DM archives — what compute-cmvn-stats writes for CMVN stats."""
+
+    def test_round_trip_bit_exact(self, tmp_path):
+        rng = np.random.default_rng(7)
+        utts = {"spk1": rng.standard_normal((2, 14)),
+                "spk2": rng.standard_normal((2, 14)) * 1e9}
+        ark = str(tmp_path / "cmvn.ark")
+        feats_io.write_kaldi_ark(ark, utts, dtype="f64")
+        back = feats_io.read_kaldi_ark(ark)
+        for k in utts:
+            assert back[k].dtype == np.float64
+            np.testing.assert_array_equal(back[k], utts[k])
+
+    def test_binary_format_exact(self, tmp_path):
+        ark = str(tmp_path / "one.ark")
+        m = np.array([[1.5, -2.0]], np.float64)
+        feats_io.write_kaldi_ark(ark, {"u": m}, dtype="f64")
+        raw = open(ark, "rb").read()
+        expect = (b"u \0BDM " + b"\x04" + struct.pack("<i", 1)
+                  + b"\x04" + struct.pack("<i", 2)
+                  + m.astype("<f8").tobytes())
+        assert raw == expect
+
+    def test_scp_random_access_dm(self, tmp_path):
+        ark = str(tmp_path / "c.ark")
+        scp = str(tmp_path / "c.scp")
+        utts = {"a": np.full((2, 3), 0.5), "b": np.full((2, 5), -4.0)}
+        feats_io.write_kaldi_ark(ark, utts, scp_path=scp, dtype="f64")
+        index = feats_io.read_kaldi_scp(scp)
+        got = feats_io.read_kaldi_matrix(*index["b"])
+        assert got.dtype == np.float64
+        np.testing.assert_array_equal(got, utts["b"])
+
+    def test_bad_dtype_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="dtype"):
+            feats_io.write_kaldi_ark(str(tmp_path / "x.ark"),
+                                     {"u": np.ones((1, 1))}, dtype="f16")

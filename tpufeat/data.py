@@ -229,11 +229,48 @@ class CmvnStats:
             out = out / np.sqrt(self.var + 1e-10).astype(np.float32)
         return out
 
-    def save(self, path: str) -> None:
-        np.savez(path, count=self.count, sum=self.sum, sumsq=self.sumsq)
+    def to_kaldi(self) -> np.ndarray:
+        """The [2, D+1] float64 matrix compute-cmvn-stats writes:
+        row 0 = [per-dim sum | frame count], row 1 = [per-dim sum of
+        squares | 0] — the layout apply-cmvn consumes."""
+        top = np.concatenate([self.sum, [self.count]])
+        bot = np.concatenate([self.sumsq, [0.0]])
+        return np.stack([top, bot])
 
     @classmethod
-    def load(cls, path: str) -> "CmvnStats":
+    def from_kaldi(cls, mat: np.ndarray) -> "CmvnStats":
+        mat = np.asarray(mat, np.float64)
+        if mat.ndim != 2 or mat.shape[0] != 2 or mat.shape[1] < 2:
+            raise ValueError(f"CMVN stats must be [2, D+1], got {mat.shape}")
+        st = cls(mat.shape[1] - 1)
+        st.count = float(mat[0, -1])
+        st.sum = mat[0, :-1].copy()
+        st.sumsq = mat[1, :-1].copy()
+        return st
+
+    def save(self, path: str, key: str = "global") -> None:
+        """``.ark`` extension -> Kaldi binary double-matrix stats under
+        ``key`` (compute-cmvn-stats interchange); anything else -> npz."""
+        if path.endswith(".ark"):
+            from tpufeat import feats_io
+            feats_io.write_kaldi_ark(path, {key: self.to_kaldi()},
+                                     dtype="f64")
+        else:
+            np.savez(path, count=self.count, sum=self.sum,
+                     sumsq=self.sumsq)
+
+    @classmethod
+    def load(cls, path: str, key: str | None = None) -> "CmvnStats":
+        if path.endswith(".ark"):
+            from tpufeat import feats_io
+            utts = feats_io.read_kaldi_ark(path)
+            if key is None:
+                if len(utts) != 1:
+                    raise ValueError(
+                        f"{path}: {len(utts)} stats entries "
+                        f"({sorted(utts)[:4]}...) — pass key=")
+                key = next(iter(utts))
+            return cls.from_kaldi(utts[key])
         z = np.load(path)
         st = cls(int(z["sum"].shape[0]))
         st.count = float(z["count"])

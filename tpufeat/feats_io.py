@@ -196,16 +196,25 @@ def read_htk(path: str) -> tuple[np.ndarray, float, int]:
 
 
 def write_kaldi_ark(ark_path: str, utts: dict[str, np.ndarray],
-                    scp_path: str | None = None) -> None:
-    """Write ``{utt_id: [T, D] float32}`` as a Kaldi binary archive, with
-    an optional .scp index ("<key> <ark_path>:<offset>" per line)."""
+                    scp_path: str | None = None, *,
+                    dtype: str = "f32") -> None:
+    """Write ``{utt_id: [T, D]}`` as a Kaldi binary archive, with an
+    optional .scp index ("<key> <ark_path>:<offset>" per line).
+
+    ``dtype="f32"`` writes float matrices (``FM``, what copy-feats
+    produces for features); ``dtype="f64"`` writes double matrices
+    (``DM``, what compute-cmvn-stats produces for CMVN statistics)."""
+    if dtype not in ("f32", "f64"):
+        raise ValueError(f"dtype must be 'f32' or 'f64', got {dtype!r}")
+    np_dt, token = ((np.float32, b"FM ") if dtype == "f32"
+                    else (np.float64, b"DM "))
     # validate everything BEFORE opening (open("wb") truncates an existing
     # archive — a mid-write error must not destroy prior output)
     validated = {}
     for key, feats in utts.items():
         if not key or any(c.isspace() for c in key):
             raise ValueError(f"bad Kaldi utterance key {key!r}")
-        feats = np.ascontiguousarray(feats, dtype=np.float32)
+        feats = np.ascontiguousarray(feats, dtype=np_dt)
         if feats.ndim != 2:
             raise ValueError(f"{key}: expected [T, D], got {feats.shape}")
         validated[key] = feats
@@ -216,18 +225,19 @@ def write_kaldi_ark(ark_path: str, utts: dict[str, np.ndarray],
             f.write(b" ")
             scp_lines.append(f"{key} {ark_path}:{f.tell()}")
             f.write(b"\0B")                          # binary marker
-            f.write(b"FM ")                          # float matrix token
+            f.write(token)                           # FM / DM matrix token
             t, d = feats.shape
             f.write(b"\x04" + struct.pack("<i", t))
             f.write(b"\x04" + struct.pack("<i", d))
-            f.write(feats.astype("<f4").tobytes())
+            f.write(feats.astype(feats.dtype.newbyteorder("<")).tobytes())
     if scp_path:
         with open(scp_path, "w") as f:
             f.write("\n".join(scp_lines) + ("\n" if scp_lines else ""))
 
 
 def read_kaldi_ark(ark_path: str) -> dict[str, np.ndarray]:
-    """Read a binary Kaldi feature archive -> {utt_id: [T, D] f32}."""
+    """Read a binary Kaldi archive -> {utt_id: [T, D]}; ``FM`` matrices
+    come back float32, ``DM`` (e.g. CMVN statistics) float64."""
     out: dict[str, np.ndarray] = {}
     with open(ark_path, "rb") as f:
         while True:
@@ -259,9 +269,10 @@ def _read_matrix_body(f, ark_path: str, key: str) -> np.ndarray:
         raise ValueError(f"{ark_path}: {key}: only binary archives "
                          f"supported (marker {marker!r})")
     token = f.read(3)
-    if token != b"FM ":
-        raise ValueError(f"{ark_path}: {key}: expected float matrix "
-                         f"'FM ', got {token!r}")
+    if token not in (b"FM ", b"DM "):
+        raise ValueError(f"{ark_path}: {key}: expected a float ('FM ') "
+                         f"or double ('DM ') matrix, got {token!r}")
+    wdt = ("<f4", np.float32) if token == b"FM " else ("<f8", np.float64)
     dims = []
     for _ in range(2):
         size = f.read(1)
@@ -276,10 +287,11 @@ def _read_matrix_body(f, ark_path: str, key: str) -> np.ndarray:
     if t < 0 or d < 0 or t * d > (1 << 31):
         raise ValueError(f"{ark_path}: {key}: implausible matrix "
                          f"dims {t}x{d} (corrupt archive)")
-    data = np.frombuffer(f.read(4 * t * d), dtype="<f4")
+    nbytes = np.dtype(wdt[0]).itemsize * t * d
+    data = np.frombuffer(f.read(nbytes), dtype=wdt[0])
     if data.size != t * d:
         raise ValueError(f"{ark_path}: {key}: truncated matrix")
-    return data.reshape(t, d).astype(np.float32)
+    return data.reshape(t, d).astype(wdt[1])
 
 
 def read_kaldi_scp(scp_path: str) -> dict[str, tuple[str, int]]:

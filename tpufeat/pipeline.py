@@ -208,11 +208,14 @@ def main(argv=None) -> int:
     p.add_argument("--fused", action="store_true",
                    help="production TPU kernels (pallas + gemm + fused "
                         "framing + bf16x3)")
-    p.add_argument("--global-cmvn", metavar="STATS_NPZ", default=None,
+    p.add_argument("--global-cmvn", metavar="STATS", default=None,
                    help="accumulate corpus-level CMVN statistics over all "
                         "valid frames and write them (Kaldi "
-                        "compute-cmvn-stats analogue; data.CmvnStats)")
-    p.add_argument("--apply-cmvn", metavar="STATS_NPZ", default=None,
+                        "compute-cmvn-stats analogue; data.CmvnStats). "
+                        "A .ark path writes Kaldi binary double-matrix "
+                        "stats readable by apply-cmvn; anything else "
+                        "writes npz")
+    p.add_argument("--apply-cmvn", metavar="STATS", default=None,
                    help="normalize every utterance against previously "
                         "computed corpus statistics (mean; use "
                         "--norm-vars for variance too)")
