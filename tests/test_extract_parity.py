@@ -184,6 +184,27 @@ class TestConfig3Kaldi39:
         assert_parity(cfg, sigs, atol=2e-3)
 
 
+class TestDeltaOrder:
+    """Kaldi add-deltas --delta-order parity: 1 = Δ only, 3 = +ΔΔΔ."""
+
+    def test_golden_parity_each_order(self):
+        import dataclasses
+        for order in (1, 3):
+            cfg = dataclasses.replace(KALDI39, delta_order=order)
+            assert cfg.feature_dim == 13 * (1 + order)
+            sigs = [make_signal(9000, seed=26), make_signal(6400, seed=27)]
+            assert_parity(cfg, sigs, atol=2e-3, pad_garbage=True)
+
+    def test_order_validated(self):
+        import dataclasses
+        import pytest
+        for bad in (0, 4):
+            with pytest.raises(ValueError, match="delta_order"):
+                dataclasses.replace(KALDI39, delta_order=bad)
+        # irrelevant without deltas
+        dataclasses.replace(MFCC13_HTK, delta_order=7)
+
+
 class TestPerStage:
     """Per-stage parity at <=1e-5 relative (SURVEY.md §4 'Golden parity')."""
 

@@ -316,6 +316,24 @@ class TestHTKColumnOrder:
         assert not np.array_equal(got, ref)        # really reordered
         np.testing.assert_array_equal(feats_io.from_htk_order(got, 13), ref)
 
+    def test_cli_third_differential_qualifier(self, tmp_path):
+        """delta_order=3 stamps _T (HTK third differential) and the
+        52-column block order still round-trips."""
+        from tpufeat import cli, io
+        from conftest import make_signal
+        wav = str(tmp_path / "a.wav")
+        io.write_wav(wav, make_signal(8000, seed=76), 16000)
+        npy = str(tmp_path / "o.npy")
+        htk = str(tmp_path / "o.htk")
+        cli.main([wav, npy, "--preset", "kaldi39", "--set", "delta_order=3"])
+        cli.main([wav, htk, "--preset", "kaldi39", "--set", "delta_order=3"])
+        got, _, kind = feats_io.read_htk(htk)
+        assert kind == feats_io.parm_kind(feats_io.HTK_MFCC,
+                                          "0", "D", "A", "T", "Z")
+        assert got.shape[-1] == 52
+        np.testing.assert_array_equal(feats_io.from_htk_order(got, 13),
+                                      np.load(npy))
+
     def test_cli_fbank_qualifiers(self, tmp_path):
         """FBANK output with CMVN carries _Z (round-3 advisor fix: the
         FBANK branch used to drop all qualifiers) and is NOT reordered

@@ -157,6 +157,46 @@ def _voiced(b, n, seed):
     return (x + 0.01 * rng.standard_normal((b, n))).astype(np.float32)
 
 
+class TestDeltaOrder:
+    """cfg.delta_order chains that many online delta stages."""
+
+    @pytest.mark.parametrize("order", [1, 3])
+    def test_matches_offline(self, order):
+        cfg = dataclasses.replace(KALDI39_NOCMVN, delta_order=order)
+        b = 2
+        x = _sig(b, 19200, 93)
+        pipe = streaming.StreamingPipeline(cfg, batch_size=b)
+        got = _run(pipe, x, [3200] * 6)
+        want = np.asarray(features.extract(x, cfg=cfg).features)
+        assert got.shape == want.shape
+        assert got.shape[-1] == 13 * (1 + order)
+        assert np.abs(got - want).max() < 1e-5
+
+    def test_checkpoint_resume_order3(self, tmp_path):
+        cfg = dataclasses.replace(KALDI39_NOCMVN, delta_order=3)
+        b = 1
+        x = _sig(b, 16000, 94)
+        ref = streaming.StreamingPipeline(cfg, batch_size=b)
+        want = _run(ref, x, [8000, 8000])
+        p1 = streaming.StreamingPipeline(cfg, batch_size=b)
+        first = np.asarray(p1.process(x[:, :8000]))
+        path = str(tmp_path / "p3.npz")
+        streaming.save_state(path, p1.state())
+        p2 = streaming.StreamingPipeline(cfg, batch_size=b)
+        p2.set_state(streaming.load_state(path, p2.state()))
+        got = np.concatenate(
+            [first, np.asarray(p2.process(x[:, 8000:])),
+             np.asarray(p2.flush())], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_state_order_mismatch_rejected(self):
+        cfg3 = dataclasses.replace(KALDI39_NOCMVN, delta_order=3)
+        p1 = streaming.StreamingPipeline(cfg3, batch_size=1)
+        p2 = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=1)
+        with pytest.raises(ValueError, match="delta_order mismatch"):
+            p2.set_state(p1.state())
+
+
 class TestStreamingPipelinePitch:
     """pitch=True on StreamingPipeline — the online sibling of
     `cli --pitch` (42-dim rows on the shared hop grid)."""

@@ -178,11 +178,12 @@ def main(argv=None) -> int:
         # HTK interchange (one utterance per file; batch -> suffixed files)
         from tpufeat import feats_io
         shift = cfg.hop_length / cfg.sample_rate
-        # qualifiers shared by both base kinds: D+A for the delta/
-        # delta-delta block, Z for CMVN
+        # qualifiers shared by both base kinds: D/A/T for the delta
+        # stages (HTKBook third-differential ceiling matches the config's
+        # delta_order cap), Z for CMVN
         quals = []
         if cfg.deltas:
-            quals += ["D", "A"]
+            quals += ["D", "A", "T"][: cfg.delta_order]
         if cfg.cmvn != "none":
             quals += ["Z"]
         if cfg.plp_order > 0:

@@ -98,6 +98,10 @@ class FeatureConfig:
     # --- post (reference C16, config 3) ---
     deltas: bool = False             # append delta + delta-delta
     delta_window: int = 2
+    delta_order: int = 2             # how many delta stages to append
+    #                                  (Kaldi add-deltas --delta-order):
+    #                                  1 = Δ only, 2 = Δ+ΔΔ (default),
+    #                                  3 = +ΔΔΔ (HTK's _T)
     cmvn: str = "none"               # none|mean|meanvar (per-utterance,
     #                                  masked over valid frames) |
     #                                  sliding|sliding-meanvar (windowed —
@@ -165,6 +169,11 @@ class FeatureConfig:
                 raise ValueError(
                     f"cmvn_min_window {self.cmvn_min_window} > "
                     f"cmvn_window {self.cmvn_window}")
+        if self.deltas and not 1 <= self.delta_order <= 3:
+            # 3 is HTK's ceiling (_T, third differential); online latency
+            # also grows as order*2*delta_window lookahead frames
+            raise ValueError(
+                f"delta_order must be 1..3, got {self.delta_order}")
         if self.spectrum not in ("power", "magnitude"):
             raise ValueError(f"unknown spectrum {self.spectrum!r}")
         if self.out_dtype not in ("float32", "bfloat16"):
@@ -219,7 +228,7 @@ class FeatureConfig:
             base = self.plp_order + 1
         else:
             base = self.n_mfcc if self.n_mfcc > 0 else self.n_mels
-        return base * 3 if self.deltas else base
+        return base * (1 + self.delta_order) if self.deltas else base
 
     def num_frames(self, n_samples: int) -> int:
         """Frame count for an utterance of ``n_samples`` (static version)."""

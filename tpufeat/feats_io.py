@@ -59,6 +59,7 @@ HTK_PLP = 11
 HTK_QUALIFIERS = {
     "E": 0o000100, "N": 0o000200, "D": 0o000400, "A": 0o001000,
     "C": 0o002000, "Z": 0o004000, "K": 0o010000, "0": 0o020000,
+    "V": 0o040000, "T": 0o100000,
 }
 
 
@@ -123,7 +124,7 @@ def write_htk(path: str, feats: np.ndarray, *, frame_shift_s: float = 0.010,
     period = int(round(frame_shift_s * 1e7))        # 100 ns units
     if not compress:
         with open(path, "wb") as f:
-            f.write(struct.pack(">iihh", t, period, 4 * d, kind))
+            f.write(struct.pack(">iihH", t, period, 4 * d, kind))
             f.write(feats.astype(">f4").tobytes())
         return
     kind |= HTK_QUALIFIERS["C"]
@@ -146,7 +147,7 @@ def write_htk(path: str, feats: np.ndarray, *, frame_shift_s: float = 0.010,
     if t and (np.abs(q) > 32767).any():             # rint at the extremes
         q = np.clip(q, -32767, 32767)
     with open(path, "wb") as f:
-        f.write(struct.pack(">iihh", t + 4, period, 2 * d, kind))
+        f.write(struct.pack(">iihH", t + 4, period, 2 * d, kind))
         f.write(a.astype(">f4").tobytes())
         f.write(b.astype(">f4").tobytes())
         f.write(q.astype(">i2").tobytes())
@@ -159,7 +160,7 @@ def read_htk(path: str) -> tuple[np.ndarray, float, int]:
         header = f.read(12)
         if len(header) != 12:
             raise ValueError(f"{path}: truncated HTK header")
-        t, period, samp_size, kind = struct.unpack(">iihh", header)
+        t, period, samp_size, kind = struct.unpack(">iihH", header)
         if kind & HTK_QUALIFIERS["K"]:
             raise ValueError(
                 f"{path}: CRC HTK files (_K qualifier, parmKind "

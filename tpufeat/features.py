@@ -347,9 +347,11 @@ def finish_impl(feat: jnp.ndarray, mask: jnp.ndarray, lengths: jnp.ndarray,
     """Second half: deltas + CMVN + output dtype (see features_impl)."""
     nf = framing.num_frames_dynamic(lengths, cfg)
     if cfg.deltas:
-        d1 = deltas(feat, nf, cfg.delta_window)
-        d2 = deltas(d1, nf, cfg.delta_window)
-        feat = jnp.concatenate([feat, d1, d2], axis=-1)
+        outs, d = [feat], feat
+        for _ in range(cfg.delta_order):
+            d = deltas(d, nf, cfg.delta_window)
+            outs.append(d)
+        feat = jnp.concatenate(outs, axis=-1)
     if cfg.cmvn.startswith("sliding"):
         feat = sliding_cmvn(feat, nf, window=cfg.cmvn_window,
                             min_window=cfg.cmvn_min_window,

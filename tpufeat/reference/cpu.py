@@ -389,9 +389,11 @@ def extract(x: np.ndarray, cfg: FeatureConfig,
     else:
         base = logmel(x, cfg, preemph_prev)
     if cfg.deltas:
-        d1 = deltas(base, cfg.delta_window)
-        d2 = deltas(d1, cfg.delta_window)
-        base = np.concatenate([base, d1, d2], axis=-1)
+        outs, d = [base], base
+        for _ in range(cfg.delta_order):
+            d = deltas(d, cfg.delta_window)
+            outs.append(d)
+        base = np.concatenate(outs, axis=-1)
     if cfg.cmvn.startswith("sliding"):
         return sliding_cmvn(base, cfg.cmvn_window, cfg.cmvn_min_window,
                             cfg.cmvn_center,

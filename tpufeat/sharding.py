@@ -411,9 +411,11 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
         feat = spectro_pipeline(staged_frames(), mask, cfg)
 
     if cfg.deltas:
-        d1 = _sharded_deltas(feat, tv, f_loc, cfg.delta_window, axis_name)
-        d2 = _sharded_deltas(d1, tv, f_loc, cfg.delta_window, axis_name)
-        feat = jnp.concatenate([feat, d1, d2], axis=-1)
+        outs, d = [feat], feat
+        for _ in range(cfg.delta_order):
+            d = _sharded_deltas(d, tv, f_loc, cfg.delta_window, axis_name)
+            outs.append(d)
+        feat = jnp.concatenate(outs, axis=-1)
 
     if cfg.cmvn != "none":
         m = mask[..., None].astype(feat.dtype)           # [..., f_loc, 1]

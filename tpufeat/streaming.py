@@ -775,10 +775,10 @@ class StreamingPipeline:
     running CMVN, behind one ``process()/flush()`` pair.
 
     Give it a full 39-dim config (e.g. ``KALDI39``) — the front-end runs
-    the base 13-dim pipeline internally, the two chained
-    :class:`StreamingDeltas` stages add Δ/ΔΔ with the standard
-    ``2*delta_window``-frame lookahead delay, and FIFO alignment emits
-    complete [base | Δ | ΔΔ] rows in stream order. Base columns are
+    the base 13-dim pipeline internally, ``cfg.delta_order`` chained
+    :class:`StreamingDeltas` stages add Δ/ΔΔ/... with the standard
+    ``delta_order*delta_window``-frame lookahead delay, and FIFO
+    alignment emits complete [base | Δ | ΔΔ | ...] rows in stream order. Base columns are
     bit-exact vs :func:`extract_scan` for hop-aligned plans; the chained
     Δ/ΔΔ columns match the offline :func:`tpufeat.features.deltas`
     operator to 1-ulp FMA-contraction noise (~6e-8 — XLA contracts the
@@ -830,8 +830,10 @@ class StreamingPipeline:
         self.frontend = StreamingFrontend(base_cfg, batch_size)
         dim = base_cfg.feature_dim
         w = cfg.delta_window
-        self.d1 = StreamingDeltas(dim, w, batch_size)
-        self.d2 = StreamingDeltas(dim, w, batch_size)
+        # one online-delta stage per cfg.delta_order; stage i's output is
+        # both stage i+1's input and the column block [base|Δ|ΔΔ|...][i+1]
+        self.stages = [StreamingDeltas(dim, w, batch_size)
+                       for _ in range(cfg.delta_order)]
         self.cmvn_stats = self._scmvn = None
         if cfg.cmvn.startswith("sliding"):
             if cfg.cmvn_center:
@@ -846,9 +848,11 @@ class StreamingPipeline:
         # alignment FIFOs stay DEVICE-resident (jnp): a np.asarray here
         # would be a synchronous device->host fetch per chunk (~30 ms
         # through the relay, BASELINE.md readback rows) on the
-        # latency-critical online path, only to re-upload at _emit
-        self._base_fifo = jnp.zeros((batch_size, 0, dim), jnp.float32)
-        self._d1_fifo = jnp.zeros((batch_size, 0, dim), jnp.float32)
+        # latency-critical online path, only to re-upload at _emit.
+        # _fifos[0] holds base rows, _fifos[i] stage-i-1 output rows;
+        # the LAST stage's output is never queued — it drives emission
+        self._fifos = [jnp.zeros((batch_size, 0, dim), jnp.float32)
+                       for _ in range(cfg.delta_order)]
         self._pitch = self._pitch_cfg = None
         self._pitch_lookahead = pitch_lookahead
         if pitch:
@@ -867,13 +871,15 @@ class StreamingPipeline:
         """Emitted row width: cfg.feature_dim (+3 with pitch)."""
         return self.cfg.feature_dim + (3 if self._pitch is not None else 0)
 
-    def _emit(self, d2_rows: jnp.ndarray) -> jnp.ndarray:
-        """Pop n = d2_rows rows off both FIFOs and assemble [base|Δ|ΔΔ]."""
-        n = d2_rows.shape[1]
-        out_b, self._base_fifo = (self._base_fifo[:, :n],
-                                  self._base_fifo[:, n:])
-        out_d, self._d1_fifo = self._d1_fifo[:, :n], self._d1_fifo[:, n:]
-        out = jnp.concatenate([out_b, out_d, d2_rows], axis=-1)
+    def _emit(self, last_rows: jnp.ndarray) -> jnp.ndarray:
+        """Pop n = last_rows rows off every FIFO and assemble the
+        [base | Δ | ΔΔ | ...] row block."""
+        n = last_rows.shape[1]
+        cols = []
+        for i, fifo in enumerate(self._fifos):
+            cols.append(fifo[:, :n])
+            self._fifos[i] = fifo[:, n:]
+        out = jnp.concatenate(cols + [last_rows], axis=-1)
         if self.cmvn_stats is not None and n:
             self.cmvn_stats, out = streaming_cmvn(
                 self.cmvn_stats, out, jnp.ones(out.shape[:2], bool),
@@ -897,31 +903,40 @@ class StreamingPipeline:
 
     def process(self, chunk) -> jnp.ndarray:
         """[B, C] (or [C]) raw samples -> [B, n, out_dim] complete
-        rows (n lags the input by the 2*delta_window-frame lookahead,
+        rows (n lags the input by delta_order*delta_window frames,
         plus the Viterbi lookahead when pitch is enabled)."""
         chunk = jnp.asarray(chunk, jnp.float32)
         if chunk.ndim == 1:
             chunk = chunk[None]
         base, _ = self.frontend.process(chunk)
-        self._base_fifo = jnp.concatenate([self._base_fifo, base], axis=1)
-        d1 = self.d1.process(base)
-        self._d1_fifo = jnp.concatenate([self._d1_fifo, d1], axis=1)
-        out = self._emit(self.d2.process(d1))
+        rows = base
+        self._fifos[0] = jnp.concatenate([self._fifos[0], base], axis=1)
+        for i, stage in enumerate(self.stages):
+            rows = stage.process(rows)
+            if i + 1 < len(self.stages):
+                self._fifos[i + 1] = jnp.concatenate(
+                    [self._fifos[i + 1], rows], axis=1)
+        out = self._emit(rows)
         if self._pitch is None:
             return out
         return self._join(out, self._pitch.process(chunk))
 
     def flush(self) -> jnp.ndarray:
-        """End of stream: drain the delta lookaheads (2*delta_window rows
+        """End of stream: drain the delta lookaheads
+        (delta_order*delta_window rows
         for streams longer than that) with offline edge replication."""
-        d1_tail = self.d1.flush()
-        self._d1_fifo = jnp.concatenate([self._d1_fifo, d1_tail], axis=1)
-        d2_rows = jnp.concatenate(
-            [self.d2.process(d1_tail), self.d2.flush()], axis=1)
-        out = self._emit(d2_rows)
+        pending = None
+        for i, stage in enumerate(self.stages):
+            rows = stage.flush() if pending is None else jnp.concatenate(
+                [stage.process(pending), stage.flush()], axis=1)
+            if i + 1 < len(self.stages):
+                self._fifos[i + 1] = jnp.concatenate(
+                    [self._fifos[i + 1], rows], axis=1)
+            pending = rows
+        out = self._emit(pending)
         if self._scmvn is not None:
             out = jnp.concatenate([out, self._scmvn.flush()], axis=1)
-        assert self._base_fifo.shape[1] == self._d1_fifo.shape[1] == 0, \
+        assert all(f.shape[1] == 0 for f in self._fifos), \
             "FIFO accounting bug: rows left after flush"
         if self._pitch is None:
             return out
@@ -935,7 +950,7 @@ class StreamingPipeline:
         return out
 
     def reset(self) -> None:
-        b = self._base_fifo.shape[0]
+        b = self._fifos[0].shape[0]
         self.__init__(self.cfg, b,
                       pitch=self._pitch_cfg if self._pitch_cfg else False,
                       pitch_lookahead=self._pitch_lookahead)
@@ -945,11 +960,9 @@ class StreamingPipeline:
         feed to :func:`save_state` for checkpoint/resume."""
         s = {
             "frontend": self.frontend.state,
-            "d1": (self.d1.carry, self.d1.n_seen),
-            "d2": (self.d2.carry, self.d2.n_seen),
+            "deltas": [(st.carry, st.n_seen) for st in self.stages],
             "cmvn": self.cmvn_stats,
-            "base_fifo": self._base_fifo,
-            "d1_fifo": self._d1_fifo,
+            "fifos": list(self._fifos),
         }
         if self._scmvn is not None:
             s["scmvn"] = self._scmvn.state()
@@ -961,13 +974,16 @@ class StreamingPipeline:
 
     def set_state(self, s: dict) -> None:
         self.frontend.state = s["frontend"]
-        self.d1.carry, self.d1.n_seen = s["d1"][0], int(s["d1"][1])
-        self.d2.carry, self.d2.n_seen = s["d2"][0], int(s["d2"][1])
+        if len(s["deltas"]) != len(self.stages):
+            raise ValueError(
+                f"checkpoint has {len(s['deltas'])} delta stages, config "
+                f"wants {len(self.stages)} (delta_order mismatch)")
+        for stage, (carry, n_seen) in zip(self.stages, s["deltas"]):
+            stage.carry, stage.n_seen = carry, int(n_seen)
         self.cmvn_stats = s["cmvn"]
         if self._scmvn is not None:
             self._scmvn.set_state(s["scmvn"])
-        self._base_fifo = jnp.asarray(s["base_fifo"])
-        self._d1_fifo = jnp.asarray(s["d1_fifo"])
+        self._fifos = [jnp.asarray(f) for f in s["fifos"]]
         if self._pitch is not None:
             self._pitch.set_state(s["pitch"])
             self._main_fifo = jnp.asarray(s["main_fifo"])
