@@ -156,6 +156,64 @@ class TestBatchPadding:
             assert 0 < d_.max() < 0.5            # noise present, small
 
 
+class TestPerSpeakerCmvn:
+    """--utt2spk: per-speaker compute-cmvn-stats / apply-cmvn."""
+
+    def _corpus(self, tmp_path):
+        d, sigs = _make_corpus(tmp_path, [8000, 9000, 10000, 11000])
+        # sub/u1, sub/u3 -> spkB (stem spelling); u0, u2 -> spkA (relpath)
+        u2s = tmp_path / "utt2spk"
+        u2s.write_text("u0.wav spkA\nu2.wav spkA\n"
+                       "sub/u1 spkB\nsub/u3 spkB\n")
+        return d, sigs, str(u2s)
+
+    def test_roundtrip_whitens_per_speaker(self, tmp_path):
+        import pytest
+        d, _, u2s = self._corpus(tmp_path)
+        stats_p = str(tmp_path / "cmvn.ark")
+        pipeline.main([str(d), str(tmp_path / "o1.npz"), "--batch", "2",
+                       "--global-cmvn", stats_p, "--utt2spk", u2s])
+        pipeline.main([str(d), str(tmp_path / "o2.npz"), "--batch", "2",
+                       "--apply-cmvn", stats_p, "--norm-vars",
+                       "--utt2spk", u2s])
+        from tpufeat import feats_io
+        ark = feats_io.read_kaldi_ark(stats_p)
+        assert sorted(ark) == ["spkA", "spkB"]
+        z = np.load(str(tmp_path / "o2.npz"))
+        for spk, utts in (("spkA", ["u0.wav", "u2.wav"]),
+                          ("spkB", ["sub/u1.wav", "sub/u3.wav"])):
+            f = np.concatenate([z[u] for u in utts])
+            np.testing.assert_allclose(f.mean(0), 0.0, atol=1e-4)
+            np.testing.assert_allclose(f.var(0), 1.0, atol=1e-3)
+        # and the whole corpus is NOT globally whitened (stats differ)
+        assert not np.allclose(ark["spkA"], ark["spkB"])
+
+    def test_missing_mapping_and_bad_paths(self, tmp_path):
+        import pytest
+        d, _, u2s = self._corpus(tmp_path)
+        # npz stats path with utt2spk is rejected up front
+        with pytest.raises(ValueError, match="ark"):
+            pipeline.main([str(d), str(tmp_path / "o.npz"),
+                           "--global-cmvn", str(tmp_path / "c.npz"),
+                           "--utt2spk", u2s])
+        # a corpus file absent from the map is an error
+        io.write_wav(str(d / "stray.wav"), make_signal(8000, seed=9), 16000)
+        with pytest.raises(ValueError, match="stray"):
+            pipeline.main([str(d), str(tmp_path / "o.npz"),
+                           "--global-cmvn", str(tmp_path / "c.ark"),
+                           "--utt2spk", u2s])
+
+    def test_utt2spk_parse_errors(self, tmp_path):
+        import pytest
+        bad = tmp_path / "u2s"
+        bad.write_text("only_one_token\n")
+        with pytest.raises(ValueError, match="expected"):
+            pipeline._read_utt2spk(str(bad))
+        bad.write_text("u a\nu b\n")
+        with pytest.raises(ValueError, match="duplicate"):
+            pipeline._read_utt2spk(str(bad))
+
+
 def test_corpus_ark_output(tmp_path):
     """Corpus driver writing a Kaldi ark + scp: keys are sanitized
     relpaths, scp offsets random-access correctly."""

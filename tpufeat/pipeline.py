@@ -195,6 +195,35 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
                                 4))
 
 
+def _read_utt2spk(path: str) -> dict[str, str]:
+    """Kaldi utt2spk map: one ``<utt-key> <speaker>`` pair per line.
+    Keys may be corpus relpaths (``sub/a.wav``) or their sanitized stems
+    (``sub/a``) — both spellings of the same utterance are accepted."""
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for ln, line in enumerate(f, 1):
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}:{ln}: expected '<utt> <spk>', got {line!r}")
+            if parts[0] in out:
+                raise ValueError(
+                    f"{path}:{ln}: duplicate utterance {parts[0]!r}")
+            out[parts[0]] = parts[1]
+    return out
+
+
+def _spk_of(utt2spk: dict[str, str], rel: str) -> str:
+    if rel in utt2spk:
+        return utt2spk[rel]
+    stem = "_".join(os.path.splitext(rel)[0].split())
+    if stem in utt2spk:
+        return utt2spk[stem]
+    raise ValueError(f"utt2spk has no entry for {rel!r} (or {stem!r})")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="tpufeat.pipeline",
@@ -220,6 +249,12 @@ def main(argv=None) -> int:
                         "computed corpus statistics (mean; use "
                         "--norm-vars for variance too)")
     p.add_argument("--norm-vars", action="store_true")
+    p.add_argument("--utt2spk", metavar="FILE", default=None,
+                   help="Kaldi utt2spk map ('<utt> <spk>' per line; utts "
+                        "by corpus relpath or sanitized stem): switches "
+                        "--global-cmvn/--apply-cmvn to PER-SPEAKER "
+                        "statistics (one DM entry per speaker, so the "
+                        "stats file must be .ark)")
     p.add_argument("--repeat", type=int, default=1,
                    help="extra passes over the corpus: pass 1 pays the "
                         "per-shape XLA compiles (~13 s each through the "
@@ -231,8 +266,21 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, use_pallas=True, gemm_dft=True,
                                   fused_framing=True,
                                   matmul_precision="bf16x3")
-    apply_stats = data.CmvnStats.load(args.apply_cmvn) \
-        if args.apply_cmvn else None
+    utt2spk = _read_utt2spk(args.utt2spk) if args.utt2spk else None
+    if utt2spk and not all(
+            p.endswith(".ark") for p in (args.global_cmvn, args.apply_cmvn)
+            if p):
+        raise ValueError("--utt2spk stats are per-speaker multi-entry "
+                         "archives; use a .ark stats path")
+    apply_stats = None
+    if args.apply_cmvn:
+        if utt2spk:
+            from tpufeat import feats_io
+            apply_stats = {
+                k: data.CmvnStats.from_kaldi(m) for k, m in
+                feats_io.read_kaldi_ark(args.apply_cmvn).items()}
+        else:
+            apply_stats = data.CmvnStats.load(args.apply_cmvn)
     passes = []
     out = {}
     stats: dict = {}
@@ -241,18 +289,34 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         out = {}
         stats = {}
-        cmvn_acc = data.CmvnStats(cfg.feature_dim) \
-            if args.global_cmvn else None
+        cmvn_acc = (({} if utt2spk else data.CmvnStats(cfg.feature_dim))
+                    if args.global_cmvn else None)
         for path, feats in extract_corpus(args.wav_dir, cfg, args.batch,
                                           stats=stats):
+            rel = os.path.relpath(path, args.wav_dir)
+            spk = _spk_of(utt2spk, rel) if utt2spk else None
             if cmvn_acc is not None:
-                cmvn_acc.accumulate(feats)
+                acc = cmvn_acc if spk is None else cmvn_acc.setdefault(
+                    spk, data.CmvnStats(cfg.feature_dim))
+                acc.accumulate(feats)
             if apply_stats is not None:
-                feats = apply_stats.apply(feats, norm_vars=args.norm_vars)
-            out[os.path.relpath(path, args.wav_dir)] = feats
+                st = apply_stats if spk is None else apply_stats.get(spk)
+                if st is None:
+                    raise ValueError(
+                        f"{args.apply_cmvn}: no CMVN stats for speaker "
+                        f"{spk!r} (utterance {rel!r})")
+                feats = st.apply(feats, norm_vars=args.norm_vars)
+            out[rel] = feats
         passes.append(time.perf_counter() - t0)   # extraction wall
     if cmvn_acc is not None:
-        cmvn_acc.save(args.global_cmvn)
+        if utt2spk:
+            from tpufeat import feats_io
+            feats_io.write_kaldi_ark(
+                args.global_cmvn,
+                {s: st.to_kaldi() for s, st in sorted(cmvn_acc.items())},
+                dtype="f64")
+        else:
+            cmvn_acc.save(args.global_cmvn)
     dt = passes[-1]                    # steady-state (or only) pass
     if args.out_npz.lower().endswith(".ark"):
         from tpufeat import feats_io
