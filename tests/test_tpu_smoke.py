@@ -556,6 +556,14 @@ class TestAuxOnChip:
         sig = make_signal(32000, seed=340)
         assert golden_err(sig, cfg) < 2e-3
 
+    def test_delta_order3_fused_golden_parity(self):
+        """cfg.delta_order=3 (52-dim, HTK _T) through the production
+        fused kernel on hardware vs the f64 golden."""
+        cfg = dataclasses.replace(KALDI39, delta_order=3,
+                                  matmul_precision="bf16x3", **FUSED)
+        sig = make_signal(24000, seed=345)
+        assert golden_err(sig, cfg) < 2e-3
+
     def test_add_noise_snr_on_chip(self):
         """Target-SNR mixing on hardware: the achieved SNR over valid
         samples is the oracle by definition (f32 accumulation on chip
