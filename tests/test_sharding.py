@@ -50,6 +50,16 @@ class TestTimeSharded:
         got = np.asarray(sharding.extract_time_sharded(sig, KALDI39))
         assert_close(got, one_shot(sig, KALDI39))
 
+    def test_delta_order3_matches_oneshot(self):
+        """Three chained halo exchanges (one per delta stage) stay exact
+        across shard boundaries."""
+        cfg = dataclasses.replace(KALDI39, delta_order=3)
+        n = sharding.shardable_length(6 * 16000, cfg, N_DEV)
+        sig = make_signal(n, seed=93)
+        got = np.asarray(sharding.extract_time_sharded(sig, cfg))
+        assert got.shape[-1] == 52
+        assert_close(got, one_shot(sig, cfg))
+
     def test_plp_matches_oneshot(self):
         """PLP's frame-local tail must shard transparently (round-3
         feature family; staged and fused shard bodies both apply it)."""
