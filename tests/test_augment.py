@@ -135,6 +135,93 @@ class TestAddNoise:
         assert (y[1] == 0).all()                     # no 0/0 blowup
 
 
+class TestAddReverb:
+    """RIR convolution (Kaldi wav-reverberate semantics)."""
+
+    def _numpy_reverb(self, x, h, lengths, shift_to_peak=True,
+                      normalize=True):
+        """float64 np.convolve mirror of augment.add_reverb."""
+        B, N = x.shape
+        out = np.zeros((B, N))
+        for b in range(B):
+            xm = np.where(np.arange(N) < lengths[b], x[b], 0.0).astype(
+                np.float64)
+            y = np.convolve(xm, h[b].astype(np.float64))
+            d = int(np.argmax(np.abs(h[b]))) if shift_to_peak else 0
+            y = y[d:d + N]
+            y = np.where(np.arange(N) < lengths[b], y, 0.0)
+            if normalize:
+                p_in, p_out = np.sum(xm * xm), np.sum(y * y)
+                y = y * (np.sqrt(p_in / p_out) if p_out > 0 else 0.0)
+            out[b] = y
+        return out
+
+    def test_identity_rir(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 4000)).astype(np.float32)
+        lengths = np.array([4000, 3200])
+        h = np.zeros(64, np.float32)
+        h[0] = 1.0
+        y = np.asarray(augment.add_reverb(x, h, lengths))
+        m = np.arange(4000) < lengths[:, None]
+        np.testing.assert_allclose(y, np.where(m, x, 0.0), atol=2e-5)
+
+    def test_golden_parity_per_utterance_rirs(self):
+        rng = np.random.default_rng(1)
+        B, N, R = 3, 7000, 513
+        x = rng.standard_normal((B, N)).astype(np.float32)
+        lengths = np.array([7000, 5000, 1])
+        # decaying random RIRs with an off-origin direct path
+        h = (rng.standard_normal((B, R))
+             * np.exp(-np.arange(R) / 80.0)).astype(np.float32)
+        h[:, :5] = 0.0
+        h[np.arange(B), [5, 17, 40]] = 3.0       # peak = direct path
+        y = np.asarray(augment.add_reverb(x, h, lengths))
+        ref = self._numpy_reverb(x, h, lengths)
+        assert np.max(np.abs(y - ref)) < 2e-3 * max(1.0, np.abs(ref).max())
+
+    def test_delayed_delta_realigns(self):
+        # RIR = delta at lag d: with shift_to_peak the output must be the
+        # (masked, renormalized) dry signal again — timestamps survive.
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((1, 3000)).astype(np.float32)
+        lengths = np.array([3000])
+        h = np.zeros(200, np.float32)
+        h[77] = 0.5
+        y = np.asarray(augment.add_reverb(x, h, lengths))
+        np.testing.assert_allclose(y[0], x[0], atol=2e-4)
+
+    def test_no_shift_keeps_delay(self):
+        x = np.zeros((1, 100), np.float32)
+        x[0, 10] = 1.0
+        h = np.zeros(32, np.float32)
+        h[7] = 1.0
+        y = np.asarray(augment.add_reverb(
+            x, h, np.array([100]), shift_to_peak=False, normalize=False))
+        assert abs(y[0, 17] - 1.0) < 1e-5 and abs(y[0, 10]) < 1e-5
+
+    def test_padding_untouched_and_silence_safe(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, 2000)).astype(np.float32)
+        lengths = np.array([1500, 0])
+        h = rng.standard_normal(128).astype(np.float32)
+        y = np.asarray(augment.add_reverb(x, h, lengths))
+        assert np.all(y[0, 1500:] == 0.0)
+        assert np.all(y[1] == 0.0)               # all-padding utterance
+
+    def test_normalize_preserves_power(self):
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        lengths = np.array([5000, 4096])
+        h = (rng.standard_normal((2, 300))
+             * np.exp(-np.arange(300) / 50.0)).astype(np.float32)
+        y = np.asarray(augment.add_reverb(x, h, lengths))
+        for b in range(2):
+            p_in = np.sum(np.square(x[b, :lengths[b]], dtype=np.float64))
+            p_out = np.sum(np.square(y[b], dtype=np.float64))
+            np.testing.assert_allclose(p_out, p_in, rtol=1e-3)
+
+
 class TestSpeedPerturb:
     def test_length_and_pitch_shift(self):
         from tpufeat.augment import speed_perturb

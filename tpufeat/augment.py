@@ -20,8 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["spec_augment", "energy_vad", "add_noise", "speed_perturb",
-           "StreamingEnergyVAD"]
+__all__ = ["spec_augment", "energy_vad", "add_noise", "add_reverb",
+           "speed_perturb", "StreamingEnergyVAD"]
 
 
 @functools.partial(
@@ -136,6 +136,56 @@ def add_noise(signal: jnp.ndarray, noise: jnp.ndarray,
     scale = jnp.sqrt(want / jnp.maximum(p_noi, 1e-20))
     scale = jnp.where(p_noi > 0, scale, 0.0)
     return x + scale[:, None] * v * m
+
+
+@functools.partial(jax.jit, static_argnames=("shift_to_peak", "normalize"))
+def add_reverb(signal: jnp.ndarray, rir: jnp.ndarray,
+               lengths: jnp.ndarray, *, shift_to_peak: bool = True,
+               normalize: bool = True) -> jnp.ndarray:
+    """Convolve each utterance with a room impulse response (the
+    reverberant half of the far-field training-augmentation recipe;
+    Kaldi ``wav-reverberate`` semantics): [B, N] x [B, R] (or a shared
+    [R]) -> [B, N].
+
+    The convolution is one batched rFFT multiply (length padded to the
+    next power of two — the TPU-native formulation; a time-domain FIR
+    would be an [N, R] matmul per utterance, 3 orders more FLOPs at
+    typical R). Per Kaldi's defaults:
+
+      - ``shift_to_peak``: the output is advanced by the RIR's peak
+        (direct-path) index so the reverberated audio stays time-aligned
+        with the dry signal — supervision timestamps survive.
+      - ``normalize``: output is rescaled per utterance so its power over
+        the VALID samples matches the dry signal's (``--normalize-output``).
+
+    Padding contract: samples at/after ``lengths`` come back zero — the
+    reverb tail past the utterance end is dropped, and padding never
+    leaks into the convolution. Silence-safe: an all-zero (or
+    all-padding) utterance returns zeros.
+    """
+    x = jnp.asarray(signal, jnp.float32)
+    h = jnp.asarray(rir, jnp.float32)
+    if h.ndim == 1:
+        h = jnp.broadcast_to(h[None, :], (x.shape[0], h.shape[-1]))
+    N, R = x.shape[-1], h.shape[-1]
+    m = (jnp.arange(N) < jnp.asarray(lengths)[:, None]).astype(x.dtype)
+    x = x * m
+    nfft = 1 << max(1, (N + R - 2)).bit_length()        # >= N + R - 1
+    y = jnp.fft.irfft(jnp.fft.rfft(x, n=nfft) * jnp.fft.rfft(h, n=nfft),
+                      n=nfft)[..., :N + R - 1]
+    if shift_to_peak:
+        d = jnp.argmax(jnp.abs(h), axis=-1)             # [B]
+        y = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s,), (N,)))(y, d)
+    else:
+        y = y[..., :N]
+    y = y * m
+    if normalize:
+        p_in = jnp.sum(x * x, axis=-1)
+        p_out = jnp.sum(y * y, axis=-1)
+        scale = jnp.sqrt(p_in / jnp.maximum(p_out, 1e-20))
+        y = y * jnp.where(p_out > 0, scale, 0.0)[:, None]
+    return y
 
 
 class StreamingEnergyVAD:
