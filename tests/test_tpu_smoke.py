@@ -580,6 +580,31 @@ class TestAuxOnChip:
         np.testing.assert_allclose(snr, 12.0, atol=1e-2)
         assert (d[1, 24000:] == 0).all()
 
+    def test_add_reverb_on_chip(self):
+        """RIR convolution on hardware: the rFFT-multiply path vs the
+        float64 np.convolve golden (same shift/crop/normalize), padding
+        zeroed, power preserved."""
+        from tpufeat.augment import add_reverb
+        rng = np.random.default_rng(362)
+        x = rng.standard_normal((2, 32000)).astype(np.float32)
+        lens = np.asarray([32000, 24000])
+        h = (rng.standard_normal((2, 400))
+             * np.exp(-np.arange(400) / 60.0)).astype(np.float32)
+        h[:, :4] = 0.0
+        h[np.arange(2), [4, 11]] = 3.0
+        y = np.asarray(add_reverb(x, h, lens))
+        ref = np.zeros_like(y, dtype=np.float64)
+        for b in range(2):
+            xm = np.where(np.arange(32000) < lens[b], x[b], 0.0)
+            full = np.convolve(xm.astype(np.float64),
+                               h[b].astype(np.float64))
+            d = int(np.argmax(np.abs(h[b])))
+            yy = np.where(np.arange(32000) < lens[b],
+                          full[d:d + 32000], 0.0)
+            ref[b] = yy * np.sqrt((xm * xm).sum() / (yy * yy).sum())
+        assert np.max(np.abs(y - ref)) < 2e-3 * np.abs(ref).max()
+        assert (y[1, 24000:] == 0).all()
+
     def test_streaming_vad_on_chip(self):
         """Online VAD on hardware: chunked decisions == one-chunk
         decisions (cummax determinism holds on the TPU relay)."""
