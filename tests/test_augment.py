@@ -135,6 +135,89 @@ class TestAddNoise:
         assert (y[1] == 0).all()                     # no 0/0 blowup
 
 
+class TestStreamingEndpointer:
+    """Kaldi OnlineEndpoint-style rules over VAD speech flags."""
+
+    def test_silence_only_rule_fires_at_5s(self):
+        ep = augment.StreamingEndpointer()
+        assert not ep.update(np.zeros((1, 499), bool))[0]
+        assert ep.update(np.zeros((1, 1), bool))[0]       # 500 x 10 ms = 5 s
+
+    def test_trailing_silence_after_speech(self):
+        ep = augment.StreamingEndpointer()
+        flags = np.zeros((1, 50), bool)
+        flags[0, :30] = True                               # 0.3 s of speech
+        assert not ep.update(flags)[0]                     # 0.2 s trailing
+        assert not ep.update(np.zeros((1, 79), bool))[0]   # 0.99 s trailing
+        assert ep.update(np.zeros((1, 1), bool))[0]        # 1.00 s trailing
+
+    def test_max_length_rule(self):
+        ep = augment.StreamingEndpointer()
+        assert not ep.update(np.ones((1, 1999), bool))[0]
+        assert ep.update(np.ones((1, 1), bool))[0]         # 20 s of speech
+
+    def test_chunk_plan_invariance(self):
+        rng = np.random.default_rng(7)
+        flags = rng.random(997) < 0.3
+        one = augment.StreamingEndpointer()
+        one.update(flags[None])
+        many = augment.StreamingEndpointer()
+        i = 0
+        for step in [1, 7, 13, 160, 816]:
+            many.update(flags[None, i:i + step])
+            i += step
+        assert i == 997
+        for k in ("frames_seen", "trailing_silence", "seen_speech"):
+            np.testing.assert_array_equal(one.state()[k], many.state()[k])
+        np.testing.assert_array_equal(one.decision(), many.decision())
+
+    def test_batch_rows_and_reset(self):
+        ep = augment.StreamingEndpointer(batch_size=2)
+        flags = np.zeros((2, 150), bool)
+        flags[0, :40] = True                    # row 0: speech then silence
+        done = ep.update(flags)                 # row0: 1.1 s trailing
+        assert done[0] and not done[1]          # row1: only 1.5 s silence
+        ep.reset(0)
+        assert not ep.decision()[0]
+        assert ep.state()["seen_speech"][1] == False  # noqa: E712
+
+    def test_state_roundtrip_and_empty_update(self):
+        ep = augment.StreamingEndpointer()
+        ep.update(np.ones((1, 30), bool))
+        s = ep.state()
+        ep2 = augment.StreamingEndpointer()
+        ep2.set_state(s)
+        np.testing.assert_array_equal(
+            ep2.update(np.zeros((1, 0), bool)), ep.decision())
+        for k, v in ep2.state().items():
+            np.testing.assert_array_equal(v, s[k])
+
+    def test_composes_with_streaming_vad(self):
+        # 1 s tone then 1.5 s near-silence at 16 kHz: the endpointer must
+        # close the utterance from live StreamingEnergyVAD flags.
+        rng = np.random.default_rng(8)
+        x = 1e-4 * rng.standard_normal(40000).astype(np.float32)
+        x[:16000] += 0.5 * np.sin(
+            2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+        vad = augment.StreamingEnergyVAD()
+        ep = augment.StreamingEndpointer()
+        fired_at = None
+        for i in range(0, 40000, 1600):
+            done = ep.update(vad.process(x[None, i:i + 1600]))
+            if done[0]:
+                fired_at = i + 1600
+                break
+        assert fired_at is not None and 26000 <= fired_at <= 36000
+
+    def test_validation(self):
+        import pytest
+        with pytest.raises(ValueError):
+            augment.StreamingEndpointer(rules=())
+        ep = augment.StreamingEndpointer(batch_size=2)
+        with pytest.raises(ValueError):
+            ep.update(np.zeros((3, 10), bool))
+
+
 class TestAddReverb:
     """RIR convolution (Kaldi wav-reverberate semantics)."""
 

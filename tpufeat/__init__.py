@@ -10,8 +10,10 @@ out — designed TPU-first per SURVEY.md. Public API:
     feats = extract(samples, cfg=WHISPER80).features
 """
 
-from tpufeat.augment import (StreamingEnergyVAD, add_noise, add_reverb,
-                             energy_vad, spec_augment, speed_perturb)
+from tpufeat.augment import (DEFAULT_ENDPOINT_RULES, EndpointRule,
+                             StreamingEndpointer, StreamingEnergyVAD,
+                             add_noise, add_reverb, energy_vad,
+                             spec_augment, speed_perturb)
 from tpufeat.pitch import (PitchConfig, StreamingPitch,
                            StreamingPitchFeatures,
                            config_for as pitch_config_for, pitch_features,
@@ -44,7 +46,8 @@ __all__ = [
     "StreamingPipeline", "StreamingSlidingCMVN", "sliding_cmvn",
     "resample",
     "spec_augment", "energy_vad", "StreamingEnergyVAD", "add_noise",
-    "add_reverb",
+    "add_reverb", "EndpointRule", "DEFAULT_ENDPOINT_RULES",
+    "StreamingEndpointer",
     "speed_perturb", "PitchConfig", "pitch_config_for",
     "pitch_features", "track_pitch", "StreamingPitch",
     "StreamingPitchFeatures", "__version__",

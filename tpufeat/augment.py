@@ -15,13 +15,17 @@ composes with the padded/masked batching used everywhere else.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["spec_augment", "energy_vad", "add_noise", "add_reverb",
-           "speed_perturb", "StreamingEnergyVAD"]
+           "speed_perturb", "StreamingEnergyVAD", "EndpointRule",
+           "DEFAULT_ENDPOINT_RULES", "StreamingEndpointer"]
 
 
 @functools.partial(
@@ -266,6 +270,113 @@ def _vad_step_jit(chunk_len: int, W: int, hop: int, fill: int, n_new: int,
         return new_buf, run_peak[:, -1], out
 
     return jax.jit(impl)
+
+
+@dataclasses.dataclass(frozen=True)
+class EndpointRule:
+    """One endpointing rule (Kaldi ``OnlineEndpoint`` semantics): fires
+    when ALL of its conditions hold for an utterance —
+
+      - ``must_contain_speech``: speech has been seen since the last
+        reset (Kaldi's must-contain-nonsilence);
+      - trailing silence has lasted >= ``min_trailing_silence_s``;
+      - the utterance is >= ``min_utterance_length_s`` long.
+    """
+    must_contain_speech: bool = True
+    min_trailing_silence_s: float = 1.0
+    min_utterance_length_s: float = 0.0
+
+
+#: Kaldi's classic trade-off, restated for a VAD-flag front-end: give up
+#: after 5 s of pure silence; close an utterance after 1 s of trailing
+#: silence once speech was heard; never run past 20 s.
+DEFAULT_ENDPOINT_RULES = (
+    EndpointRule(must_contain_speech=False, min_trailing_silence_s=5.0),
+    EndpointRule(must_contain_speech=True, min_trailing_silence_s=1.0),
+    EndpointRule(must_contain_speech=True, min_trailing_silence_s=0.0,
+                 min_utterance_length_s=20.0),
+)
+
+
+class StreamingEndpointer:
+    """Turn per-frame speech flags (e.g. from :class:`StreamingEnergyVAD`)
+    into end-of-utterance decisions, Kaldi ``OnlineEndpoint``-style.
+
+    This is control logic, not compute: the state is three small counters
+    per stream, kept on host (the flags are already host-bound decisions).
+    Chunk-plan invariant by construction — the counters depend only on
+    the flag sequence, not on how it was chunked (tested).
+
+    Usage::
+
+        vad = StreamingEnergyVAD(batch_size=B)
+        ep = StreamingEndpointer(batch_size=B)
+        for chunk in stream:
+            done = ep.update(vad.process(chunk))   # [B] bool
+            for b in np.flatnonzero(done):
+                ...  # close utterance b, then ep.reset(b)
+    """
+
+    def __init__(self, rules=DEFAULT_ENDPOINT_RULES,
+                 frame_shift_s: float = 0.010, batch_size: int = 1):
+        if not rules:
+            raise ValueError("need at least one EndpointRule")
+        self.rules = tuple(rules)
+        self.frame_shift_s = float(frame_shift_s)
+        self.frames_seen = np.zeros(batch_size, np.int64)
+        self.trailing_silence = np.zeros(batch_size, np.int64)
+        self.seen_speech = np.zeros(batch_size, bool)
+
+    def update(self, speech_flags) -> np.ndarray:
+        """[B, F] (or [F]) bool speech flags -> [B] bool endpoint-now."""
+        flags = np.asarray(speech_flags, bool)
+        if flags.ndim == 1:
+            flags = flags[None]
+        B, F = flags.shape
+        if B != self.frames_seen.shape[0]:
+            raise ValueError(f"batch {B} != endpointer batch "
+                             f"{self.frames_seen.shape[0]}")
+        if F:
+            self.frames_seen += F
+            self.seen_speech |= flags.any(axis=1)
+            # trailing run of silence: frames after the last True
+            rev_last = F - 1 - np.argmax(flags[:, ::-1], axis=1)
+            any_speech = flags.any(axis=1)
+            self.trailing_silence = np.where(
+                any_speech, F - 1 - rev_last, self.trailing_silence + F)
+        return self.decision()
+
+    def decision(self) -> np.ndarray:
+        """[B] bool: does any rule fire at the current state?"""
+        shift = self.frame_shift_s
+        length_s = self.frames_seen * shift
+        trail_s = self.trailing_silence * shift
+        out = np.zeros_like(self.seen_speech)
+        for r in self.rules:
+            hit = (trail_s >= r.min_trailing_silence_s) \
+                & (length_s >= max(r.min_utterance_length_s, shift))
+            if r.must_contain_speech:
+                hit &= self.seen_speech
+            out |= hit
+        return out
+
+    def reset(self, row=None) -> None:
+        """Start a new utterance on ``row`` (or all rows)."""
+        idx = slice(None) if row is None else row
+        self.frames_seen[idx] = 0
+        self.trailing_silence[idx] = 0
+        self.seen_speech[idx] = False
+
+    def state(self) -> dict:
+        return {"frames_seen": self.frames_seen.copy(),
+                "trailing_silence": self.trailing_silence.copy(),
+                "seen_speech": self.seen_speech.copy()}
+
+    def set_state(self, s: dict) -> None:
+        self.frames_seen = np.asarray(s["frames_seen"], np.int64).copy()
+        self.trailing_silence = np.asarray(
+            s["trailing_silence"], np.int64).copy()
+        self.seen_speech = np.asarray(s["seen_speech"], bool).copy()
 
 
 def speed_perturb(signal, sr: int, factor: float) -> "jnp.ndarray":
