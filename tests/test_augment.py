@@ -135,6 +135,60 @@ class TestAddNoise:
         assert (y[1] == 0).all()                     # no 0/0 blowup
 
 
+class TestSpeechSegments:
+    """VAD mask -> merged/padded (start, end) frame segments."""
+
+    def test_basic_runs_and_gap_bridging(self):
+        f = np.zeros(200, bool)
+        f[10:50] = True
+        f[60:100] = True        # 10-frame gap < min_silence=30 -> bridged
+        f[150:190] = True       # 50-frame gap -> separate
+        segs = augment.speech_segments(f, pad=0)
+        assert segs == [(10, 100), (150, 190)]
+
+    def test_min_speech_drop_and_padding(self):
+        f = np.zeros(100, bool)
+        f[5:8] = True            # 3 frames < min_speech=10 -> dropped
+        f[40:60] = True
+        segs = augment.speech_segments(f, min_silence=10, pad=5)
+        assert segs == [(35, 65)]
+
+    def test_padding_clamped_and_merge_after_pad(self):
+        f = np.zeros(60, bool)
+        f[0:15] = True
+        f[22:40] = True          # 7-frame gap, min_silence=5 keeps split...
+        segs = augment.speech_segments(f, min_silence=5, min_speech=5,
+                                       pad=4)
+        assert segs == [(0, 44)]  # ...but ±4 padding re-joins -> merged
+        assert augment.speech_segments(np.zeros(60, bool)) == []
+        assert augment.speech_segments(np.ones(60, bool), pad=9) == [(0, 60)]
+
+    def test_batched_and_samples(self):
+        from tpufeat.config import MFCC13_HTK
+        f = np.zeros((2, 100), bool)
+        f[0, 20:50] = True
+        per_row = augment.speech_segments(f, pad=0)
+        assert per_row[0] == [(20, 50)] and per_row[1] == []
+        spans = augment.segments_to_samples(per_row[0], MFCC13_HTK)
+        assert spans == [(20 * 160, 49 * 160 + 400)]
+
+    def test_composes_with_energy_vad(self):
+        # two tone bursts in quiet noise -> exactly two segments covering them
+        rng = np.random.default_rng(9)
+        x = 1e-4 * rng.standard_normal(48000).astype(np.float32)
+        n = np.arange(8000)
+        tone = 0.5 * np.sin(2 * np.pi * 440 * n / 16000).astype(np.float32)
+        x[8000:16000] += tone
+        x[32000:40000] += tone
+        mask = np.asarray(augment.energy_vad(x[None], np.array([48000])))[0]
+        segs = augment.speech_segments(mask)
+        assert len(segs) == 2
+        (s0, e0), (s1, e1) = augment.segments_to_samples(
+            segs, __import__("tpufeat").MFCC13_HTK)
+        assert s0 <= 8000 < 16000 <= e0 + 400
+        assert s1 <= 32000 < 40000 <= e1 + 400
+
+
 class TestStreamingEndpointer:
     """Kaldi OnlineEndpoint-style rules over VAD speech flags."""
 

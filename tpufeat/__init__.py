@@ -13,7 +13,8 @@ out — designed TPU-first per SURVEY.md. Public API:
 from tpufeat.augment import (DEFAULT_ENDPOINT_RULES, EndpointRule,
                              StreamingEndpointer, StreamingEnergyVAD,
                              add_noise, add_reverb, energy_vad,
-                             spec_augment, speed_perturb)
+                             segments_to_samples, spec_augment,
+                             speech_segments, speed_perturb)
 from tpufeat.pitch import (PitchConfig, StreamingPitch,
                            StreamingPitchFeatures,
                            config_for as pitch_config_for, pitch_features,
@@ -47,7 +48,7 @@ __all__ = [
     "resample",
     "spec_augment", "energy_vad", "StreamingEnergyVAD", "add_noise",
     "add_reverb", "EndpointRule", "DEFAULT_ENDPOINT_RULES",
-    "StreamingEndpointer",
+    "StreamingEndpointer", "speech_segments", "segments_to_samples",
     "speed_perturb", "PitchConfig", "pitch_config_for",
     "pitch_features", "track_pitch", "StreamingPitch",
     "StreamingPitchFeatures", "__version__",

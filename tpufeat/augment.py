@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 __all__ = ["spec_augment", "energy_vad", "add_noise", "add_reverb",
            "speed_perturb", "StreamingEnergyVAD", "EndpointRule",
-           "DEFAULT_ENDPOINT_RULES", "StreamingEndpointer"]
+           "DEFAULT_ENDPOINT_RULES", "StreamingEndpointer",
+           "speech_segments", "segments_to_samples"]
 
 
 @functools.partial(
@@ -270,6 +271,56 @@ def _vad_step_jit(chunk_len: int, W: int, hop: int, fill: int, n_new: int,
         return new_buf, run_peak[:, -1], out
 
     return jax.jit(impl)
+
+
+def speech_segments(speech_flags, *, min_silence: int = 30,
+                    min_speech: int = 10, pad: int = 5):
+    """Turn a per-frame speech mask into (start, end) frame segments —
+    the offline half of the VAD story (Kaldi's segmentation /
+    ``extract-segments`` flow; the online half is
+    :class:`StreamingEndpointer`).
+
+    [F] bool -> list of (start, end) half-open frame intervals, or
+    [B, F] -> list of such lists. Silence gaps shorter than
+    ``min_silence`` frames are bridged, segments shorter than
+    ``min_speech`` are dropped, and each surviving segment is padded by
+    ``pad`` frames per side (clamped to [0, F]; padding can re-join
+    segments, which are then merged). Host control logic over decisions
+    that are already host-bound.
+    """
+    flags = np.asarray(speech_flags, bool)
+    if flags.ndim == 2:
+        return [speech_segments(row, min_silence=min_silence,
+                                min_speech=min_speech, pad=pad)
+                for row in flags]
+    F = flags.shape[0]
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        [[False], flags, [False]]).astype(np.int8)))
+    runs = list(zip(edges[::2], edges[1::2]))          # raw speech runs
+    merged = []
+    for s, e in runs:                                  # bridge short gaps
+        if merged and s - merged[-1][1] < min_silence:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    out = []
+    for s, e in merged:
+        if e - s < min_speech:
+            continue
+        s, e = max(0, s - pad), min(F, e + pad)
+        if out and s <= out[-1][1]:                    # pad re-joined them
+            out[-1] = (out[-1][0], e)
+        else:
+            out.append((s, e))
+    return out
+
+
+def segments_to_samples(segments, cfg) -> list:
+    """Frame segments -> half-open SAMPLE ranges under ``cfg``'s frame
+    grid: frame t covers samples [t*hop, t*hop + frame_length), so the
+    range spans the first frame's start through the last frame's end."""
+    hop, flen = cfg.hop_length, cfg.frame_length
+    return [(s * hop, (e - 1) * hop + flen) for s, e in segments]
 
 
 @dataclasses.dataclass(frozen=True)
