@@ -23,7 +23,8 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["WhisperFeatureExtractor"]
+__all__ = ["WhisperFeatureExtractor", "TorchWavDataset", "pad_collate",
+           "FeatureLoader"]
 
 
 class WhisperFeatureExtractor:
@@ -131,6 +132,98 @@ class WhisperFeatureExtractor:
             return list(arr)
         raise ValueError(f"raw_speech must be 1-D, 2-D, or a list; got "
                          f"shape {arr.shape}")
+
+
+class TorchWavDataset:
+    """Map-style ``torch.utils.data.Dataset`` over WAV paths.
+
+    ``__getitem__`` returns ``(samples float32 [-1, 1], key)`` — decode
+    happens in the DataLoader's workers (CPU-parallel, like the corpus
+    pipeline's threaded native loader), while feature extraction belongs
+    in the MAIN process on the accelerator: pair this with
+    :func:`pad_collate` (pads the ragged batch on host) and
+    :class:`FeatureLoader` (runs :func:`tpufeat.extract` per batch).
+    Keeping JAX out of the workers avoids fork-vs-accelerator issues
+    entirely — workers only touch NumPy.
+
+        ds = TorchWavDataset(paths)
+        dl = torch.utils.data.DataLoader(ds, batch_size=64, num_workers=8,
+                                         collate_fn=pad_collate)
+        for batch in FeatureLoader(dl, KALDI39):
+            batch["features"]        # torch.Tensor [B, T, D]
+    """
+
+    def __init__(self, paths: Sequence[str], *, native: bool | None = None):
+        self.paths = list(paths)
+        self.native = native
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int):
+        from tpufeat import io as tio
+        samples, _ = tio.read_wav(self.paths[i], native=self.native)
+        return np.asarray(samples, np.float32), self.paths[i]
+
+
+def pad_collate(batch, *, bucket: bool = True):
+    """DataLoader ``collate_fn`` for ragged audio: list of
+    ``(samples, key)`` (or bare arrays) -> dict with NumPy ``signal
+    [B, N]``, ``lengths [B]``, ``keys``. With ``bucket`` the padded
+    length snaps to the √2 grid (``data.bucket_length``) so the number
+    of downstream compiled programs stays logarithmic in length spread.
+    Pure NumPy — safe inside DataLoader worker processes."""
+    from tpufeat import data
+    items = [(b, None) if not isinstance(b, tuple) else b for b in batch]
+    sigs = [np.asarray(s, np.float32).reshape(-1) for s, _ in items]
+    n = max((len(s) for s in sigs), default=0)
+    if bucket:
+        n = data.bucket_length(max(n, 1))
+    x, lengths = data.pad_batch(sigs, target_len=n)
+    return {"signal": x, "lengths": lengths,
+            "keys": [k for _, k in items]}
+
+
+class FeatureLoader:
+    """Wrap any iterable of :func:`pad_collate` batches (typically a
+    ``torch.utils.data.DataLoader``) and yield extracted features as
+    torch tensors — the main-process half of the torch integration.
+
+    Yields dicts: ``features [B, T, D]``, ``num_frames [B]``,
+    ``mask [B, T]`` (torch tensors via zero-copy ``from_numpy``), plus
+    the batch's ``keys``. Extraction uses the jit-cached
+    :func:`tpufeat.extract`, so all TPU work stays in this process.
+    ``return_type="np"`` skips torch for plain NumPy output."""
+
+    def __init__(self, loader, cfg, *, return_type: str = "torch",
+                 rng=None):
+        if return_type not in ("torch", "np"):
+            raise ValueError(f"return_type {return_type!r} not in "
+                             "('torch', 'np')")
+        self.loader, self.cfg = loader, cfg
+        self.return_type, self.rng = return_type, rng
+
+    def __iter__(self):
+        from tpufeat import features
+        for batch in self.loader:
+            sig = np.asarray(batch["signal"], np.float32)
+            lengths = np.asarray(batch["lengths"], np.int32)
+            res = features.extract(sig, lengths, self.cfg, rng=self.rng)
+            out = {"features": np.asarray(res.features),
+                   "num_frames": np.asarray(res.num_frames),
+                   "mask": np.asarray(res.mask),
+                   "keys": batch.get("keys")}
+            if self.return_type == "torch":
+                import torch
+                # jax->numpy views are read-only; torch needs writable
+                out = {k: (torch.from_numpy(
+                               v if v.flags.writeable else v.copy())
+                           if isinstance(v, np.ndarray) else v)
+                       for k, v in out.items()}
+            yield out
+
+    def __len__(self) -> int:
+        return len(self.loader)
 
 
 class _BatchFeature(dict):
