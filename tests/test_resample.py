@@ -70,3 +70,78 @@ class TestResample:
         res = features.extract(sig16, cfg=MFCC13_HTK)
         assert res.features.shape == (MFCC13_HTK.num_frames(16000), 13)
         assert np.isfinite(np.asarray(res.features)).all()
+
+
+class TestStreamingResampler:
+    """Online polyphase: concat(chunks + flush) == offline, exactly."""
+
+    @pytest.mark.parametrize("sr_in,sr_out", RATES)
+    def test_exact_vs_offline(self, sr_in, sr_out):
+        n = sr_in // 2 + 137
+        sig = make_signal(n, seed=sr_in % 89)
+        want = np.asarray(resample.resample(sig, sr_in, sr_out))
+        sr = resample.StreamingResampler(sr_in, sr_out)
+        outs, i = [], 0
+        for step in [160, 1, 1601, 7, n]:          # ragged chunk plan
+            step = min(step, n - i)
+            outs.append(np.asarray(sr.process(sig[None, i:i + step])))
+            i += step
+            if i == n:
+                break
+        outs.append(np.asarray(sr.flush()))
+        got = np.concatenate(outs, axis=1)[0]
+        assert got.shape == want.shape
+        if max(sr.p, sr.q) <= 8:
+            # small-filter pairs: bit-exact (same per-row contraction)
+            np.testing.assert_array_equal(got, want)
+        else:
+            # 44.1 kHz-family pairs (L ~ thousands): XLA picks different
+            # dot strategies for different M, so accumulation order can
+            # differ by a couple of ULP — documented in the class docstring
+            np.testing.assert_allclose(got, want, atol=3e-7, rtol=4e-6)
+
+    def test_chunk_plan_invariance_batched(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((3, 24000)).astype(np.float32)
+        want = np.asarray(resample.resample(x, 48000, 16000))
+        sr = resample.StreamingResampler(48000, 16000, batch_size=3)
+        outs = [np.asarray(sr.process(x[:, i:i + 1536]))
+                for i in range(0, 24000, 1536)]
+        outs.append(np.asarray(sr.flush()))
+        np.testing.assert_array_equal(np.concatenate(outs, axis=1), want)
+
+    def test_state_roundtrip(self):
+        sig = make_signal(9000, seed=3)
+        a = resample.StreamingResampler(44100, 16000)
+        a.process(sig[None, :4000])
+        s = a.state()
+        b = resample.StreamingResampler(44100, 16000)
+        b.set_state(s)
+        ya = np.concatenate(
+            [np.asarray(a.process(sig[None, 4000:])),
+             np.asarray(a.flush())], axis=1)
+        yb = np.concatenate(
+            [np.asarray(b.process(sig[None, 4000:])),
+             np.asarray(b.flush())], axis=1)
+        np.testing.assert_array_equal(ya, yb)
+
+    def test_passthrough_and_validation(self):
+        sr = resample.StreamingResampler(16000, 16000)
+        x = make_signal(1000, seed=1)[None]
+        np.testing.assert_array_equal(np.asarray(sr.process(x)), x)
+        assert np.asarray(sr.flush()).shape == (1, 0)
+        with pytest.raises(ValueError):
+            resample.StreamingResampler(44100, 44101)
+        sr2 = resample.StreamingResampler(48000, 16000, batch_size=2)
+        with pytest.raises(ValueError):
+            sr2.process(np.zeros((3, 100), np.float32))
+
+    def test_empty_stream_flush(self):
+        sr = resample.StreamingResampler(48000, 16000)
+        assert np.asarray(sr.flush()).shape == (1, 0)
+        sr.reset()
+        out = np.concatenate(
+            [np.asarray(sr.process(np.zeros((1, 30), np.float32))),
+             np.asarray(sr.flush())], axis=1)
+        assert out.shape == (1, resample.output_length(30, 1, 3))
+        np.testing.assert_array_equal(out, 0.0)

@@ -26,7 +26,7 @@ from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               mel_spectrogram, mfcc, sliding_cmvn,
                               spectrogram)
 from tpufeat.io import read_wav, write_wav
-from tpufeat.resampling import resample
+from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (StreamingDeltas, StreamingFrontend,
                                StreamingPipeline, StreamingSlidingCMVN,
                                StreamState, extract_scan, init_state,
@@ -45,7 +45,7 @@ __all__ = [
     "process_chunk", "process_chunk_static", "scan_chunks",
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
     "StreamingPipeline", "StreamingSlidingCMVN", "sliding_cmvn",
-    "resample",
+    "resample", "StreamingResampler",
     "spec_augment", "energy_vad", "StreamingEnergyVAD", "add_noise",
     "add_reverb", "EndpointRule", "DEFAULT_ENDPOINT_RULES",
     "StreamingEndpointer", "speech_segments", "segments_to_samples",
