@@ -580,6 +580,24 @@ class TestAuxOnChip:
         np.testing.assert_allclose(snr, 12.0, atol=1e-2)
         assert (d[1, 24000:] == 0).all()
 
+    def test_streaming_resampler_on_chip(self):
+        """Online polyphase on hardware: ragged 48k->16k chunk plan +
+        flush vs the offline resampler (same-chip oracle)."""
+        from tpufeat.resampling import StreamingResampler, resample
+        rng = np.random.default_rng(363)
+        x = (0.3 * rng.standard_normal((2, 48000))).astype(np.float32)
+        want = np.asarray(resample(x, 48000, 16000))
+        sr = StreamingResampler(48000, 16000, batch_size=2)
+        outs, i = [], 0
+        for step in [4800, 333, 9600, 48000]:
+            step = min(step, 48000 - i)
+            outs.append(np.asarray(sr.process(x[:, i:i + step])))
+            i += step
+        outs.append(np.asarray(sr.flush()))
+        got = np.concatenate(outs, axis=1)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_add_reverb_on_chip(self):
         """RIR convolution on hardware: the rFFT-multiply path vs the
         float64 np.convolve golden (same shift/crop/normalize), padding
