@@ -145,3 +145,29 @@ class TestStreamingResampler:
              np.asarray(sr.flush())], axis=1)
         assert out.shape == (1, resample.output_length(30, 1, 3))
         np.testing.assert_array_equal(out, 0.0)
+
+
+class TestStreamingResamplerProperties:
+    from hypothesis import given, settings, strategies as st
+
+    @given(data=st.data(),
+           pair=st.sampled_from([(8000, 16000), (48000, 16000),
+                                 (16000, 8000), (22050, 16000)]),
+           n=st.integers(min_value=1, max_value=12000))
+    @settings(max_examples=20, deadline=None)
+    def test_any_chunk_plan_matches_offline(self, data, pair, n):
+        sr_in, sr_out = pair
+        rng = np.random.default_rng(n)
+        sig = rng.standard_normal((1, n)).astype(np.float32)
+        want = np.asarray(resample.resample(sig, sr_in, sr_out))
+        sr = resample.StreamingResampler(sr_in, sr_out)
+        outs, i = [], 0
+        while i < n:
+            step = data.draw(self.st.integers(1, n - i))
+            outs.append(np.asarray(sr.process(sig[:, i:i + step])))
+            i += step
+        outs.append(np.asarray(sr.flush()))
+        got = np.concatenate(outs, axis=1)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=3e-7,
+                                   rtol=4e-6)
