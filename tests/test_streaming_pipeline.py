@@ -157,6 +157,45 @@ def _voiced(b, n, seed):
     return (x + 0.01 * rng.standard_normal((b, n))).astype(np.float32)
 
 
+class TestInputRate:
+    """StreamingPipeline(input_rate=...) — online resampler ahead of the
+    front-end; matches offline resample() -> extract()."""
+
+    def test_48k_ingest_matches_offline(self):
+        b = 2
+        x48 = _sig(b, 96000, 91)                  # 2 s at 48 kHz
+        from tpufeat.resampling import resample
+        x16 = np.asarray(resample(x48, 48000, 16000))
+        want = np.asarray(features.extract(x16, cfg=KALDI39_NOCMVN).features)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                           input_rate=48000)
+        got = _run(pipe, x48, [4800, 333, 14400, 48000, 28467])
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 1e-5
+
+    def test_checkpoint_resume_with_resampler(self, tmp_path):
+        x48 = _sig(1, 48000, 92)
+        a = streaming.StreamingPipeline(KALDI39_NOCMVN, input_rate=48000)
+        a.process(x48[:, :20000])
+        streaming.save_state(str(tmp_path / "s.npz"), a.state())
+        b = streaming.StreamingPipeline(KALDI39_NOCMVN, input_rate=48000)
+        b.set_state(streaming.load_state(str(tmp_path / "s.npz"),
+                                         a.state()))
+        ya = np.concatenate([np.asarray(a.process(x48[:, 20000:])),
+                             np.asarray(a.flush())], axis=1)
+        yb = np.concatenate([np.asarray(b.process(x48[:, 20000:])),
+                             np.asarray(b.flush())], axis=1)
+        np.testing.assert_array_equal(ya, yb)
+
+    def test_same_rate_is_passthrough(self):
+        x = _sig(1, 16000, 93)
+        a = streaming.StreamingPipeline(KALDI39_NOCMVN, input_rate=16000)
+        bpipe = streaming.StreamingPipeline(KALDI39_NOCMVN)
+        ya = _run(a, x, [1600] * 10)
+        yb = _run(bpipe, x, [1600] * 10)
+        np.testing.assert_array_equal(ya, yb)
+
+
 class TestDeltaOrder:
     """cfg.delta_order chains that many online delta stages."""
 

@@ -810,16 +810,32 @@ class StreamingPipeline:
     (cli.py:163). CMVN (when enabled) covers the spectral columns only,
     matching the offline composition order.
 
+    ``input_rate=48000`` (or any standard rate) puts a
+    :class:`tpufeat.resampling.StreamingResampler` ahead of the
+    front-end, so a live mic stream at a non-``cfg.sample_rate`` rate
+    feeds the same pipeline; :meth:`flush` drains the resampler's filter
+    tail first, matching offline ``resample() -> extract()``.
+
     Like every streaming wrapper here the internal state is pure pytrees +
     host ints: ``state()``/``set_state()`` round-trip through
     :func:`save_state`/:func:`load_state` for checkpoint/resume.
     """
 
     def __init__(self, cfg: FeatureConfig = None, batch_size: int = 1,
-                 pitch=False, pitch_lookahead: int = 15):
+                 pitch=False, pitch_lookahead: int = 15,
+                 input_rate: int | None = None):
         import dataclasses
         from tpufeat.config import KALDI39
         cfg = KALDI39 if cfg is None else cfg
+        # live ingest at a non-cfg rate (e.g. a 48 kHz mic): an online
+        # polyphase stage ahead of the front-end (exact vs offline
+        # resample(); tpufeat/resampling.py)
+        self._input_rate = input_rate
+        self._resampler = None
+        if input_rate is not None and input_rate != cfg.sample_rate:
+            from tpufeat.resampling import StreamingResampler
+            self._resampler = StreamingResampler(
+                input_rate, cfg.sample_rate, batch_size)
         if not cfg.deltas:
             raise ValueError("StreamingPipeline is the deltas+CMVN "
                              "composition; use StreamingFrontend for "
@@ -902,12 +918,19 @@ class StreamingPipeline:
         return jnp.concatenate([out_m, out_p], axis=-1)
 
     def process(self, chunk) -> jnp.ndarray:
-        """[B, C] (or [C]) raw samples -> [B, n, out_dim] complete
-        rows (n lags the input by delta_order*delta_window frames,
-        plus the Viterbi lookahead when pitch is enabled)."""
+        """[B, C] (or [C]) raw samples (at ``input_rate`` if set, else
+        ``cfg.sample_rate``) -> [B, n, out_dim] complete rows (n lags the
+        input by delta_order*delta_window frames, plus the Viterbi
+        lookahead when pitch is enabled)."""
         chunk = jnp.asarray(chunk, jnp.float32)
         if chunk.ndim == 1:
             chunk = chunk[None]
+        if self._resampler is not None:
+            chunk = self._resampler.process(chunk)
+        return self._process_native(chunk)
+
+    def _process_native(self, chunk: jnp.ndarray) -> jnp.ndarray:
+        """The post-resample body: chunk already at cfg.sample_rate."""
         base, _ = self.frontend.process(chunk)
         rows = base
         self._fifos[0] = jnp.concatenate([self._fifos[0], base], axis=1)
@@ -925,6 +948,11 @@ class StreamingPipeline:
         """End of stream: drain the delta lookaheads
         (delta_order*delta_window rows
         for streams longer than that) with offline edge replication."""
+        pre = None
+        if self._resampler is not None:
+            tail = self._resampler.flush()
+            if tail.shape[1]:
+                pre = self._process_native(tail)
         pending = None
         for i, stage in enumerate(self.stages):
             rows = stage.flush() if pending is None else jnp.concatenate(
@@ -939,7 +967,8 @@ class StreamingPipeline:
         assert all(f.shape[1] == 0 for f in self._fifos), \
             "FIFO accounting bug: rows left after flush"
         if self._pitch is None:
-            return out
+            return out if pre is None else jnp.concatenate([pre, out],
+                                                           axis=1)
         out = self._join(out, self._pitch.flush())
         assert self._pfeat_fifo.shape[1] == 0, \
             "FIFO accounting bug: pitch rows left after flush"
@@ -947,13 +976,14 @@ class StreamingPipeline:
         # frame, so the tracker decides fewer frames; drop the unmatched
         # spectral tail — the offline CLI truncates identically
         self._main_fifo = self._main_fifo[:, :0]
-        return out
+        return out if pre is None else jnp.concatenate([pre, out], axis=1)
 
     def reset(self) -> None:
         b = self._fifos[0].shape[0]
         self.__init__(self.cfg, b,
                       pitch=self._pitch_cfg if self._pitch_cfg else False,
-                      pitch_lookahead=self._pitch_lookahead)
+                      pitch_lookahead=self._pitch_lookahead,
+                      input_rate=self._input_rate)
 
     def state(self) -> dict:
         """Full pipeline state as one pytree (host counters included) —
@@ -964,6 +994,8 @@ class StreamingPipeline:
             "cmvn": self.cmvn_stats,
             "fifos": list(self._fifos),
         }
+        if self._resampler is not None:
+            s["resampler"] = self._resampler.state()
         if self._scmvn is not None:
             s["scmvn"] = self._scmvn.state()
         if self._pitch is not None:
@@ -981,6 +1013,8 @@ class StreamingPipeline:
         for stage, (carry, n_seen) in zip(self.stages, s["deltas"]):
             stage.carry, stage.n_seen = carry, int(n_seen)
         self.cmvn_stats = s["cmvn"]
+        if self._resampler is not None:
+            self._resampler.set_state(s["resampler"])
         if self._scmvn is not None:
             self._scmvn.set_state(s["scmvn"])
         self._fifos = [jnp.asarray(f) for f in s["fifos"]]
