@@ -171,6 +171,12 @@ class TestSpeechSegments:
         assert per_row[0] == [(20, 50)] and per_row[1] == []
         spans = augment.segments_to_samples(per_row[0], MFCC13_HTK)
         assert spans == [(20 * 160, 49 * 160 + 400)]
+        # centered configs: frame t is centered on t*hop -> spans shift
+        # left by frame_length//2 and clamp at 0
+        from tpufeat.config import WHISPER80
+        assert augment.segments_to_samples([(0, 10), (20, 50)],
+                                           WHISPER80) == [
+            (0, 9 * 160 + 200), (20 * 160 - 200, 49 * 160 + 200)]
 
     def test_composes_with_energy_vad(self):
         # two tone bursts in quiet noise -> exactly two segments covering them

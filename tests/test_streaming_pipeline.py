@@ -187,6 +187,15 @@ class TestInputRate:
                              np.asarray(b.flush())], axis=1)
         np.testing.assert_array_equal(ya, yb)
 
+    def test_input_rate_checkpoint_mismatch_rejected(self):
+        a = streaming.StreamingPipeline(KALDI39_NOCMVN, input_rate=48000)
+        s = a.state()
+        b = streaming.StreamingPipeline(KALDI39_NOCMVN)
+        with pytest.raises(ValueError, match="input_rate mismatch"):
+            b.set_state(s)
+        with pytest.raises(ValueError, match="input_rate mismatch"):
+            a.set_state(b.state())
+
     def test_same_rate_is_passthrough(self):
         x = _sig(1, 16000, 93)
         a = streaming.StreamingPipeline(KALDI39_NOCMVN, input_rate=16000)

@@ -81,6 +81,27 @@ class TestTorchIntegration:
         with pytest.raises(ValueError):
             compat.FeatureLoader(dl, MFCC13_HTK, return_type="list")
 
+    def test_rate_mismatch_raises(self, wav_dir, tmp_path):
+        p = tmp_path / "8k.wav"
+        tio.write_wav(str(p), np.zeros(800, np.float32), 8000)
+        ds = compat.TorchWavDataset([str(p)])
+        with pytest.raises(ValueError, match="sample rate 8000"):
+            ds[0]
+        ds_any = compat.TorchWavDataset([str(p)], expected_rate=None)
+        assert len(ds_any[0][0]) == 800
+
+    def test_dither_rng_fresh_per_batch(self, wav_dir):
+        import dataclasses
+        import jax
+        cfg = dataclasses.replace(MFCC13_HTK, dither=1e-3)
+        # two identical batches (same wav twice) must get DIFFERENT noise
+        dl = torch.utils.data.DataLoader(
+            compat.TorchWavDataset([wav_dir[0], wav_dir[0]]), batch_size=1,
+            num_workers=0, collate_fn=compat.pad_collate)
+        feats = [b["features"].numpy() for b in
+                 compat.FeatureLoader(dl, cfg, rng=jax.random.key(0))]
+        assert not np.array_equal(feats[0], feats[1])
+
     def test_worker_processes_decode(self, wav_dir):
         # decode in 2 worker processes (NumPy only there), extract in the
         # main process — the documented deployment split

@@ -317,10 +317,14 @@ def speech_segments(speech_flags, *, min_silence: int = 30,
 
 def segments_to_samples(segments, cfg) -> list:
     """Frame segments -> half-open SAMPLE ranges under ``cfg``'s frame
-    grid: frame t covers samples [t*hop, t*hop + frame_length), so the
-    range spans the first frame's start through the last frame's end."""
+    grid. Snip-edges (``center=False``): frame t covers
+    [t*hop, t*hop + frame_length). Centered configs: frame t is centered
+    on t*hop, so the span shifts left by frame_length//2 (clamped at 0;
+    the reflect padding has no real samples to point at)."""
     hop, flen = cfg.hop_length, cfg.frame_length
-    return [(s * hop, (e - 1) * hop + flen) for s, e in segments]
+    off = flen // 2 if cfg.center else 0
+    return [(max(0, s * hop - off), (e - 1) * hop + flen - off)
+            for s, e in segments]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -389,12 +393,12 @@ class StreamingEndpointer:
                              f"{self.frames_seen.shape[0]}")
         if F:
             self.frames_seen += F
-            self.seen_speech |= flags.any(axis=1)
-            # trailing run of silence: frames after the last True
-            rev_last = F - 1 - np.argmax(flags[:, ::-1], axis=1)
             any_speech = flags.any(axis=1)
+            self.seen_speech |= any_speech
+            # trailing run of silence == leading run of False in reverse
+            trailing = np.argmax(flags[:, ::-1], axis=1)
             self.trailing_silence = np.where(
-                any_speech, F - 1 - rev_last, self.trailing_silence + F)
+                any_speech, trailing, self.trailing_silence + F)
         return self.decision()
 
     def decision(self) -> np.ndarray:

@@ -153,16 +153,26 @@ class TorchWavDataset:
             batch["features"]        # torch.Tensor [B, T, D]
     """
 
-    def __init__(self, paths: Sequence[str], *, native: bool | None = None):
+    def __init__(self, paths: Sequence[str], *, native: bool | None = None,
+                 expected_rate: int | None = 16000):
         self.paths = list(paths)
         self.native = native
+        self.expected_rate = expected_rate
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def __getitem__(self, i: int):
         from tpufeat import io as tio
-        samples, _ = tio.read_wav(self.paths[i], native=self.native)
+        samples, rate = tio.read_wav(self.paths[i], native=self.native)
+        # silent rate mismatch = silently wrong features downstream (the
+        # corpus pipeline raises for the same reason); expected_rate=None
+        # opts out for rate-heterogeneous corpora resampled in collate
+        if self.expected_rate is not None and rate != self.expected_rate:
+            raise ValueError(
+                f"{self.paths[i]}: sample rate {rate} != expected "
+                f"{self.expected_rate}; resample (tpufeat.resample) or "
+                "construct with expected_rate=None")
         return np.asarray(samples, np.float32), self.paths[i]
 
 
@@ -190,10 +200,12 @@ class FeatureLoader:
     torch tensors — the main-process half of the torch integration.
 
     Yields dicts: ``features [B, T, D]``, ``num_frames [B]``,
-    ``mask [B, T]`` (torch tensors via zero-copy ``from_numpy``), plus
-    the batch's ``keys``. Extraction uses the jit-cached
-    :func:`tpufeat.extract`, so all TPU work stays in this process.
-    ``return_type="np"`` skips torch for plain NumPy output."""
+    ``mask [B, T]`` (torch tensors; one host copy out of the read-only
+    device buffer — torch refuses non-writable views), plus the batch's
+    ``keys``. Extraction uses the jit-cached :func:`tpufeat.extract`, so
+    all TPU work stays in this process. ``return_type="np"`` skips torch
+    for plain NumPy output. ``rng`` (for ``cfg.dither > 0``) is folded
+    with the batch index so every batch draws fresh noise."""
 
     def __init__(self, loader, cfg, *, return_type: str = "torch",
                  rng=None):
@@ -205,10 +217,14 @@ class FeatureLoader:
 
     def __iter__(self):
         from tpufeat import features
-        for batch in self.loader:
+        for i, batch in enumerate(self.loader):
             sig = np.asarray(batch["signal"], np.float32)
             lengths = np.asarray(batch["lengths"], np.int32)
-            res = features.extract(sig, lengths, self.cfg, rng=self.rng)
+            rng = None
+            if self.rng is not None:
+                import jax
+                rng = jax.random.fold_in(self.rng, i)
+            res = features.extract(sig, lengths, self.cfg, rng=rng)
             out = {"features": np.asarray(res.features),
                    "num_frames": np.asarray(res.num_frames),
                    "mask": np.asarray(res.mask),

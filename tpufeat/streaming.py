@@ -1013,6 +1013,13 @@ class StreamingPipeline:
         for stage, (carry, n_seen) in zip(self.stages, s["deltas"]):
             stage.carry, stage.n_seen = carry, int(n_seen)
         self.cmvn_stats = s["cmvn"]
+        # mismatched ingest rates must fail loudly: silently dropping the
+        # resampler's buffered carry would lose audio at the resume point
+        if (self._resampler is not None) != ("resampler" in s):
+            raise ValueError(
+                "checkpoint/config input_rate mismatch: checkpoint "
+                f"{'has' if 'resampler' in s else 'lacks'} resampler "
+                f"state, pipeline input_rate={self._input_rate}")
         if self._resampler is not None:
             self._resampler.set_state(s["resampler"])
         if self._scmvn is not None:
