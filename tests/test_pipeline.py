@@ -54,6 +54,42 @@ class TestPipeline:
         with pytest.raises(ValueError, match="resample"):
             list(pipeline.extract_corpus(str(d), MFCC13_HTK))
 
+    def test_resample_heterogeneous_corpus(self, tmp_path):
+        """--resample: 8k/16k/48k files in one corpus; every output
+        matches per-file resample() -> extract()."""
+        import os
+        from tpufeat import resampling
+        d = tmp_path / "wavs"
+        d.mkdir()
+        rates = {"a.wav": 16000, "b.wav": 8000, "c.wav": 48000,
+                 "d.wav": 8000}
+        for i, (name, r) in enumerate(rates.items()):
+            io.write_wav(str(d / name), make_signal(r // 2 + 77, seed=i),
+                         r)
+        got = {}
+        stats = {}
+        for path, feats in pipeline.extract_corpus(
+                str(d), MFCC13_HTK, batch_size=2, stats=stats,
+                resample=True):
+            got[os.path.basename(path)] = feats
+        assert set(got) == set(rates)
+        for name, r in rates.items():
+            x, _ = io.read_wav(str(d / name))
+            x16 = resampling.resample(x, r, 16000)
+            want = np.asarray(features.extract(x16, cfg=MFCC13_HTK)
+                              .features)
+            np.testing.assert_allclose(got[name], want, atol=2e-5)
+        assert abs(stats["audio_s"] - 4 * 0.5) < 0.05  # ~0.5 s each
+
+    def test_resample_cli_flag(self, tmp_path):
+        d = tmp_path / "wavs"
+        d.mkdir()
+        io.write_wav(str(d / "a.wav"), make_signal(8000, seed=1), 8000)
+        out = tmp_path / "o.npz"
+        rc = pipeline.main([str(d), str(out), "--resample"])
+        assert rc == 0
+        assert np.load(out)["a.wav"].shape[1] == 13
+
     def test_stats_collection(self, tmp_path):
         """Round-3 instrumentation: stats dict reports programs, padding
         waste, decode/device split."""
