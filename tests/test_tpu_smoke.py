@@ -456,6 +456,24 @@ class TestAuxOnChip:
             np.testing.assert_allclose(got[str(d / f"u{i}.wav")], want,
                                        atol=2e-5)
 
+    def test_corpus_resample_on_chip(self, tmp_path):
+        """Rate-heterogeneous corpus with --resample on hardware: on-chip
+        batched polyphase + fused extraction vs per-file oracle."""
+        from tpufeat import io as tio, pipeline, resampling
+        cfg = dataclasses.replace(MFCC13_HTK, **FUSED)
+        d = tmp_path / "wavs"
+        d.mkdir()
+        rates = {"a.wav": 16000, "b.wav": 8000, "c.wav": 48000}
+        for i, (name, r) in enumerate(rates.items()):
+            tio.write_wav(str(d / name), make_signal(r, seed=330 + i), r)
+        got = {p.split("/")[-1]: f for p, f in pipeline.extract_corpus(
+            str(d), cfg, batch_size=2, resample=True)}
+        for name, r in rates.items():
+            x, _ = tio.read_wav(str(d / name))
+            x16 = resampling.resample(x, r, 16000)
+            want = np.asarray(features.extract(x16, cfg=cfg).features)
+            np.testing.assert_allclose(got[name], want, atol=2e-5)
+
     def test_streaming_pipeline_online39_on_chip(self):
         """The composed online config-3 pipeline on hardware vs offline."""
         cfg = dataclasses.replace(KALDI39, cmvn="none", **FUSED)
