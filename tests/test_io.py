@@ -120,6 +120,34 @@ class TestWavFormats:
             assert np.abs(x - sig).max() < 1 / 32768 + 1e-6
 
 
+    def test_stereo_downmix_and_channel_select(self, tmp_path):
+        """Multi-channel: default averages to mono; channel=k selects
+        (telephony stereo keeps one speaker per channel)."""
+        import wave as wavemod
+        left = make_signal(1200, seed=166)
+        right = make_signal(1200, seed=167)
+        pcm = np.clip(np.round(
+            np.stack([left, right], 1) * 32768), -32768, 32767).astype("<i2")
+        p = str(tmp_path / "st.wav")
+        w = wavemod.open(p, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.ravel().tobytes())
+        w.close()
+        q = 1 / 32768 + 1e-6
+        mix, r = io.read_wav(p)
+        assert r == 16000
+        assert np.abs(mix - (left + right) / 2).max() < q
+        ch0, _ = io.read_wav(p, channel=0)
+        ch1, _ = io.read_wav(p, channel=1)
+        assert np.abs(ch0 - left).max() < q
+        assert np.abs(ch1 - right).max() < q
+        import pytest
+        with pytest.raises(ValueError, match="channel 2 out of range"):
+            io.read_wav(p, channel=2)
+
+
 class TestAPIEdges:
     def test_int16_input_scaled(self):
         sig = make_signal(4000, seed=161)

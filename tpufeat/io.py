@@ -49,16 +49,21 @@ def _decode_samples(raw: bytes, fmt: int, bits: int) -> np.ndarray:
                      "(supported: PCM 8/16/24/32-bit, IEEE float 32/64-bit)")
 
 
-def read_wav(path: str, *, native: bool | None = None) -> tuple[np.ndarray, int]:
+def read_wav(path: str, *, native: bool | None = None,
+             channel: int | None = None) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 samples in [-1, 1), sample_rate).
 
     Supports PCM 8/16/24/32-bit and IEEE-float 32/64-bit, including
     WAVE_FORMAT_EXTENSIBLE headers; unknown format tags raise ValueError
     instead of decoding garbage. Multi-channel audio is averaged to mono
-    (the reference is mono-only). ``native=True`` forces the C++ decoder,
-    ``native=False`` forces Python, ``None`` prefers native when built.
+    by default (the reference is mono-only); ``channel=k`` selects one
+    channel instead (telephony stereo keeps one speaker per channel —
+    Kaldi's ``extract-channel``/wav channel suffix). ``native=True``
+    forces the C++ decoder, ``native=False`` forces Python, ``None``
+    prefers native when built (channel selection routes to Python; the
+    native decoder downmixes internally).
     """
-    if native is not False:
+    if native is not False and channel is None:
         try:
             from tpufeat import cpp_golden
             if cpp_golden.available():
@@ -99,7 +104,13 @@ def read_wav(path: str, *, native: bool | None = None) -> tuple[np.ndarray, int]
         pos += 8 + size + (size & 1)          # chunks are word-aligned
     if samples is None:
         raise ValueError(f"no data chunk found: {path}")
-    if channels > 1:
+    if channel is not None:
+        if not 0 <= channel < channels:
+            raise ValueError(f"channel {channel} out of range: {path} has "
+                             f"{channels} channel(s)")
+        samples = np.ascontiguousarray(
+            samples.reshape(-1, channels)[:, channel])
+    elif channels > 1:
         samples = samples.reshape(-1, channels).mean(axis=1).astype(np.float32)
     return samples, rate
 
