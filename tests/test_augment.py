@@ -352,6 +352,25 @@ class TestAddReverb:
         assert np.all(y[0, 1500:] == 0.0)
         assert np.all(y[1] == 0.0)               # all-padding utterance
 
+    def test_property_random_geometry(self):
+        from hypothesis import given, settings, strategies as st
+
+        @given(n=st.integers(300, 5000), r=st.integers(1, 300),
+               lfrac=st.floats(0.0, 1.0), seed=st.integers(0, 2**31))
+        @settings(max_examples=20, deadline=None)
+        def check(n, r, lfrac, seed):
+            rng = np.random.default_rng(seed)
+            x = rng.standard_normal((1, n)).astype(np.float32)
+            h = rng.standard_normal(r).astype(np.float32)
+            lengths = np.array([int(round(lfrac * n))])
+            y = np.asarray(augment.add_reverb(x, h, lengths))
+            ref = self._numpy_reverb(x, h[None], lengths)
+            scale = max(1.0, np.abs(ref).max())
+            assert np.max(np.abs(y - ref)) < 2e-3 * scale
+            assert np.all(y[0, lengths[0]:] == 0.0)
+
+        check()
+
     def test_normalize_preserves_power(self):
         rng = np.random.default_rng(4)
         x = rng.standard_normal((2, 5000)).astype(np.float32)
