@@ -81,6 +81,29 @@ class TestPipeline:
             np.testing.assert_allclose(got[name], want, atol=2e-5)
         assert abs(stats["audio_s"] - 4 * 0.5) < 0.05  # ~0.5 s each
 
+    def test_dp_corpus_matches_direct(self, tmp_path):
+        """dp=True on the 8-fake-device mesh: row-sharded batches (with
+        mesh-divisibility zero-row padding) match direct extract."""
+        import os
+        d, sigs = _make_corpus(tmp_path, [16000, 7000, 23999, 16000,
+                                          4000])
+        got = {os.path.relpath(p, str(d)): f for p, f in
+               pipeline.extract_corpus(str(d), MFCC13_HTK, batch_size=4,
+                                       dp=True)}
+        assert set(got) == set(sigs)
+        for rel in sigs:
+            x, _ = io.read_wav(str(d / rel))
+            want = np.asarray(features.extract(x, cfg=MFCC13_HTK).features)
+            np.testing.assert_allclose(got[rel], want, atol=2e-5)
+
+    def test_dp_rejects_dither(self, tmp_path):
+        import dataclasses
+        import pytest
+        d, _ = _make_corpus(tmp_path, [8000])
+        cfg = dataclasses.replace(MFCC13_HTK, dither=1e-3)
+        with pytest.raises(ValueError, match="dp=True"):
+            list(pipeline.extract_corpus(str(d), cfg, dp=True))
+
     def test_resample_cli_flag(self, tmp_path):
         d = tmp_path / "wavs"
         d.mkdir()

@@ -115,7 +115,7 @@ def _decode_batch(entries, width: int, sample_rate: int, rows: int):
 
 def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
                    stats: dict | None = None, rng=None,
-                   resample: bool = False,
+                   resample: bool = False, dp: bool = False, mesh=None,
                    ) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (wav_path, features [F, D]) for every WAV under ``wav_dir``.
 
@@ -131,6 +131,13 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
     valid prefix resamples identically to the lone utterance (tested).
     Without the flag, off-rate files raise (silently wrong features are
     never an option).
+
+    ``dp=True`` shards every batch's row axis over ``mesh`` (default: all
+    devices; `sharding.extract_data_parallel`) — the multi-chip corpus
+    shape. Rows are padded to a mesh-size multiple (zero rows, masked);
+    the pipeline has no cross-utterance coupling, so per-chip programs
+    are local and scaling is linear by construction. Incompatible with
+    ``cfg.dither`` (the dp path has no rng plumbing — raises).
 
     ``stats``: pass a dict to collect pipeline evidence (round-3 VERDICT
     item 3): ``device_s`` (dispatch + fetch wall time), ``decode_wait_s``
@@ -149,6 +156,14 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
             "resample=True / --resample")
     plans = _plan_batches(entries, batch_size)
     fn = features.make_extractor(cfg)
+    ndev = 1
+    if dp:
+        from tpufeat import sharding as shard_mod
+        if cfg.dither > 0:
+            raise ValueError("dp=True has no per-batch rng plumbing; "
+                             "use dither with the single-device path")
+        mesh = shard_mod.default_mesh() if mesh is None else mesh
+        ndev = int(np.prod(list(mesh.shape.values())))
     if cfg.dither > 0:
         import jax
         if rng is None:
@@ -188,14 +203,25 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
             t = threading.Thread(target=decode, args=(i + 1,))
             t.start()                      # host decodes while device runs
         t0 = time.perf_counter()
+        pad_rows = (-arena.shape[0]) % ndev
+        if pad_rows:                       # mesh-divisible row count
+            arena = np.concatenate(
+                [arena, np.zeros((pad_rows, arena.shape[1]), np.float32)])
+            lengths = np.concatenate(
+                [lengths, np.zeros(pad_rows, lengths.dtype)])
         if rate != cfg.sample_rate:
             from tpufeat import resampling
             arena = resampling.resample(arena, rate, cfg.sample_rate)
             p_, q_ = resampling._rational(rate, cfg.sample_rate)
             lengths = np.array([resampling.output_length(int(n), p_, q_)
                                 for n in lengths], np.int32)
-        res = fn(arena, lengths, rng=keys[i]) if keys[i] is not None \
-            else fn(arena, lengths)
+        if dp:
+            from tpufeat import sharding as shard_mod
+            res = shard_mod.extract_data_parallel(arena, lengths, cfg,
+                                                  mesh)
+        else:
+            res = fn(arena, lengths, rng=keys[i]) if keys[i] is not None \
+                else fn(arena, lengths)
         feats = np.asarray(res.features)
         nf = np.asarray(res.num_frames)
         device_s += time.perf_counter() - t0
@@ -281,6 +307,9 @@ def main(argv=None) -> int:
                         "grouped by native rate and converted to the "
                         "preset's rate on device (one polyphase matmul "
                         "per batch) before extraction")
+    p.add_argument("--dp", action="store_true",
+                   help="shard each batch's rows over all devices "
+                        "(data-parallel multi-chip corpus extraction)")
     p.add_argument("--repeat", type=int, default=1,
                    help="extra passes over the corpus: pass 1 pays the "
                         "per-shape XLA compiles (~13 s each through the "
@@ -319,7 +348,8 @@ def main(argv=None) -> int:
                     if args.global_cmvn else None)
         for path, feats in extract_corpus(args.wav_dir, cfg, args.batch,
                                           stats=stats,
-                                          resample=args.resample):
+                                          resample=args.resample,
+                                          dp=args.dp):
             rel = os.path.relpath(path, args.wav_dir)
             spk = _spk_of(utt2spk, rel) if utt2spk else None
             if cmvn_acc is not None:
