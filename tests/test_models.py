@@ -138,3 +138,54 @@ class TestDecode:
         out = train_lib.greedy_ctc_decode(jnp.asarray(logits),
                                           jnp.asarray(mask))
         assert out == [[1]]
+
+
+class TestErrorRate:
+    def test_edit_distance_cases(self):
+        ed = train_lib.edit_distance
+        assert ed([], []) == 0
+        assert ed([1, 2, 3], [1, 2, 3]) == 0
+        assert ed([1, 2, 3], []) == 3
+        assert ed([], [7]) == 1
+        assert ed([1, 2, 3], [1, 9, 3]) == 1       # substitution
+        assert ed([1, 2, 3], [1, 3]) == 1          # deletion
+        assert ed([1, 3], [1, 2, 3]) == 1          # insertion
+        # classic: kitten -> sitting = 3
+        assert ed("kitten", "sitting") == 3
+
+    def test_edit_distance_matches_brute_force(self):
+        rng = np.random.default_rng(4)
+        for _ in range(25):
+            a = rng.integers(0, 4, rng.integers(0, 7)).tolist()
+            b = rng.integers(0, 4, rng.integers(0, 7)).tolist()
+            # brute force over recursion with memo
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def f(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(f(i - 1, j) + 1, f(i, j - 1) + 1,
+                           f(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+            assert train_lib.edit_distance(a, b) == f(len(a), len(b))
+
+    def test_token_error_rate(self):
+        out = train_lib.token_error_rate([[1, 2, 3], [4]], [[1, 3], [4]])
+        assert out == {"ter": 0.25, "errors": 1, "ref_tokens": 4,
+                       "utterances": 2}
+        assert train_lib.token_error_rate([[]], [[1]])["ter"] == float("inf")
+        assert train_lib.token_error_rate([], [])["ter"] == 0.0
+        import pytest
+        with pytest.raises(ValueError):
+            train_lib.token_error_rate([[1]], [])
+
+    def test_end_to_end_with_decode(self):
+        # logits that greedy-decode to the reference -> TER 0
+        logits = np.full((1, 6, 5), -10.0, np.float32)
+        for t, tok in enumerate([1, 1, 0, 2, 3, 3]):
+            logits[0, t, tok] = 10.0
+        hyp = train_lib.greedy_ctc_decode(jnp.asarray(logits),
+                                      np.ones((1, 6), bool))
+        assert train_lib.token_error_rate([[1, 2, 3]], hyp)["ter"] == 0.0

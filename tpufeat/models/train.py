@@ -149,3 +149,42 @@ def greedy_ctc_decode(logits: jnp.ndarray, mask: jnp.ndarray,
             prev = tok
         out.append(seq)
     return out
+
+
+def edit_distance(ref, hyp) -> int:
+    """Levenshtein distance between two token sequences (the WER/CER
+    core). O(|ref|*|hyp|) rolling-row DP on host — evaluation is control
+    logic, not device compute (docs/DESIGN.md §8)."""
+    ref, hyp = list(ref), list(hyp)
+    if not ref:
+        return len(hyp)
+    prev = list(range(len(hyp) + 1))
+    for i, r in enumerate(ref, 1):
+        cur = [i] + [0] * len(hyp)
+        for j, h in enumerate(hyp, 1):
+            cur[j] = min(prev[j] + 1,            # deletion
+                         cur[j - 1] + 1,         # insertion
+                         prev[j - 1] + (r != h))  # substitution / match
+        prev = cur
+    return prev[-1]
+
+
+def token_error_rate(refs, hyps) -> dict:
+    """Corpus token error rate (WER over word ids / CER over char ids):
+    sum of edit distances over the total reference length, plus the
+    error-type breakdown evaluators expect.
+
+    Returns {"ter", "errors", "ref_tokens", "utterances"}; ter is
+    errors/ref_tokens (inf if the reference is empty but hypotheses are
+    not)."""
+    if len(refs) != len(hyps):
+        raise ValueError(f"{len(refs)} references vs {len(hyps)} "
+                         "hypotheses")
+    errors = sum(edit_distance(r, h) for r, h in zip(refs, hyps))
+    n_ref = sum(len(list(r)) for r in refs)
+    if n_ref == 0:
+        ter = 0.0 if errors == 0 else float("inf")
+    else:
+        ter = errors / n_ref
+    return {"ter": ter, "errors": errors, "ref_tokens": n_ref,
+            "utterances": len(refs)}
