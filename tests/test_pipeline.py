@@ -96,6 +96,27 @@ class TestPipeline:
             want = np.asarray(features.extract(x, cfg=MFCC13_HTK).features)
             np.testing.assert_allclose(got[rel], want, atol=2e-5)
 
+    def test_dp_with_resample(self, tmp_path):
+        """dp + resample compose: rate-grouped, row-padded to the mesh
+        multiple, resampled on device, extracted sharded."""
+        import os
+        from tpufeat import resampling
+        d = tmp_path / "wavs"
+        d.mkdir()
+        rates = {"a.wav": 16000, "b.wav": 8000, "c.wav": 48000}
+        for i, (name, r) in enumerate(rates.items()):
+            io.write_wav(str(d / name), make_signal(r // 2, seed=40 + i),
+                         r)
+        got = {os.path.basename(p): f for p, f in pipeline.extract_corpus(
+            str(d), MFCC13_HTK, batch_size=2, resample=True, dp=True)}
+        assert set(got) == set(rates)
+        for name, r in rates.items():
+            x, _ = io.read_wav(str(d / name))
+            x16 = resampling.resample(x, r, 16000)
+            want = np.asarray(features.extract(x16, cfg=MFCC13_HTK)
+                              .features)
+            np.testing.assert_allclose(got[name], want, atol=2e-5)
+
     def test_dp_rejects_dither(self, tmp_path):
         import dataclasses
         import pytest
