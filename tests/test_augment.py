@@ -403,9 +403,32 @@ class TestSpeedPerturb:
         from tpufeat.augment import speed_perturb
         x = np.zeros((1, 100), np.float32)
         y = np.asarray(speed_perturb(x, 16000, 1.0))
+        y2, l2 = speed_perturb(x, 16000, 1.0, lengths=np.array([70]))
+        np.testing.assert_array_equal(np.asarray(l2), [70])
         assert y.shape == (1, 100)
         with pytest.raises(ValueError, match="integral"):
             speed_perturb(x, 16000, 1.0001)
+
+
+class TestSpeedPerturbBatched:
+    def test_padded_batch_with_lengths(self):
+        """Padded rows' valid prefixes == lone-utterance perturbation;
+        new lengths follow ceil(n*p/q)."""
+        from tpufeat.augment import speed_perturb
+        rng = np.random.default_rng(11)
+        a = rng.standard_normal(16000).astype(np.float32)
+        b = rng.standard_normal(11000).astype(np.float32)
+        x = np.zeros((2, 16000), np.float32)
+        x[0], x[1, :11000] = a, b
+        y, nl = speed_perturb(x, 16000, 0.9, lengths=np.array([16000,
+                                                               11000]))
+        y, nl = np.asarray(y), np.asarray(nl)
+        for sig, n, row in [(a, 16000, 0), (b, 11000, 1)]:
+            lone = np.asarray(speed_perturb(sig[None], 16000, 0.9))[0]
+            # factor 0.9 -> 14400->16000 Hz = x10/9 samples (slower=longer)
+            assert nl[row] == lone.shape[0] == -(-n * 10 // 9)
+            np.testing.assert_allclose(y[row, : nl[row]],
+                                       lone[: nl[row]], atol=1e-6)
 
 
 class TestStreamingEnergyVAD:

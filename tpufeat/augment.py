@@ -434,12 +434,17 @@ class StreamingEndpointer:
         self.seen_speech = np.asarray(s["seen_speech"], bool).copy()
 
 
-def speed_perturb(signal, sr: int, factor: float) -> "jnp.ndarray":
+def speed_perturb(signal, sr: int, factor: float, lengths=None):
     """Kaldi-style speed perturbation (0.9/1.0/1.1 are the classic
     triple): resample so the audio plays ``factor``x faster — output
     length ~ N/factor, pitch and formants shift together (sox ``speed``,
     not tempo). Rides the polyphase MXU resampler: sample rate
-    ``sr*factor -> sr`` with the rational reduced internally."""
+    ``sr*factor -> sr`` with the rational reduced internally.
+
+    With ``lengths`` (padded batches) returns ``(y, new_lengths)``: the
+    polyphase zero-pads edges, so each padded row's valid prefix
+    resamples identically to the lone utterance, and the new valid
+    length is ``ceil(len * p / q)``."""
     from tpufeat import resampling
     sr_in = int(round(sr * factor))
     if sr_in <= 0:
@@ -447,5 +452,13 @@ def speed_perturb(signal, sr: int, factor: float) -> "jnp.ndarray":
     if abs(sr_in - sr * factor) > 1e-6:
         raise ValueError(f"sr*factor must be integral (got {sr * factor})")
     if factor == 1.0:
-        return jnp.asarray(signal, jnp.float32)
-    return resampling.resample(signal, sr_in, sr)
+        y = jnp.asarray(signal, jnp.float32)
+        return y if lengths is None else (y, jnp.asarray(lengths,
+                                                         jnp.int32))
+    y = resampling.resample(signal, sr_in, sr)
+    if lengths is None:
+        return y
+    p, q = resampling._rational(sr_in, sr)
+    # host int64: n*p overflows int32 for hour-scale n at 44.1k-family p
+    new = -(-np.asarray(lengths, np.int64) * p // q)
+    return y, jnp.asarray(new.astype(np.int32))
