@@ -221,7 +221,9 @@ class TestDataParallelNoRetrace:
         before = fn._cache_size()
         sharding.extract_data_parallel(x, lens, cfg, mesh)
         assert sharding._make_dp_fn(cfg, mesh, "dp") is fn
-        assert fn._cache_size() == before == 1
+        # no retrace for a repeated (shape, cfg) call; absolute size is
+        # suite-order-dependent (other tests share this lru-cached fn)
+        assert fn._cache_size() == before >= 1
 
 
 class TestSelfReview2:
