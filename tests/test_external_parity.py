@@ -100,6 +100,24 @@ class TestCompatShim:
     """tpufeat.compat.WhisperFeatureExtractor — the drop-in HF surface —
     against the real transformers implementation."""
 
+    def test_from_pretrained_local(self, tmp_path):
+        import json
+        from tpufeat.compat import WhisperFeatureExtractor
+        cfgfile = {"feature_size": 128, "sampling_rate": 16000,
+                   "hop_length": 160, "chunk_length": 30, "n_fft": 400,
+                   "padding_value": 0.0,
+                   "feature_extractor_type": "WhisperFeatureExtractor"}
+        (tmp_path / "preprocessor_config.json").write_text(
+            json.dumps(cfgfile))
+        fe = WhisperFeatureExtractor.from_pretrained(str(tmp_path))
+        assert fe.feature_size == 128 and fe.config.n_mels == 128
+        fe2 = WhisperFeatureExtractor.from_pretrained(
+            str(tmp_path / "preprocessor_config.json"), feature_size=80)
+        assert fe2.feature_size == 80
+        import pytest
+        with pytest.raises(ValueError, match="local"):
+            WhisperFeatureExtractor.from_pretrained("openai/whisper-tiny")
+
     def test_batch_matches_transformers(self, whisper_fe):
         from tpufeat.compat import WhisperFeatureExtractor
         rng = np.random.default_rng(9)

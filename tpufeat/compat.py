@@ -59,6 +59,29 @@ class WhisperFeatureExtractor:
             use_pallas=on_tpu, gemm_dft=on_tpu, fused_framing=on_tpu,
             matmul_precision="bf16x3" if on_tpu else "highest")
 
+    @classmethod
+    def from_pretrained(cls, path: str, **overrides):
+        """Construct from a LOCAL HF checkpoint directory (or a direct
+        ``preprocessor_config.json`` path) — the fields this shim
+        supports are read, everything else in the file is ignored. Hub
+        names are rejected explicitly (this environment has no network;
+        and features depend only on the geometry fields anyway)."""
+        import json
+        import os
+        p = (os.path.join(path, "preprocessor_config.json")
+             if os.path.isdir(path) else path)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"{path!r} is not a local checkpoint dir or config file "
+                "(hub downloads are not supported; pass a local path)")
+        with open(p) as f:
+            d = json.load(f)
+        kw = {k: d[k] for k in ("feature_size", "sampling_rate",
+                                "hop_length", "chunk_length", "n_fft",
+                                "padding_value") if k in d}
+        kw.update(overrides)
+        return cls(**kw)
+
     def __call__(self, raw_speech, sampling_rate: int | None = None,
                  return_tensors: str = "np", padding: str = "max_length",
                  max_length: int | None = None, truncation: bool = True,
