@@ -115,6 +115,49 @@ class TestCmvnStats:
         np.testing.assert_allclose(allf.var(0), 1.0, atol=1e-3)
 
 
+class TestPasteSubsample:
+    """Kaldi paste-feats / subsample-feats analogues (tpufeat/data.py)."""
+
+    def test_paste_feats(self):
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((2, 10, 13)).astype(np.float32)
+        b = rng.standard_normal((2, 10, 3)).astype(np.float32)
+        out = np.asarray(data.paste_feats([a, b]))
+        assert out.shape == (2, 10, 16)
+        np.testing.assert_array_equal(out[..., :13], a)
+        np.testing.assert_array_equal(out[..., 13:], b)
+        nf = np.array([10, 7])
+        out2, nf2 = data.paste_feats([a, b], [nf, nf.copy()])
+        np.testing.assert_array_equal(nf2, nf)
+        import pytest
+        with pytest.raises(ValueError, match="frame counts"):
+            data.paste_feats([a, b], [nf, np.array([10, 8])])
+        with pytest.raises(ValueError, match="disagree on \\[B, F\\]"):
+            data.paste_feats([a, b[:, :9]])
+        with pytest.raises(ValueError, match="at least one"):
+            data.paste_feats([])
+
+    def test_subsample_frames(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 11, 4)).astype(np.float32)
+        nf = np.array([11, 5])
+        out, new_nf = data.subsample_frames(x, nf, 3)
+        assert out.shape == (2, 4, 4)               # ceil(11/3)
+        np.testing.assert_array_equal(out, x[:, ::3])
+        np.testing.assert_array_equal(new_nf, [4, 2])  # ceil(5/3)=2
+        out1, nf1 = data.subsample_frames(x, nf, 3, offset=1)
+        np.testing.assert_array_equal(out1, x[:, 1::3])
+        np.testing.assert_array_equal(nf1, [4, 2])  # frames 1,4,7,10 / 1,4
+        same, nfs = data.subsample_frames(x, nf, 1)
+        np.testing.assert_array_equal(same, x)
+        np.testing.assert_array_equal(nfs, nf)
+        import pytest
+        with pytest.raises(ValueError):
+            data.subsample_frames(x, nf, 0)
+        with pytest.raises(ValueError):
+            data.subsample_frames(x, nf, 3, offset=3)
+
+
 class TestTransforms:
     """apply_transform / LdaStats — the Kaldi transform-feats + acc-lda/
     est-lda analogue pair over spliced frames."""

@@ -17,7 +17,8 @@ import numpy as np
 from tpufeat import io
 
 __all__ = ["pad_batch", "bucket_length", "batched", "iter_wav_dir",
-           "splice_frames", "apply_transform", "LdaStats"]
+           "splice_frames", "apply_transform", "LdaStats",
+           "paste_feats", "subsample_frames"]
 
 
 def pad_batch(signals: Sequence[np.ndarray],
@@ -97,6 +98,46 @@ def splice_frames(feat, num_frames, left: int = 3, right: int = 3):
         idx = jnp.clip(t[None, :] + off, 0, hi)
         parts.append(jnp.take_along_axis(feat, idx[..., None], axis=-2))
     return jnp.concatenate(parts, axis=-1)
+
+
+def paste_feats(feats, num_frames_list=None):
+    """Kaldi ``paste-feats``: concatenate feature streams column-wise,
+    [B, F, D1] + [B, F, D2] + ... -> [B, F, D1+D2+...]. With
+    ``num_frames_list`` the per-stream frame counts are validated to
+    agree (the classic MFCC | pitch pasting bug is a silent off-by-one),
+    and the shared counts are returned alongside."""
+    import jax.numpy as jnp
+    if not feats:
+        raise ValueError("paste_feats needs at least one stream")
+    shapes = {f.shape[:-1] for f in feats}
+    if len(shapes) != 1:
+        raise ValueError(f"streams disagree on [B, F]: {sorted(shapes)}")
+    out = jnp.concatenate([jnp.asarray(f) for f in feats], axis=-1)
+    if num_frames_list is None:
+        return out
+    import numpy as _np
+    counts = [_np.asarray(n) for n in num_frames_list]
+    for c in counts[1:]:
+        if not _np.array_equal(c, counts[0]):
+            raise ValueError("streams disagree on per-utterance frame "
+                             f"counts: {counts[0]} vs {c}")
+    return out, counts[0]
+
+
+def subsample_frames(feat, num_frames, factor: int, offset: int = 0):
+    """Kaldi ``subsample-feats --n``: keep every ``factor``-th frame
+    (chain models run the encoder at a 3x lower frame rate),
+    [B, F, D] -> ([B, ceil(F/factor), D], new_num_frames). Static
+    strided slice — no gather; padding rows stay padding."""
+    import numpy as _np
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    if not 0 <= offset < factor:
+        raise ValueError(f"offset {offset} outside [0, {factor})")
+    out = feat[..., offset::factor, :]
+    nf = _np.asarray(num_frames)
+    new_nf = _np.maximum(0, (nf - offset + factor - 1) // factor)
+    return out, new_nf
 
 
 def apply_transform(feat, mat):
