@@ -64,6 +64,23 @@ class TestSpecAugment:
             jnp.asarray(feats), jnp.asarray(nf), jax.random.PRNGKey(8)))
         assert (a != c).any()
 
+    def test_adaptive_time_width(self):
+        """time_width_ratio: per-utterance mask-width budget scales with
+        num_frames — a 20-frame utterance can never lose more than
+        ratio*20 contiguous frames per mask."""
+        rng = np.random.default_rng(5)
+        feats = jnp.asarray(rng.standard_normal((2, 200, 8)), jnp.float32)
+        nf = np.array([200, 20])
+        aug = np.asarray(augment.spec_augment(
+            feats, nf, jax.random.key(3), n_freq_masks=0,
+            n_time_masks=1, time_width_ratio=0.25, fill="zero"))
+        for b, n in enumerate(nf):
+            changed = np.flatnonzero(
+                (aug[b, :n] != np.asarray(feats)[b, :n]).any(axis=-1))
+            assert changed.size <= int(0.25 * n)   # budget respected
+            np.testing.assert_array_equal(aug[b, n:],
+                                          np.asarray(feats)[b, n:])
+
     def test_mean_fill_value(self):
         feats, nf = self._feats()
         out = np.asarray(augment.spec_augment(

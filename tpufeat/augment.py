@@ -32,19 +32,24 @@ __all__ = ["spec_augment", "energy_vad", "add_noise", "add_reverb",
 @functools.partial(
     jax.jit,
     static_argnames=("n_freq_masks", "freq_width", "n_time_masks",
-                     "time_width", "fill"))
+                     "time_width", "time_width_ratio", "fill"))
 def spec_augment(feats: jnp.ndarray, num_frames: jnp.ndarray,
                  rng: jnp.ndarray, *,
                  n_freq_masks: int = 2, freq_width: int = 27,
                  n_time_masks: int = 2, time_width: int = 100,
+                 time_width_ratio: float | None = None,
                  fill: str = "mean") -> jnp.ndarray:
     """SpecAugment masking: feats [B, T, D] -> masked copy.
 
     Per utterance: ``n_freq_masks`` bands of width U[0, freq_width) on the
     feature axis and ``n_time_masks`` spans of width U[0, time_width) on
     the time axis (clamped inside the utterance's valid ``num_frames``).
-    ``fill`` is "mean" (per-utterance masked mean, the common choice for
-    normalized features) or "zero".
+    ``time_width_ratio`` switches the time-mask budget to the ADAPTIVE
+    policy (Park et al. 2020, large-scale SpecAugment): max width =
+    ratio * num_frames per utterance instead of the fixed ``time_width``
+    — short utterances stop being over-masked. ``fill`` is "mean"
+    (per-utterance masked mean, the common choice for normalized
+    features) or "zero".
     """
     B, T, D = feats.shape
     nf = jnp.maximum(num_frames.astype(jnp.int32), 1)          # [B]
@@ -64,8 +69,13 @@ def spec_augment(feats: jnp.ndarray, num_frames: jnp.ndarray,
         & (d_idx[..., None] < (f0 + fw)[:, None, None, :]), axis=-1)
     masked = masked | hit_f
 
-    # time masks: width w ~ U[0, min(time_width, nf)], start U[0, nf - w]
-    max_tw = jnp.minimum(time_width, nf)[:, None]              # [B, 1]
+    # time masks: width w ~ U[0, min(time_width, nf)], start U[0, nf - w];
+    # adaptive policy: the width budget scales with the utterance length
+    if time_width_ratio is not None:
+        max_tw = (time_width_ratio * nf).astype(jnp.int32)[:, None]
+        max_tw = jnp.minimum(max_tw, nf[:, None])
+    else:
+        max_tw = jnp.minimum(time_width, nf)[:, None]           # [B, 1]
     tw = (jax.random.uniform(keys[2], (B, n_time_masks))
           * (max_tw + 1)).astype(jnp.int32)
     t0 = (jax.random.uniform(keys[3], (B, n_time_masks))
