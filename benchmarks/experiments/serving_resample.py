@@ -47,17 +47,20 @@ def main():
     budget_ms = 100.0
     for B in (8192, 16384, 32768, 65536):
         rng = np.random.default_rng(0)
-        # device-resident distinct chunks (honest ingest: no re-read)
-        c48 = [jax.device_put(jnp.asarray(
-            rng.standard_normal((B, 4800)) * 0.1, jnp.float32))
-            for _ in range(4)]
+        # device-resident distinct chunks (honest ingest: no re-read);
+        # the 16k phase is measured and FREED before the 48k phase — at
+        # B=65536 both chunk sets together would be ~6.7 GB of HBM and
+        # skew the timing with allocator pressure
         c16 = [jax.device_put(jnp.asarray(
             rng.standard_normal((B, 1600)) * 0.1, jnp.float32))
             for _ in range(4)]
-
         fe = streaming.StreamingFrontend(cfg, batch_size=B)
         t_base = timeit(lambda c: fe.process(c)[0], c16)
+        del fe, c16
 
+        c48 = [jax.device_put(jnp.asarray(
+            rng.standard_normal((B, 4800)) * 0.1, jnp.float32))
+            for _ in range(4)]
         sr = resampling.StreamingResampler(48000, 16000, batch_size=B)
         fe2 = streaming.StreamingFrontend(cfg, batch_size=B)
 
@@ -65,6 +68,7 @@ def main():
             return fe2.process(sr.process(c48_chunk))[0]
 
         t_full = timeit(full_step, c48)
+        del fe2, sr, c48
         print(f"B={B:6d}  16k step {t_base*1e3:7.2f} ms  "
               f"48k ingest {t_full*1e3:7.2f} ms  "
               f"(+{(t_full-t_base)*1e3:6.2f} ms)  "

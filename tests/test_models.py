@@ -173,13 +173,27 @@ class TestErrorRate:
 
     def test_token_error_rate(self):
         out = train_lib.token_error_rate([[1, 2, 3], [4]], [[1, 3], [4]])
-        assert out == {"ter": 0.25, "errors": 1, "ref_tokens": 4,
-                       "utterances": 2}
+        assert out == {"ter": 0.25, "errors": 1, "sub": 0, "ins": 0,
+                       "del": 1, "ref_tokens": 4, "utterances": 2}
         assert train_lib.token_error_rate([[]], [[1]])["ter"] == float("inf")
         assert train_lib.token_error_rate([], [])["ter"] == 0.0
         import pytest
         with pytest.raises(ValueError):
             train_lib.token_error_rate([[1]], [])
+
+    def test_edit_alignment_breakdown(self):
+        # kitten -> sitting: 2 sub (k->s, e->i) + 1 ins (g)
+        assert train_lib.edit_alignment("kitten", "sitting") == (2, 1, 0)
+        assert train_lib.edit_alignment([1, 2], [1, 2]) == (0, 0, 0)
+        assert train_lib.edit_alignment([1, 2], []) == (0, 0, 2)
+        assert train_lib.edit_alignment([], [9, 9]) == (0, 2, 0)
+        # counts always sum to the distance (random cross-check)
+        rng = np.random.default_rng(6)
+        for _ in range(25):
+            a = rng.integers(0, 3, rng.integers(0, 8)).tolist()
+            b = rng.integers(0, 3, rng.integers(0, 8)).tolist()
+            assert sum(train_lib.edit_alignment(a, b)) == \
+                train_lib.edit_distance(a, b)
 
     def test_end_to_end_with_decode(self):
         # logits that greedy-decode to the reference -> TER 0

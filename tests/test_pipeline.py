@@ -117,6 +117,31 @@ class TestPipeline:
                               .features)
             np.testing.assert_allclose(got[name], want, atol=2e-5)
 
+    def test_dp_erratum_guard_splits(self, tmp_path, monkeypatch):
+        """When the per-device program shape leaves the measured-clean
+        envelope, the dp path must row-split exactly like extract()."""
+        import os
+        from tpufeat import features as feat_mod
+        d, sigs = _make_corpus(tmp_path, [16000] * 9)
+        want = {}
+        for rel in sigs:                        # oracle BEFORE patching
+            x, _ = io.read_wav(str(d / rel))
+            want[rel] = np.asarray(features.extract(x, cfg=MFCC13_HTK)
+                                   .features)
+        # 9 files pad to 16 rows on the 8-device mesh -> 2 rows/device;
+        # declare multi-row per-device programs unsafe so the dp path
+        # must split into 1-row-per-device dispatches
+        monkeypatch.setattr(feat_mod, "_single_program_safe",
+                            lambda shape: shape[0] <= 1)
+        monkeypatch.setattr(feat_mod, "_rows_per_dispatch",
+                            lambda B, N: 1)
+        got = {os.path.relpath(p, str(d)): f for p, f in
+               pipeline.extract_corpus(str(d), MFCC13_HTK,
+                                       batch_size=16, dp=True)}
+        assert set(got) == set(sigs)
+        for rel in sigs:
+            np.testing.assert_allclose(got[rel], want[rel], atol=2e-5)
+
     def test_dp_rejects_dither(self, tmp_path):
         import dataclasses
         import pytest

@@ -76,6 +76,11 @@ class WhisperFeatureExtractor:
                 "(hub downloads are not supported; pass a local path)")
         with open(p) as f:
             d = json.load(f)
+        kind = d.get("feature_extractor_type", "WhisperFeatureExtractor")
+        if kind != "WhisperFeatureExtractor":
+            raise ValueError(
+                f"{p}: feature_extractor_type is {kind!r}; this shim "
+                "implements WhisperFeatureExtractor semantics only")
         kw = {k: d[k] for k in ("feature_size", "sampling_rate",
                                 "hop_length", "chunk_length", "n_fft",
                                 "padding_value") if k in d}

@@ -115,10 +115,9 @@ def paste_feats(feats, num_frames_list=None):
     out = jnp.concatenate([jnp.asarray(f) for f in feats], axis=-1)
     if num_frames_list is None:
         return out
-    import numpy as _np
-    counts = [_np.asarray(n) for n in num_frames_list]
+    counts = [np.asarray(n) for n in num_frames_list]
     for c in counts[1:]:
-        if not _np.array_equal(c, counts[0]):
+        if not np.array_equal(c, counts[0]):
             raise ValueError("streams disagree on per-utterance frame "
                              f"counts: {counts[0]} vs {c}")
     return out, counts[0]
@@ -129,14 +128,13 @@ def subsample_frames(feat, num_frames, factor: int, offset: int = 0):
     (chain models run the encoder at a 3x lower frame rate),
     [B, F, D] -> ([B, ceil(F/factor), D], new_num_frames). Static
     strided slice — no gather; padding rows stay padding."""
-    import numpy as _np
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
     if not 0 <= offset < factor:
         raise ValueError(f"offset {offset} outside [0, {factor})")
     out = feat[..., offset::factor, :]
-    nf = _np.asarray(num_frames)
-    new_nf = _np.maximum(0, (nf - offset + factor - 1) // factor)
+    nf = np.asarray(num_frames)
+    new_nf = np.maximum(0, (nf - offset + factor - 1) // factor)
     return out, new_nf
 
 

@@ -155,36 +155,57 @@ def edit_distance(ref, hyp) -> int:
     """Levenshtein distance between two token sequences (the WER/CER
     core). O(|ref|*|hyp|) rolling-row DP on host — evaluation is control
     logic, not device compute (docs/DESIGN.md §8)."""
+    return sum(edit_alignment(ref, hyp))
+
+
+def edit_alignment(ref, hyp) -> tuple[int, int, int]:
+    """(substitutions, insertions, deletions) of a minimum-cost
+    alignment (Kaldi ``compute-wer`` tie-breaking is implementation-
+    defined; this one prefers substitution on ties, like sclite).
+    ``sum(edit_alignment(r, h)) == edit_distance(r, h)``."""
     ref, hyp = list(ref), list(hyp)
-    if not ref:
-        return len(hyp)
-    prev = list(range(len(hyp) + 1))
-    for i, r in enumerate(ref, 1):
-        cur = [i] + [0] * len(hyp)
-        for j, h in enumerate(hyp, 1):
-            cur[j] = min(prev[j] + 1,            # deletion
-                         cur[j - 1] + 1,         # insertion
-                         prev[j - 1] + (r != h))  # substitution / match
+    R, H = len(ref), len(hyp)
+    # each cell: (total, sub, ins, dele) — counts ride along the DP
+    prev = [(j, 0, j, 0) for j in range(H + 1)]
+    for i in range(1, R + 1):
+        cur = [(i, 0, 0, i)] + [None] * H
+        for j in range(1, H + 1):
+            diag = prev[j - 1]
+            hit = ref[i - 1] == hyp[j - 1]
+            best = (diag[0] + (not hit), diag[1] + (not hit), diag[2],
+                    diag[3])
+            up = prev[j]                                   # deletion
+            if up[0] + 1 < best[0]:
+                best = (up[0] + 1, up[1], up[2], up[3] + 1)
+            left = cur[j - 1]                              # insertion
+            if left[0] + 1 < best[0]:
+                best = (left[0] + 1, left[1], left[2] + 1, left[3])
+            cur[j] = best
         prev = cur
-    return prev[-1]
+    _, sub, ins, dele = prev[H]
+    return sub, ins, dele
 
 
 def token_error_rate(refs, hyps) -> dict:
     """Corpus token error rate (WER over word ids / CER over char ids):
-    sum of edit distances over the total reference length, plus the
-    error-type breakdown evaluators expect.
+    sum of edit distances over the total reference length, with the
+    insertion/deletion/substitution breakdown (``compute-wer`` shape).
 
-    Returns {"ter", "errors", "ref_tokens", "utterances"}; ter is
-    errors/ref_tokens (inf if the reference is empty but hypotheses are
-    not)."""
+    Returns {"ter", "errors", "sub", "ins", "del", "ref_tokens",
+    "utterances"}; ter is errors/ref_tokens (inf if the reference is
+    empty but hypotheses are not)."""
     if len(refs) != len(hyps):
         raise ValueError(f"{len(refs)} references vs {len(hyps)} "
                          "hypotheses")
-    errors = sum(edit_distance(r, h) for r, h in zip(refs, hyps))
+    sub = ins = dele = 0
+    for r, h in zip(refs, hyps):
+        s, i, d = edit_alignment(r, h)
+        sub, ins, dele = sub + s, ins + i, dele + d
+    errors = sub + ins + dele
     n_ref = sum(len(list(r)) for r in refs)
     if n_ref == 0:
         ter = 0.0 if errors == 0 else float("inf")
     else:
         ter = errors / n_ref
-    return {"ter": ter, "errors": errors, "ref_tokens": n_ref,
-            "utterances": len(refs)}
+    return {"ter": ter, "errors": errors, "sub": sub, "ins": ins,
+            "del": dele, "ref_tokens": n_ref, "utterances": len(refs)}

@@ -194,7 +194,6 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
         if isinstance(got, Exception):
             raise got
         arena, lengths = got
-        shapes.add(arena.shape)
         true_samples += int(lengths.sum())
         padded_samples += arena.size
         audio_seconds += float(lengths.sum()) / rate
@@ -215,10 +214,26 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
             p_, q_ = resampling._rational(rate, cfg.sample_rate)
             lengths = np.array([resampling.output_length(int(n), p_, q_)
                                 for n in lengths], np.int32)
+        shapes.add((int(arena.shape[0]), int(arena.shape[1])))
         if dp:
             from tpufeat import sharding as shard_mod
-            res = shard_mod.extract_data_parallel(arena, lengths, cfg,
-                                                  mesh)
+            # the dp path compiles ONE local program per device; keep
+            # each device's (rows, width) inside the measured-clean
+            # erratum envelope (BASELINE.md) exactly like extract() does
+            # for the single-device path — splitting is exact
+            per_dev, width_now = arena.shape[0] // ndev, arena.shape[1]
+            if features._single_program_safe((per_dev, width_now)):
+                res = shard_mod.extract_data_parallel(arena, lengths,
+                                                      cfg, mesh)
+            else:
+                step = features._rows_per_dispatch(per_dev,
+                                                   width_now) * ndev
+                parts = [shard_mod.extract_data_parallel(
+                    arena[j: j + step], lengths[j: j + step], cfg, mesh)
+                    for j in range(0, arena.shape[0], step)]
+                import jax.numpy as jnp
+                res = features.FeatureResult(
+                    *(jnp.concatenate(p, axis=0) for p in zip(*parts)))
         else:
             res = fn(arena, lengths, rng=keys[i]) if keys[i] is not None \
                 else fn(arena, lengths)
