@@ -171,6 +171,48 @@ long tpufeat_mfcc_f64(const double* signal, long n, int sample_rate,
   return n_frames;
 }
 
+// Spectrogram features (Kaldi compute-spectrogram-feats analogue, classic
+// config semantics: signal-level pre-emphasis with x[-1]:=0, Hamming
+// window, zero-pad to n_fft, natural log of the power spectrum with floor;
+// use_energy != 0 substitutes the conditioned-frame log energy into
+// element 0, the same substitution as MFCC c0). `out` must hold
+// num_frames * (n_fft/2 + 1) doubles. Returns the frame count.
+long tpufeat_spec_f64(const double* signal, long n, int frame_len, int hop,
+                      int n_fft, double preemph, double log_floor,
+                      int use_energy, double* out) {
+  const long n_frames = tpufeat_num_frames(n, frame_len, hop);
+  if (n_frames <= 0) return 0;
+  const int n_bins = n_fft / 2 + 1;
+
+  std::vector<double> y(n);
+  y[0] = signal[0];
+  for (long t = 1; t < n; ++t) y[t] = signal[t] - preemph * signal[t - 1];
+
+  std::vector<double> win(frame_len);
+  for (int i = 0; i < frame_len; ++i)
+    win[i] = 0.54 - 0.46 * std::cos(2.0 * kPi * i / (frame_len - 1));
+
+  std::vector<double> re(n_fft), im(n_fft);
+  for (long f = 0; f < n_frames; ++f) {
+    const double* frame = y.data() + f * hop;
+    std::fill(re.begin(), re.end(), 0.0);
+    std::fill(im.begin(), im.end(), 0.0);
+    for (int i = 0; i < frame_len; ++i) re[i] = frame[i] * win[i];
+    fft_radix2(re, im);
+    double* row = out + f * n_bins;
+    for (int k = 0; k < n_bins; ++k) {
+      double p = re[k] * re[k] + im[k] * im[k];
+      row[k] = std::log(p > log_floor ? p : log_floor);
+    }
+    if (use_energy) {
+      double e = 0.0;
+      for (int i = 0; i < frame_len; ++i) e += frame[i] * frame[i];
+      row[0] = std::log(e > log_floor ? e : log_floor);
+    }
+  }
+  return n_frames;
+}
+
 // Full PLP pipeline (beyond-reference family; conventions documented in
 // tpufeat/plp.py): signal-level pre-emphasis, Hamming window, HTK
 // integer-bin mel filterbank energies, equal-loudness weighting at band

@@ -200,6 +200,13 @@ def main(argv=None) -> int:
             quals = (["E"] if cfg.use_energy else ["0"]) + quals
             kind = feats_io.parm_kind(feats_io.HTK_MFCC, *quals)
             reorder = lambda f: feats_io.to_htk_order(f, cfg.n_mfcc)  # noqa: E731
+        elif cfg.n_mels == 0:
+            # raw (log-)power-spectrum features: no HTKBook base kind
+            # describes them, so stamp USER (kind 9) — delta/CMVN
+            # qualifiers stay (they don't imply a column order for USER
+            # data); energy is element 0 in this package's layout
+            kind = feats_io.parm_kind(feats_io.HTK_USER, *quals)
+            reorder = lambda f: f  # noqa: E731
         else:
             kind = feats_io.parm_kind(feats_io.HTK_FBANK, *quals)
             reorder = lambda f: f  # noqa: E731

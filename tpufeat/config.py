@@ -54,7 +54,12 @@ class FeatureConfig:
     spectrum: str = "power"          # power (|X|^2) | magnitude (|X|)
 
     # --- mel filterbank (reference C7) ---
-    n_mels: int = 26
+    n_mels: int = 26                 # 0 -> no filterbank: raw (log-)power-
+    #                                  spectrum features of dim n_fft//2+1
+    #                                  (Kaldi compute-spectrogram-feats
+    #                                  analogue; requires n_mfcc=0 and runs
+    #                                  the XLA path — the fused Pallas
+    #                                  kernels are mel-path kernels)
     mel_scale: str = "htk"           # htk (2595*log10(1+f/700)) | slaney
     mel_norm: Optional[str] = None   # None | "slaney" (area normalization)
     # "bin": integer FFT-bin triangles, floor((n_fft+1)*f/sr), the classic
@@ -204,6 +209,27 @@ class FeatureConfig:
             matrices.vtln_warp_freq(
                 self.fmin, self.fmin, self.fmax_hz, self.vtln_low, vh,
                 self.vtln_warp)
+        if self.n_mels == 0:
+            # spectrogram-features mode (Kaldi compute-spectrogram-feats):
+            # the pipeline stops at the (log-)power spectrum, dim n_bins
+            if self.n_mfcc != 0 or self.plp_order != 0:
+                raise ValueError(
+                    "n_mels=0 (spectrogram features) has no filterbank to "
+                    "feed a cepstrum: set n_mfcc=0 and plp_order=0 "
+                    f"(got n_mfcc={self.n_mfcc}, plp_order={self.plp_order})")
+            if self.log == "whisper":
+                raise ValueError(
+                    "log='whisper' is a mel-path normalization; spectrogram "
+                    "features (n_mels=0) support log in "
+                    "('natural', 'log10', 'none')")
+            if self.use_pallas:
+                raise ValueError(
+                    "the fused Pallas kernels are mel-path kernels "
+                    "(DFT -> mel matmul on the MXU); spectrogram features "
+                    "(n_mels=0) run the XLA path — set use_pallas=False "
+                    "(gemm_dft=True is still honored)")
+        elif self.n_mels < 0:
+            raise ValueError(f"n_mels must be >= 0, got {self.n_mels}")
         if self.gemm_dft and self.n_fft % 2:
             # the combined Re/Im DFT matrix drops Im(X_0) and Im(X_{n/2}),
             # which are only identically zero for EVEN n_fft
@@ -226,6 +252,8 @@ class FeatureConfig:
     def feature_dim(self) -> int:
         if self.plp_order > 0:
             base = self.plp_order + 1
+        elif self.n_mels == 0:
+            base = self.n_bins          # spectrogram features
         else:
             base = self.n_mfcc if self.n_mfcc > 0 else self.n_mels
         return base * (1 + self.delta_order) if self.deltas else base
@@ -285,6 +313,13 @@ FBANK80 = FeatureConfig(n_mels=80, n_mfcc=0)
 #: cepstra + residual-log-energy c0 (tpufeat/plp.py).
 PLP13 = FeatureConfig(n_mels=23, n_mfcc=0, log="none", plp_order=12)
 
+#: Kaldi compute-spectrogram-feats analogue (beyond the reference's feature
+#: families): 257-dim log power spectrum with Kaldi's per-frame conditioning
+#: (dither off for parity; dc-offset removal, Povey window, per-frame
+#: pre-emphasis) and the raw log frame energy in element 0.
+SPEC257 = FeatureConfig(n_mels=0, n_mfcc=0, kaldi_mode=True, dc_offset=True,
+                        window="povey", use_energy=True)
+
 PRESETS = {
     "mfcc13": MFCC13_HTK,
     "whisper80": WHISPER80,
@@ -292,4 +327,5 @@ PRESETS = {
     "streaming160": STREAMING160,
     "fbank80": FBANK80,
     "plp13": PLP13,
+    "spec257": SPEC257,
 }

@@ -39,6 +39,11 @@ def _lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+    lib.tpufeat_spec_f64.restype = ctypes.c_long
+    lib.tpufeat_spec_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_plp_f64.restype = ctypes.c_long
     lib.tpufeat_plp_f64.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
@@ -106,6 +111,30 @@ def mfcc_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
             cfg.preemphasis, cfg.n_mels, cfg.n_mfcc, cfg.fmin, cfg.fmax_hz,
             cfg.log_floor, cfg.lifter, cfg.vtln_warp, cfg.vtln_low,
             cfg.vtln_high,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        assert got == nf
+    return out
+
+
+def spec_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Run the C++ double-precision spectrogram-features pipeline (classic
+    framing semantics, like :func:`mfcc_native`): the third independent
+    implementation of the compute-spectrogram-feats analogue (vs the JAX
+    path and reference/cpu.py)."""
+    if cfg.center or cfg.window != "hamming" or cfg.log != "natural" \
+            or cfg.kaldi_mode or cfg.n_mels != 0 \
+            or cfg.spectrum != "power":
+        raise ValueError("C++ golden covers the classic spectrogram "
+                         "configuration (n_mels=0, Hamming, natural log)")
+    lib = _lib()
+    x = np.ascontiguousarray(signal, dtype=np.float64)
+    nf = lib.tpufeat_num_frames(len(x), cfg.frame_length, cfg.hop_length)
+    out = np.zeros((max(nf, 0), cfg.n_bins), dtype=np.float64)
+    if nf > 0:
+        got = lib.tpufeat_spec_f64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
+            cfg.frame_length, cfg.hop_length, cfg.n_fft, cfg.preemphasis,
+            cfg.log_floor, int(cfg.use_energy),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         assert got == nf
     return out

@@ -234,7 +234,12 @@ def mel_log_dct_xla(spec: jnp.ndarray, mask: jnp.ndarray,
     """Unfused XLA tail: mel filterbank matmul -> log -> DCT (+lifter).
 
     References C7-C9. The Pallas path (pallas/fused.py) computes the same
-    function in one kernel; this is the always-available oracle twin."""
+    function in one kernel; this is the always-available oracle twin.
+
+    ``n_mels == 0`` (spectrogram features, Kaldi compute-spectrogram-feats
+    analogue): no filterbank — the (log-)power spectrum IS the feature."""
+    if cfg.n_mels == 0:
+        return apply_log(spec, mask, cfg)
     dt = spec.dtype
     fb = jnp.asarray(matrices.mel_filterbank(
         cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
@@ -281,7 +286,9 @@ def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
         # produced (log="none" is enforced by the config); the tail is
         # frame-local VPU work, negligible next to the spectro stage
         feat = plp.plp_from_energies(feat, cfg)
-    if cfg.use_energy and cfg.n_mfcc > 0:
+    if cfg.use_energy and (cfg.n_mfcc > 0 or cfg.n_mels == 0):
+        # n_mels == 0: Kaldi spectrogram-feats puts the log frame energy
+        # in element 0 of each spectrum row, same substitution as MFCC c0
         feat = _replace_c0_with_energy(feat, frames, cfg)
     return feat
 

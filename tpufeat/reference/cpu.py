@@ -386,6 +386,14 @@ def extract(x: np.ndarray, cfg: FeatureConfig,
         base = plp(x, cfg, preemph_prev)
     elif cfg.n_mfcc > 0:
         base = mfcc(x, cfg, preemph_prev)
+    elif cfg.n_mels == 0:
+        # spectrogram features (Kaldi compute-spectrogram-feats analogue):
+        # (log-)power spectrum, optionally with the conditioned-frame log
+        # energy substituted into element 0 (same substitution as MFCC c0)
+        base = apply_log(spectrogram(x, cfg, preemph_prev), cfg)
+        if cfg.use_energy:
+            base = base.copy()
+            base[:, 0] = frame_energy(x, cfg, preemph_prev)
     else:
         base = logmel(x, cfg, preemph_prev)
     if cfg.deltas:
