@@ -171,6 +171,78 @@ long tpufeat_mfcc_f64(const double* signal, long n, int sample_rate,
   return n_frames;
 }
 
+// Log-mel filterbank features (classic config semantics, same conventions
+// as tpufeat_mfcc_f64 minus the cepstrum stage). use_energy != 0 PREPENDS
+// the conditioned-frame log energy as an extra first column (Kaldi
+// compute-fbank-feats --use-energy: output dim n_mels+1). `out` must hold
+// num_frames * (n_mels + (use_energy != 0)) doubles. Returns frame count.
+long tpufeat_fbank_f64(const double* signal, long n, int sample_rate,
+                       int frame_len, int hop, int n_fft, double preemph,
+                       int n_mels, double fmin, double fmax,
+                       double log_floor, int use_energy, double vtln_warp,
+                       double vtln_low, double vtln_high, double* out) {
+  const long n_frames = tpufeat_num_frames(n, frame_len, hop);
+  if (n_frames <= 0) return 0;
+  const int n_bins = n_fft / 2 + 1;
+  const int dim = n_mels + (use_energy ? 1 : 0);
+
+  std::vector<double> y(n);
+  y[0] = signal[0];
+  for (long t = 1; t < n; ++t) y[t] = signal[t] - preemph * signal[t - 1];
+
+  std::vector<double> win(frame_len);
+  for (int i = 0; i < frame_len; ++i)
+    win[i] = 0.54 - 0.46 * std::cos(2.0 * kPi * i / (frame_len - 1));
+
+  // HTK mel filterbank, integer-bin triangles (same construction as
+  // tpufeat_mfcc_f64)
+  std::vector<double> fb(static_cast<size_t>(n_bins) * n_mels, 0.0);
+  {
+    const double mlo = hz_to_mel(fmin), mhi = hz_to_mel(fmax);
+    const double vh = vtln_high > 0.0 ? vtln_high : fmax + vtln_high;
+    std::vector<long> bins(n_mels + 2);
+    for (int m = 0; m < n_mels + 2; ++m) {
+      double f = mel_to_hz(mlo + (mhi - mlo) * m / (n_mels + 1));
+      if (vtln_warp != 1.0)
+        f = vtln_warp_freq(fmin, fmax, vtln_low, vh, vtln_warp, f);
+      bins[m] = static_cast<long>(std::floor((n_fft + 1) * f / sample_rate));
+    }
+    for (int m = 0; m < n_mels; ++m) {
+      for (long k = bins[m]; k < bins[m + 1]; ++k)
+        if (bins[m + 1] > bins[m])
+          fb[k * n_mels + m] =
+              static_cast<double>(k - bins[m]) / (bins[m + 1] - bins[m]);
+      for (long k = bins[m + 1]; k < bins[m + 2]; ++k)
+        if (bins[m + 2] > bins[m + 1])
+          fb[k * n_mels + m] =
+              static_cast<double>(bins[m + 2] - k) / (bins[m + 2] - bins[m + 1]);
+    }
+  }
+
+  std::vector<double> re(n_fft), im(n_fft), power(n_bins);
+  for (long f = 0; f < n_frames; ++f) {
+    const double* frame = y.data() + f * hop;
+    std::fill(re.begin(), re.end(), 0.0);
+    std::fill(im.begin(), im.end(), 0.0);
+    for (int i = 0; i < frame_len; ++i) re[i] = frame[i] * win[i];
+    fft_radix2(re, im);
+    for (int k = 0; k < n_bins; ++k) power[k] = re[k] * re[k] + im[k] * im[k];
+    double* row = out + f * dim;
+    if (use_energy) {
+      double e = 0.0;
+      for (int i = 0; i < frame_len; ++i) e += frame[i] * frame[i];
+      row[0] = std::log(e > log_floor ? e : log_floor);
+    }
+    for (int m = 0; m < n_mels; ++m) {
+      double acc = 0.0;
+      for (int k = 0; k < n_bins; ++k) acc += power[k] * fb[k * n_mels + m];
+      row[(use_energy ? 1 : 0) + m] =
+          std::log(acc > log_floor ? acc : log_floor);
+    }
+  }
+  return n_frames;
+}
+
 // Spectrogram features (Kaldi compute-spectrogram-feats analogue, classic
 // config semantics: signal-level pre-emphasis with x[-1]:=0, Hamming
 // window, zero-pad to n_fft, natural log of the power spectrum with floor;

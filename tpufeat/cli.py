@@ -207,6 +207,14 @@ def main(argv=None) -> int:
             # data); energy is element 0 in this package's layout
             kind = feats_io.parm_kind(feats_io.HTK_USER, *quals)
             reorder = lambda f: f  # noqa: E731
+        elif cfg.use_energy:
+            # fbank + prepended energy column (dim n_mels+1): HTKBook _E
+            # puts the energy term LAST in each block, so reorder from
+            # this package's energy-first layout
+            quals = ["E"] + quals
+            kind = feats_io.parm_kind(feats_io.HTK_FBANK, *quals)
+            reorder = lambda f: feats_io.to_htk_order(  # noqa: E731
+                f, cfg.n_mels + 1)
         else:
             kind = feats_io.parm_kind(feats_io.HTK_FBANK, *quals)
             reorder = lambda f: f  # noqa: E731

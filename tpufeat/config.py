@@ -85,9 +85,14 @@ class FeatureConfig:
     # --- cepstrum (reference C9) ---
     n_mfcc: int = 13                 # 0 -> stop at (log-)mel features
     lifter: int = 0                  # sinusoidal lifter length L; 0 = off
-    use_energy: bool = False         # Kaldi-style: replace c0 with the log
-    #                                  frame energy log(max(sum x^2, floor)),
-    #                                  computed on the conditioned frame
+    use_energy: bool = False         # Kaldi-style log frame energy
+    #                                  log(max(sum x^2, floor)) over the
+    #                                  conditioned frame. MFCC: replaces c0;
+    #                                  spectrogram (n_mels=0): replaces
+    #                                  element 0; fbank (n_mfcc=0, n_mels>0):
+    #                                  PREPENDED as an extra first column
+    #                                  (dim n_mels+1), Kaldi
+    #                                  compute-fbank-feats --use-energy
 
     # --- PLP (beyond-reference capability; tpufeat/plp.py) ---
     plp_order: int = 0               # LPC model order p; 0 = PLP off.
@@ -230,6 +235,16 @@ class FeatureConfig:
                     "(gemm_dft=True is still honored)")
         elif self.n_mels < 0:
             raise ValueError(f"n_mels must be >= 0, got {self.n_mels}")
+        if (self.use_energy and self.n_mfcc == 0 and self.n_mels > 0
+                and self.plp_order == 0 and self.log not in
+                ("natural", "log10")):
+            # fbank + energy (Kaldi compute-fbank-feats --use-energy)
+            # prepends a LOG frame energy column; linear ("none") or
+            # whisper-normalized filterbanks can't host it coherently
+            raise ValueError(
+                "use_energy on filterbank configs (n_mfcc=0, n_mels>0) "
+                "prepends a log frame energy column and requires log in "
+                f"('natural', 'log10'), got log={self.log!r}")
         if self.gemm_dft and self.n_fft % 2:
             # the combined Re/Im DFT matrix drops Im(X_0) and Im(X_{n/2}),
             # which are only identically zero for EVEN n_fft
@@ -254,8 +269,13 @@ class FeatureConfig:
             base = self.plp_order + 1
         elif self.n_mels == 0:
             base = self.n_bins          # spectrogram features
+        elif self.n_mfcc > 0:
+            base = self.n_mfcc
         else:
-            base = self.n_mfcc if self.n_mfcc > 0 else self.n_mels
+            # fbank: use_energy PREPENDS a log-energy column (Kaldi
+            # compute-fbank-feats --use-energy), unlike the MFCC /
+            # spectrogram paths where it substitutes element 0
+            base = self.n_mels + (1 if self.use_energy else 0)
         return base * (1 + self.delta_order) if self.deltas else base
 
     def num_frames(self, n_samples: int) -> int:

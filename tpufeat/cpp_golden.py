@@ -39,6 +39,13 @@ def _lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+    lib.tpufeat_fbank_f64.restype = ctypes.c_long
+    lib.tpufeat_fbank_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_spec_f64.restype = ctypes.c_long
     lib.tpufeat_spec_f64.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
@@ -111,6 +118,37 @@ def mfcc_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
             cfg.preemphasis, cfg.n_mels, cfg.n_mfcc, cfg.fmin, cfg.fmax_hz,
             cfg.log_floor, cfg.lifter, cfg.vtln_warp, cfg.vtln_low,
             cfg.vtln_high,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        assert got == nf
+    return out
+
+
+def fbank_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
+    """Run the C++ double-precision log-mel filterbank pipeline (classic
+    framing semantics, like :func:`mfcc_native`; ``use_energy`` prepends
+    the log frame energy, Kaldi compute-fbank-feats --use-energy): the
+    third independent implementation vs the JAX path and
+    reference/cpu.py."""
+    if cfg.center or cfg.window != "hamming" or cfg.mel_scale != "htk" \
+            or cfg.mel_bin_style != "bin" or cfg.log != "natural" \
+            or cfg.kaldi_mode or cfg.n_mfcc != 0 or cfg.n_mels <= 0 \
+            or cfg.mel_norm is not None or cfg.spectrum != "power" \
+            or cfg.plp_order != 0:
+        raise ValueError("C++ golden covers the classic filterbank "
+                         "configuration (n_mfcc=0, Hamming, HTK bin mel, "
+                         "natural log)")
+    lib = _lib()
+    x = np.ascontiguousarray(signal, dtype=np.float64)
+    nf = lib.tpufeat_num_frames(len(x), cfg.frame_length, cfg.hop_length)
+    dim = cfg.n_mels + (1 if cfg.use_energy else 0)
+    out = np.zeros((max(nf, 0), dim), dtype=np.float64)
+    if nf > 0:
+        got = lib.tpufeat_fbank_f64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
+            cfg.sample_rate, cfg.frame_length, cfg.hop_length, cfg.n_fft,
+            cfg.preemphasis, cfg.n_mels, cfg.fmin, cfg.fmax_hz,
+            cfg.log_floor, int(cfg.use_energy), cfg.vtln_warp,
+            cfg.vtln_low, cfg.vtln_high,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         assert got == nf
     return out

@@ -262,6 +262,18 @@ def _replace_c0_with_energy(feat: jnp.ndarray,
     return jnp.concatenate([e[..., None], feat[..., 1:]], axis=-1)
 
 
+def _apply_energy(feat: jnp.ndarray, frames: jnp.ndarray,
+                  cfg: FeatureConfig) -> jnp.ndarray:
+    """Route cfg.use_energy per family: MFCC / spectrogram (n_mels=0)
+    substitute element 0; fbank (n_mfcc=0, n_mels>0) PREPENDS the energy
+    column (Kaldi compute-fbank-feats --use-energy, dim n_mels+1)."""
+    if cfg.n_mfcc > 0 or cfg.n_mels == 0:
+        return _replace_c0_with_energy(feat, frames, cfg)
+    e = jnp.log(jnp.maximum(jnp.sum(frames * frames, axis=-1),
+                            cfg.log_floor))
+    return jnp.concatenate([e[..., None], feat], axis=-1)
+
+
 def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
                      cfg: FeatureConfig, use_pallas: bool | None = None
                      ) -> jnp.ndarray:
@@ -286,10 +298,9 @@ def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
         # produced (log="none" is enforced by the config); the tail is
         # frame-local VPU work, negligible next to the spectro stage
         feat = plp.plp_from_energies(feat, cfg)
-    if cfg.use_energy and (cfg.n_mfcc > 0 or cfg.n_mels == 0):
-        # n_mels == 0: Kaldi spectrogram-feats puts the log frame energy
-        # in element 0 of each spectrum row, same substitution as MFCC c0
-        feat = _replace_c0_with_energy(feat, frames, cfg)
+    if cfg.use_energy:
+        # MFCC / spectrogram: substitute element 0; fbank: prepend
+        feat = _apply_energy(feat, frames, cfg)
     return feat
 
 
@@ -337,11 +348,11 @@ def features_impl(x: jnp.ndarray, lengths: jnp.ndarray,
                 feat = dct_lifter(feat, cfg)
         if cfg.plp_order > 0:
             feat = plp.plp_from_energies(feat, cfg)
-        if cfg.use_energy and cfg.n_mfcc > 0:
+        if cfg.use_energy:
             frames = framing.frames_from_buffer(
                 buf, F, cfg.frame_length, cfg.hop_length)
             frames = framing.condition_frames(frames, cfg)
-            feat = _replace_c0_with_energy(feat, frames, cfg)
+            feat = _apply_energy(feat, frames, cfg)
     else:
         frames, mask = framing.frame_signal(x, lengths, cfg)
         frames = framing.condition_frames(frames, cfg)

@@ -396,6 +396,13 @@ def extract(x: np.ndarray, cfg: FeatureConfig,
             base[:, 0] = frame_energy(x, cfg, preemph_prev)
     else:
         base = logmel(x, cfg, preemph_prev)
+        if cfg.use_energy:
+            # fbank + energy (Kaldi compute-fbank-feats --use-energy):
+            # the log frame energy is PREPENDED (dim n_mels+1), unlike
+            # the MFCC / spectrogram substitution of element 0
+            base = np.concatenate(
+                [frame_energy(x, cfg, preemph_prev)[:, None], base],
+                axis=-1)
     if cfg.deltas:
         outs, d = [base], base
         for _ in range(cfg.delta_order):

@@ -404,9 +404,11 @@ def _time_shard_body(x_local: jnp.ndarray, total_valid: jnp.ndarray, *,
         if cfg.plp_order > 0:       # frame-local tail; shards untouched
             from tpufeat import plp
             feat = plp.plp_from_energies(feat, cfg)
-        if cfg.use_energy and cfg.n_mfcc > 0:
-            from tpufeat.features import _replace_c0_with_energy
-            feat = _replace_c0_with_energy(feat, staged_frames(), cfg)
+        if cfg.use_energy:
+            # MFCC: substitute c0; fbank: prepend (dim n_mels+1) —
+            # frame-local either way, so shards stay independent
+            from tpufeat.features import _apply_energy
+            feat = _apply_energy(feat, staged_frames(), cfg)
     else:
         feat = spectro_pipeline(staged_frames(), mask, cfg)
 
