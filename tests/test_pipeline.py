@@ -337,3 +337,83 @@ def test_corpus_ark_output(tmp_path):
     for key, (path, off) in index.items():
         np.testing.assert_array_equal(
             feats_io.read_kaldi_matrix(path, off, key), got[key])
+
+
+class TestSegments:
+    """--segments: Kaldi segments-file flow (extract-segments analogue)."""
+
+    def _corpus(self, tmp_path):
+        d, sigs = _make_corpus(tmp_path, [32000, 24000])
+        seg = tmp_path / "segments"
+        # spans inside u0.wav (relpath key) and sub/u1 (stem key); s3's
+        # end overshoots sub/u1 (1.5 s file) within tolerance -> clamped
+        seg.write_text("s1 u0.wav 0.25 1.10\n"
+                       "s2 u0.wav 1.00 2.00\n"
+                       "s3 sub/u1 0.50 1.55\n")
+        spans = {"s1": ("u0.wav", 4000, 17600),
+                 "s2": ("u0.wav", 16000, 32000),
+                 "s3": ("sub/u1.wav", 8000, 24000)}
+        return d, str(seg), spans
+
+    def test_matches_direct_extract_on_slices(self, tmp_path):
+        d, seg, spans = self._corpus(tmp_path)
+        got = dict(pipeline.extract_corpus(str(d), MFCC13_HTK,
+                                           batch_size=2, segments=seg))
+        assert set(got) == set(spans)
+        for utt, (rel, s, t) in spans.items():
+            x, _ = io.read_wav(str(d / rel))
+            want = np.asarray(
+                features.extract(x[s:t], cfg=MFCC13_HTK).features)
+            np.testing.assert_allclose(got[utt], want, atol=2e-5)
+
+    def test_cli_ark_keyed_by_utt(self, tmp_path):
+        from tpufeat import feats_io
+        d, seg, spans = self._corpus(tmp_path)
+        ark = str(tmp_path / "feats.ark")
+        rc = pipeline.main([str(d), ark, "--segments", seg, "--batch", "2"])
+        assert rc == 0
+        assert sorted(feats_io.read_kaldi_ark(ark)) == sorted(spans)
+
+    def test_parse_and_resolve_errors(self, tmp_path):
+        import pytest
+        d, _, _ = self._corpus(tmp_path)
+
+        def seg(text):
+            p = tmp_path / "seg_err"
+            p.write_text(text)
+            return str(p)
+
+        with pytest.raises(ValueError, match="expected"):
+            list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK, segments=seg("s1 u0.wav 0.0\n")))
+        with pytest.raises(ValueError, match="duplicate"):
+            list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK,
+                segments=seg("s1 u0.wav 0 1\ns1 u0.wav 1 2\n")))
+        with pytest.raises(ValueError, match="start < end"):
+            list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK, segments=seg("s1 u0.wav 1.0 0.5\n")))
+        with pytest.raises(ValueError, match="non-numeric"):
+            list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK, segments=seg("s1 u0.wav zero 1\n")))
+        with pytest.raises(ValueError, match="not found"):
+            list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK, segments=seg("s1 nope.wav 0 1\n")))
+        # u0.wav is 2.0 s: 0.1 s past the end clamps, beyond raises
+        with pytest.raises(ValueError, match="past the end"):
+            list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK, segments=seg("s1 u0.wav 0.0 2.25\n")))
+        with pytest.raises(ValueError, match="starts at sample"):
+            list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK, segments=seg("s1 u0.wav 2.5 3.0\n")))
+
+    def test_utt2spk_cmvn_composes(self, tmp_path):
+        """Per-speaker CMVN keyed by SEGMENT utterance ids."""
+        d, seg, spans = self._corpus(tmp_path)
+        u2s = tmp_path / "utt2spk"
+        u2s.write_text("s1 spkA\ns2 spkA\ns3 spkB\n")
+        stats_p = str(tmp_path / "cmvn.ark")
+        pipeline.main([str(d), str(tmp_path / "o1.npz"), "--segments", seg,
+                       "--utt2spk", str(u2s), "--global-cmvn", stats_p])
+        from tpufeat import feats_io
+        assert sorted(feats_io.read_kaldi_ark(stats_p)) == ["spkA", "spkB"]

@@ -54,6 +54,74 @@ def _scan_corpus(wav_dir: str) -> list[tuple[str, int, int]]:
     return out
 
 
+def _read_segments(path: str) -> list[tuple[str, str, float, float]]:
+    """Kaldi ``segments`` file: ``<utt-id> <rec-id> <start-s> <end-s>`` per
+    line (Kaldi extract-segments input format). Recording ids name corpus
+    files by relpath (``sub/a.wav``) or sanitized stem (``sub/a``), the
+    same key scheme as utt2spk."""
+    out = []
+    seen = set()
+    with open(path) as f:
+        for ln, line in enumerate(f, 1):
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) != 4:
+                raise ValueError(f"{path}:{ln}: expected '<utt> <rec> "
+                                 f"<start> <end>', got {line!r}")
+            utt, rec, start, end = parts
+            try:
+                start_f, end_f = float(start), float(end)
+            except ValueError:
+                raise ValueError(f"{path}:{ln}: non-numeric times "
+                                 f"{start!r} {end!r}") from None
+            if utt in seen:
+                raise ValueError(f"{path}:{ln}: duplicate utterance "
+                                 f"{utt!r}")
+            if not 0.0 <= start_f < end_f:
+                raise ValueError(f"{path}:{ln}: need 0 <= start < end, "
+                                 f"got [{start_f}, {end_f}]")
+            seen.add(utt)
+            out.append((utt, rec, start_f, end_f))
+    return out
+
+
+#: extract-segments-style end-time forgiveness: segment specs are usually
+#: written against rounded durations, so an end that overshoots the file
+#: by up to this many seconds is clamped; beyond it the line is an error.
+SEGMENT_END_TOLERANCE_S = 0.1
+
+
+def _segment_entries(segments_path: str, entries, wav_dir: str):
+    """Resolve a segments file against the scanned corpus: each segment
+    becomes one utterance entry (path, n_samples, rate, offset, utt_id)."""
+    by_key: dict[str, tuple[str, int, int]] = {}
+    for e in entries:
+        rel = os.path.relpath(e[0], wav_dir)
+        by_key[rel] = e
+        by_key.setdefault("_".join(os.path.splitext(rel)[0].split()), e)
+    out = []
+    for utt, rec, start, end in _read_segments(segments_path):
+        if rec not in by_key:
+            raise ValueError(f"{segments_path}: recording {rec!r} not "
+                             f"found under {wav_dir}")
+        path, n, rate = by_key[rec]
+        s = int(round(start * rate))
+        t = int(round(end * rate))
+        if s >= n:
+            raise ValueError(f"{segments_path}: {utt!r} starts at sample "
+                             f"{s} but {rec!r} has only {n}")
+        if t > n:
+            if (t - n) / rate > SEGMENT_END_TOLERANCE_S:
+                raise ValueError(
+                    f"{segments_path}: {utt!r} ends {(t - n) / rate:.3f} s "
+                    f"past the end of {rec!r} (tolerance "
+                    f"{SEGMENT_END_TOLERANCE_S} s)")
+            t = n
+        out.append((path, t - s, rate, s, utt))
+    return out
+
+
 def _plan_batches(entries, batch_size: int
                   ) -> list[tuple[list, int, int, int]]:
     """Bucket by (rate, padded length) -> [(entries, padded_len,
@@ -82,10 +150,32 @@ def _plan_batches(entries, batch_size: int
     return plans
 
 
+def _decode_segment_batch(entries, width: int, sample_rate: int,
+                          rows: int):
+    """Decode a batch of SEGMENT entries (path, len, rate, offset, utt):
+    each unique recording is decoded once (native decoder when built),
+    then every segment is sliced into the [rows, width] arena."""
+    arena = np.zeros((rows, width), np.float32)
+    lengths = np.zeros(rows, np.int32)
+    cache: dict[str, np.ndarray] = {}
+    for b, (path, seg_len, rate, offset, _utt) in enumerate(entries):
+        if path not in cache:
+            s, r = io.read_wav(path)
+            if r != sample_rate:
+                raise ValueError(f"{path}: rate {r} != {sample_rate}; "
+                                 f"resample first (tpufeat.resample)")
+            cache[path] = np.asarray(s, np.float32)
+        arena[b, :seg_len] = cache[path][offset: offset + seg_len]
+        lengths[b] = seg_len
+    return arena, lengths
+
+
 def _decode_batch(entries, width: int, sample_rate: int, rows: int):
     """Native threaded decode into a zero-padded [rows, width] arena
     (rows >= len(entries); extra rows stay zero with length 0); Python
     fallback."""
+    if entries and len(entries[0]) == 5:       # segment entries
+        return _decode_segment_batch(entries, width, sample_rate, rows)
     paths = [e[0] for e in entries]
     try:
         from tpufeat import cpp_golden
@@ -116,8 +206,15 @@ def _decode_batch(entries, width: int, sample_rate: int, rows: int):
 def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
                    stats: dict | None = None, rng=None,
                    resample: bool = False, dp: bool = False, mesh=None,
+                   segments: str | None = None,
                    ) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (wav_path, features [F, D]) for every WAV under ``wav_dir``.
+
+    ``segments``: path to a Kaldi ``segments`` file (``<utt> <rec>
+    <start-s> <end-s>`` per line; the extract-segments flow). Each
+    segment becomes one utterance — sliced from its recording at decode
+    time, length-bucketed by SEGMENT length — and the iterator yields
+    ``(utt_id, features)`` instead of ``(wav_path, features)``.
 
     Decode of batch k+1 overlaps batch k's device execution (one-deep
     prefetch thread). Batches are length-bucketed; padding frames are
@@ -146,6 +243,8 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
     ``padding_waste`` (fraction of padded samples that are padding), and
     ``audio_s``/``files``/``batches``."""
     entries = _scan_corpus(wav_dir)
+    if segments is not None:
+        entries = _segment_entries(segments, entries, wav_dir)
     if not entries:
         return
     bad = [e for e in entries if e[2] != cfg.sample_rate]
@@ -241,7 +340,9 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
         nf = np.asarray(res.num_frames)
         device_s += time.perf_counter() - t0
         for b, e in enumerate(batch_entries):
-            yield e[0], feats[b, : nf[b]]
+            # segment entries carry the utterance id in slot 4; whole-file
+            # entries are keyed by their path
+            yield (e[4] if len(e) == 5 else e[0]), feats[b, : nf[b]]
         if t is not None:
             t0 = time.perf_counter()
             t.join()                       # any remaining decode time was
@@ -317,6 +418,12 @@ def main(argv=None) -> int:
                         "--global-cmvn/--apply-cmvn to PER-SPEAKER "
                         "statistics (one DM entry per speaker, so the "
                         "stats file must be .ark)")
+    p.add_argument("--segments", metavar="FILE", default=None,
+                   help="Kaldi segments file ('<utt> <rec> <start-s> "
+                        "<end-s>' per line; recordings by corpus relpath "
+                        "or sanitized stem): extract features per SEGMENT "
+                        "(the extract-segments flow), keyed by utterance "
+                        "id")
     p.add_argument("--resample", action="store_true",
                    help="accept rate-heterogeneous corpora: batches are "
                         "grouped by native rate and converted to the "
@@ -361,11 +468,14 @@ def main(argv=None) -> int:
         stats = {}
         cmvn_acc = (({} if utt2spk else data.CmvnStats(cfg.feature_dim))
                     if args.global_cmvn else None)
-        for path, feats in extract_corpus(args.wav_dir, cfg, args.batch,
-                                          stats=stats,
-                                          resample=args.resample,
-                                          dp=args.dp):
-            rel = os.path.relpath(path, args.wav_dir)
+        for key, feats in extract_corpus(args.wav_dir, cfg, args.batch,
+                                         stats=stats,
+                                         resample=args.resample,
+                                         dp=args.dp,
+                                         segments=args.segments):
+            # segments mode yields utterance ids; whole-file mode paths
+            rel = key if args.segments \
+                else os.path.relpath(key, args.wav_dir)
             spk = _spk_of(utt2spk, rel) if utt2spk else None
             if cmvn_acc is not None:
                 acc = cmvn_acc if spk is None else cmvn_acc.setdefault(
