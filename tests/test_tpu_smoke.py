@@ -689,3 +689,43 @@ class TestAuxOnChip:
         assert got.shape[0] == nf
         np.testing.assert_allclose(got, np.asarray(want.features)[:nf],
                                    atol=1e-4, rtol=0)
+
+    def test_spectrogram_feats_on_chip(self):
+        """spec257 (compute-spectrogram-feats analogue) runs the XLA path
+        on hardware — golden parity incl. the energy element (raw
+        spectrum bins sit closer to the log floor than mel sums, hence
+        the wider budget; see test_spectrogram_feats.py)."""
+        from tpufeat.config import SPEC257
+        sig = make_signal(24000, seed=360)
+        assert golden_err(sig, SPEC257) < 5e-3
+        classic = FeatureConfig(n_mels=0, n_mfcc=0, gemm_dft=True)
+        assert golden_err(sig, classic) < 5e-3
+
+    def test_fbank_energy_fused_on_chip(self):
+        """fbank + prepended energy column through the fused signal
+        kernel (dim n_mels+1, Kaldi compute-fbank-feats --use-energy)."""
+        cfg = dataclasses.replace(FeatureConfig(n_mfcc=0, n_mels=26,
+                                                use_energy=True), **FUSED)
+        sig = make_signal(3 * 16000, seed=361)     # v5 layout territory
+        res = features.extract(sig, cfg=cfg)
+        assert np.asarray(res.features).shape[-1] == 27
+        assert golden_err(sig, cfg) < 2e-3
+
+    def test_segments_corpus_on_chip(self, tmp_path):
+        """--segments corpus flow on hardware: per-segment features match
+        direct extract of the sample slices."""
+        from tpufeat import io as tio, pipeline
+        d = tmp_path / "wavs"
+        d.mkdir()
+        sig = make_signal(48000, seed=362)
+        tio.write_wav(str(d / "rec.wav"), sig, 16000)
+        (tmp_path / "segments").write_text(
+            "s1 rec.wav 0.0 1.25\ns2 rec 1.0 3.0\n")
+        got = dict(pipeline.extract_corpus(
+            str(d), MFCC13_HTK, batch_size=2,
+            segments=str(tmp_path / "segments")))
+        x, _ = tio.read_wav(str(d / "rec.wav"))
+        for utt, (s, t) in {"s1": (0, 20000), "s2": (16000, 48000)}.items():
+            want = np.asarray(
+                features.extract(x[s:t], cfg=MFCC13_HTK).features)
+            np.testing.assert_allclose(got[utt], want, atol=2e-5)
