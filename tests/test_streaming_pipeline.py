@@ -358,3 +358,66 @@ class TestSlidingCmvnPitchComposition:
                                    rtol=0, atol=1e-4)
         np.testing.assert_allclose(got[..., 39:], np.asarray(pf)[:, :Fp],
                                    rtol=0, atol=2e-5)
+
+
+class TestOnlineCmvnComposition:
+    """Kaldi online2 OnlineCmvn plugged into the composed pipeline
+    (online_cmvn= kwarg, mutually exclusive with cfg.cmvn)."""
+
+    @staticmethod
+    def _stats(D, seed, count=400.0):
+        from tpufeat import data
+        rng = np.random.default_rng(seed)
+        st = data.CmvnStats(D)
+        st.count = count
+        mean = rng.standard_normal(D) * 2.0
+        var = rng.uniform(0.5, 4.0, D)
+        st.sum = mean * count
+        st.sumsq = (var + mean * mean) * count
+        return st
+
+    def test_matches_offline_composition(self):
+        """process/flush through OnlineCmvn == offline 39-dim extract
+        followed by features.online_cmvn (same window + speaker prior)."""
+        b, n = 2, 24000
+        x = _sig(b, n, 95)
+        spk = self._stats(39, seed=96, count=150.0)
+        oc = streaming.OnlineCmvn(39, batch_size=b, window=120,
+                                  speaker_stats=spk, norm_vars=True)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                           online_cmvn=oc)
+        got = _run(pipe, x, [4800, 353, 8000, 1600, 9247])
+        base = np.asarray(features.extract(x, cfg=KALDI39_NOCMVN).features)
+        want = np.asarray(features.online_cmvn(
+            base, window=120, speaker_stats=spk, norm_vars=True))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=0)
+
+    def test_rejects_cfg_cmvn(self):
+        oc = streaming.OnlineCmvn(39)
+        with pytest.raises(ValueError, match="cmvn"):
+            streaming.StreamingPipeline(KALDI39, online_cmvn=oc)
+
+    def test_rejects_dim_mismatch(self):
+        oc = streaming.OnlineCmvn(13)
+        with pytest.raises(ValueError, match="dim"):
+            streaming.StreamingPipeline(KALDI39_NOCMVN, online_cmvn=oc)
+
+    def test_checkpoint_resume(self, tmp_path):
+        b = 1
+        x = _sig(b, 16000, 97)
+        mk = lambda: streaming.StreamingPipeline(  # noqa: E731
+            KALDI39_NOCMVN, batch_size=b,
+            online_cmvn=streaming.OnlineCmvn(39, batch_size=b, window=90))
+        a = mk()
+        out_a1 = np.asarray(a.process(x[:, :9600]))
+        p = str(tmp_path / "pipe_state.npz")
+        streaming.save_state(p, a.state())
+        c = mk()
+        c.set_state(streaming.load_state(p, c.state()))
+        tail_a = np.concatenate([np.asarray(a.process(x[:, 9600:])),
+                                 np.asarray(a.flush())], axis=1)
+        tail_c = np.concatenate([np.asarray(c.process(x[:, 9600:])),
+                                 np.asarray(c.flush())], axis=1)
+        np.testing.assert_array_equal(tail_a, tail_c)
+        assert out_a1.shape[-1] == 39

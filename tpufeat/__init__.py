@@ -23,11 +23,12 @@ from tpufeat.config import (FBANK80, FeatureConfig, KALDI39, MFCC13_HTK,
                             PLP13, PRESETS, STREAMING160, WHISPER80)
 from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               frames, logmel, make_extractor,
-                              mel_spectrogram, mfcc, sliding_cmvn,
-                              spectrogram)
+                              mel_spectrogram, mfcc, online_cmvn,
+                              sliding_cmvn, spectrogram)
 from tpufeat.io import read_wav, write_wav
 from tpufeat.resampling import StreamingResampler, resample
-from tpufeat.streaming import (StreamingDeltas, StreamingFrontend,
+from tpufeat.streaming import (OnlineCmvn, StreamingDeltas,
+                               StreamingFrontend,
                                StreamingPipeline, StreamingSlidingCMVN,
                                StreamState, extract_scan, init_state,
                                process_chunk, process_chunk_static,
@@ -45,6 +46,7 @@ __all__ = [
     "process_chunk", "process_chunk_static", "scan_chunks",
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
     "StreamingPipeline", "StreamingSlidingCMVN", "sliding_cmvn",
+    "OnlineCmvn", "online_cmvn",
     "resample", "StreamingResampler",
     "spec_augment", "energy_vad", "StreamingEnergyVAD", "add_noise",
     "add_reverb", "EndpointRule", "DEFAULT_ENDPOINT_RULES",

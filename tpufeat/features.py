@@ -213,6 +213,96 @@ def sliding_cmvn(feat: jnp.ndarray, num_frames: jnp.ndarray = None, *,
     return out
 
 
+def _prior_counts(cnt: jnp.ndarray, window: int,
+                  speaker_count: float, speaker_frames: int,
+                  global_count: float, global_frames: int):
+    """Kaldi online2 OnlineCmvn smoothing weights: when a frame's trailing
+    window holds fewer than ``window`` frames, borrow up to
+    ``speaker_frames`` worth of the speaker prior, then up to
+    ``global_frames`` of the global prior, never exceeding ``window``
+    total (the SmoothOnlineCmvnStats rule)."""
+    ks = jnp.clip(window - cnt, 0.0, min(float(speaker_frames),
+                                         speaker_count))
+    kg = jnp.clip(window - cnt - ks, 0.0, min(float(global_frames),
+                                              global_count))
+    return ks, kg
+
+
+def online_cmvn(feat: jnp.ndarray, num_frames: jnp.ndarray = None, *,
+                window: int = 600,
+                speaker_stats=None, global_stats=None,
+                speaker_frames: int = 600, global_frames: int = 200,
+                norm_vars: bool = False) -> jnp.ndarray:
+    """Kaldi online2 ``OnlineCmvn`` semantics over [B, T, D] (or [T, D])
+    batches: each frame is normalized by the trailing ``window`` frames of
+    ITS OWN utterance, and while fewer than ``window`` frames exist the
+    statistics are smoothed with a speaker prior (up to ``speaker_frames``
+    frames' worth) then a global prior (up to ``global_frames``) — the
+    online-decoding normalization that needs no future and no emission
+    delay, unlike :func:`sliding_cmvn`'s ``min_window`` future borrow.
+
+    ``speaker_stats`` / ``global_stats``: :class:`tpufeat.data.CmvnStats`
+    (compute-cmvn-stats layout via ``CmvnStats.from_kaldi``) or None.
+    The offline twin of :class:`tpufeat.streaming.OnlineCmvn`; float64
+    golden in ``tpufeat.reference.cpu.online_cmvn``.
+
+    Same TPU formulation as the causal :func:`sliding_cmvn`: one cumsum,
+    shift-indexed window sums (gathers measured 2.1x the whole pipeline on
+    chip), features pre-centered by the per-utterance mean for f32
+    stability — the priors are re-centered by the same constant, so the
+    result is mathematically unchanged. Padded rows see junk-but-finite
+    values and stay masked downstream."""
+    squeeze = feat.ndim == 2
+    if squeeze:
+        feat = feat[None]
+    B, T, D = feat.shape
+    if num_frames is None:
+        num_frames = jnp.full((B,), T, jnp.int32)
+    nf = jnp.maximum(num_frames.astype(jnp.int32), 1)[:, None]
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    cnt = jnp.minimum(t + 1, window).astype(feat.dtype)[..., None]
+
+    cs = float(speaker_stats.count) if speaker_stats is not None else 0.0
+    cg = float(global_stats.count) if global_stats is not None else 0.0
+    ks, kg = _prior_counts(cnt, window, cs, speaker_frames,
+                           cg, global_frames)
+
+    mask = (t < nf).astype(feat.dtype)[..., None]
+    g = (jnp.sum(feat * mask, axis=1, keepdims=True)
+         / jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0))
+    x = (feat - g) * mask
+
+    def winsum(v):
+        cs_ = jnp.cumsum(
+            jnp.concatenate([jnp.zeros_like(v[:, :1]), v], axis=1), axis=1)
+        upper = cs_[:, 1:]                                   # cs[t+1]
+        if T > window:
+            lower = jnp.concatenate(
+                [jnp.zeros_like(cs_[:, :window]),
+                 cs_[:, 1: T - window + 1]], axis=1)         # cs[t+1-w]
+            return upper - lower
+        return upper
+
+    # priors re-centered by g: E_prior[x - g] and E_prior[(x - g)^2]
+    def prior_moments(st):
+        if st is None:
+            return 0.0, 0.0
+        m = jnp.asarray(st.mean, feat.dtype)
+        msq = jnp.asarray(st.sumsq / max(st.count, 1.0), feat.dtype)
+        return m - g, msq - 2.0 * g * m + g * g
+
+    sm, ssq = prior_moments(speaker_stats)
+    gm, gsq = prior_moments(global_stats)
+    tot = cnt + ks + kg
+    mean = (winsum(x) + ks * sm + kg * gm) / tot
+    out = x - mean
+    if norm_vars:
+        e2 = (winsum(x * x) + ks * ssq + kg * gsq) / tot
+        var = jnp.maximum(e2 - mean * mean, 1e-10)
+        out = out / jnp.sqrt(var)
+    return out[0] if squeeze else out
+
+
 def dct_lifter(logm: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """DCT-II + optional lifter (reference C9): [..., n_mels] -> [..., n_mfcc].
 

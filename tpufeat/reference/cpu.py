@@ -377,6 +377,54 @@ def sliding_cmvn(feat: np.ndarray, window: int = 600,
     return out
 
 
+def online_cmvn(feat: np.ndarray, window: int = 600,
+                speaker_stats=None, global_stats=None,
+                speaker_frames: int = 600, global_frames: int = 200,
+                norm_vars: bool = False) -> np.ndarray:
+    """Kaldi online2 ``OnlineCmvn`` — the float64 golden for
+    :func:`tpufeat.features.online_cmvn`: per frame t the statistics are
+    the trailing ``min(t+1, window)`` frames, smoothed (while the window
+    is short) with up to ``speaker_frames`` worth of the speaker prior
+    then up to ``global_frames`` of the global prior, total never
+    exceeding ``window`` (the SmoothOnlineCmvnStats rule). Priors are
+    ``(count, sum, sumsq)`` triples or :class:`tpufeat.data.CmvnStats`.
+    Direct per-frame loop — the oracle, not the fast path."""
+    def unpack(st):
+        if st is None:
+            return 0.0, 0.0, 0.0
+        if hasattr(st, "count"):
+            return float(st.count), np.asarray(st.sum, np.float64), \
+                np.asarray(st.sumsq, np.float64)
+        return float(st[0]), np.asarray(st[1], np.float64), \
+            np.asarray(st[2], np.float64)
+
+    cs, ssum, ssq = unpack(speaker_stats)
+    cg, gsum, gsq = unpack(global_stats)
+    T, _ = feat.shape
+    x = feat.astype(np.float64)
+    out = np.empty_like(x)
+    for t in range(T):
+        seg = x[max(0, t + 1 - window): t + 1]
+        c = float(len(seg))
+        tot_sum = seg.sum(axis=0)
+        tot_sq = (seg * seg).sum(axis=0)
+        ks = min(max(window - c, 0.0), float(speaker_frames), cs)
+        if ks > 0:
+            tot_sum = tot_sum + (ks / cs) * ssum
+            tot_sq = tot_sq + (ks / cs) * ssq
+        kg = min(max(window - c - ks, 0.0), float(global_frames), cg)
+        if kg > 0:
+            tot_sum = tot_sum + (kg / cg) * gsum
+            tot_sq = tot_sq + (kg / cg) * gsq
+        n = c + ks + kg
+        mean = tot_sum / n
+        out[t] = x[t] - mean
+        if norm_vars:
+            var = np.maximum(tot_sq / n - mean * mean, 1e-10)
+            out[t] /= np.sqrt(var)
+    return out
+
+
 def extract(x: np.ndarray, cfg: FeatureConfig,
             preemph_prev: float = 0.0) -> np.ndarray:
     """Full golden pipeline: signal -> features [n_frames, feature_dim].

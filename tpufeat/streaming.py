@@ -751,6 +751,179 @@ def _sliding_cmvn_step_jit(n: int, window: int, min_window: int,
     return jax.jit(impl)
 
 
+class OnlineCmvn:
+    """Kaldi online2 ``OnlineCmvn`` — trailing-window normalization
+    smoothed with speaker/global priors while the window is short, so
+    frame 0 is emitted immediately (no ``min_window`` delay like
+    :class:`StreamingSlidingCMVN`; the priors play that role).
+
+    The online twin of :func:`tpufeat.features.online_cmvn` (exact vs it
+    for any chunk plan, up to f32 summation order) with Kaldi's
+    ``Freeze()``: :meth:`freeze` pins the smoothed statistics of the last
+    seen frame and applies them to every later frame — the two-pass
+    decoding trick (first pass adapts, second pass re-decodes against
+    stable stats).
+
+    State: a [B, window, D] ring + host frame counter + fixed-shape
+    frozen-stats slot, so ``state()``/``set_state()`` round-trip through
+    :func:`save_state`/:func:`load_state`."""
+
+    def __init__(self, dim: int, batch_size: int = 1, window: int = 600,
+                 speaker_stats=None, global_stats=None,
+                 speaker_frames: int = 600, global_frames: int = 200,
+                 norm_vars: bool = False):
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        self.dim, self.window, self.norm_vars = dim, window, norm_vars
+        self.speaker_frames, self.global_frames = speaker_frames, \
+            global_frames
+
+        def unpack(st):
+            if st is None:
+                return 0.0, np.zeros(dim), np.zeros(dim)
+            if np.asarray(st.sum).shape != (dim,):
+                raise ValueError(f"prior stats dim "
+                                 f"{np.asarray(st.sum).shape} != ({dim},)")
+            return float(st.count), np.asarray(st.sum, np.float64), \
+                np.asarray(st.sumsq, np.float64)
+
+        self._cs, self._ssum, self._ssq = unpack(speaker_stats)
+        self._cg, self._gsum, self._gsq = unpack(global_stats)
+        self.carry = jnp.zeros((batch_size, window, dim), jnp.float32)
+        self.n_seen = 0
+        self.frozen = False
+        self._fmean = jnp.zeros((batch_size, 1, dim), jnp.float32)
+        self._fscale = jnp.ones((batch_size, 1, dim), jnp.float32)
+
+    def _smoothed(self, seg: np.ndarray):
+        """f64 smoothed (mean, var) of one row's trailing ``seg`` frames
+        (the golden's SmoothOnlineCmvnStats arithmetic)."""
+        c = float(len(seg))
+        tot_sum, tot_sq = seg.sum(axis=0), (seg * seg).sum(axis=0)
+        ks = min(max(self.window - c, 0.0), float(self.speaker_frames),
+                 self._cs)
+        if ks > 0:
+            tot_sum = tot_sum + (ks / self._cs) * self._ssum
+            tot_sq = tot_sq + (ks / self._cs) * self._ssq
+        kg = min(max(self.window - c - ks, 0.0),
+                 float(self.global_frames), self._cg)
+        if kg > 0:
+            tot_sum = tot_sum + (kg / self._cg) * self._gsum
+            tot_sq = tot_sq + (kg / self._cg) * self._gsq
+        n = c + ks + kg
+        mean = tot_sum / n
+        return mean, np.maximum(tot_sq / n - mean * mean, 1e-10)
+
+    def freeze(self) -> None:
+        """Pin the smoothed statistics at the CURRENT frame (Kaldi
+        ``OnlineCmvn::Freeze``); later :meth:`process` calls normalize
+        against them without updating the window."""
+        if self.n_seen == 0 and self._cs == 0.0 and self._cg == 0.0:
+            raise ValueError("freeze() before any frame needs a speaker "
+                             "or global prior to freeze")
+        ring = np.asarray(self.carry, np.float64)
+        k = min(self.n_seen, self.window)
+        means, scales = [], []
+        for b in range(ring.shape[0]):
+            mean, var = self._smoothed(ring[b, self.window - k:])
+            means.append(mean)
+            scales.append(1.0 / np.sqrt(var) if self.norm_vars
+                          else np.ones_like(var))
+        self._fmean = jnp.asarray(np.stack(means)[:, None], jnp.float32)
+        self._fscale = jnp.asarray(np.stack(scales)[:, None], jnp.float32)
+        self.frozen = True
+
+    def process(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """[B, n, D] feature rows -> [B, n, D] normalized rows (1:1 —
+        online CMVN has no emission delay)."""
+        rows = jnp.asarray(rows, jnp.float32)
+        n = rows.shape[1]
+        if n == 0:
+            return rows
+        if self.frozen:
+            return (rows - self._fmean) * self._fscale
+        fn = _online_cmvn_step_jit(
+            n, self.window, self.norm_vars, self._cs, self._cg,
+            self.speaker_frames, self.global_frames)
+        sm = jnp.asarray(self._ssum / max(self._cs, 1.0), jnp.float32)
+        smsq = jnp.asarray(self._ssq / max(self._cs, 1.0), jnp.float32)
+        gm = jnp.asarray(self._gsum / max(self._cg, 1.0), jnp.float32)
+        gmsq = jnp.asarray(self._gsq / max(self._cg, 1.0), jnp.float32)
+        out, self.carry = fn(self.carry, rows,
+                             jnp.asarray(self.n_seen, jnp.int32),
+                             sm, smsq, gm, gmsq)
+        self.n_seen += n
+        return out
+
+    def state(self) -> dict:
+        return {"carry": self.carry, "n_seen": self.n_seen,
+                "frozen": self.frozen, "fmean": self._fmean,
+                "fscale": self._fscale}
+
+    def set_state(self, s: dict) -> None:
+        self.carry = jnp.asarray(s["carry"])
+        self.n_seen = int(s["n_seen"])
+        self.frozen = bool(np.asarray(s["frozen"]))
+        self._fmean = jnp.asarray(s["fmean"])
+        self._fscale = jnp.asarray(s["fscale"])
+
+
+@functools.lru_cache(maxsize=None)
+def _online_cmvn_step_jit(n: int, window: int, norm_vars: bool,
+                          cs: float, cg: float,
+                          speaker_frames: int, global_frames: int):
+    """One compiled online-CMVN step per (chunk rows, window/prior
+    config); the frame counter and prior moments are traced. Same
+    gather-free shifted-cumsum formulation as _sliding_cmvn_step_jit,
+    with Kaldi's trailing-``window`` window ([t+1-w, t+1), one frame
+    narrower than apply-cmvn-sliding's [t-w, t+1)) and prior smoothing
+    instead of a min_window future borrow."""
+    w = window
+
+    def impl(carry, rows, n_prev, sm, smsq, gm, gmsq):
+        from tpufeat.features import _prior_counts
+        data = jnp.concatenate([carry, rows], axis=1)      # [B, w+n, D]
+        nreal = (jnp.minimum(n_prev, w) + n).astype(data.dtype)
+        g = jnp.sum(data, axis=1, keepdims=True) / nreal
+        k = jnp.arange(w + n, dtype=jnp.int32)[None, :, None]
+        realmask = (k >= (w + n) - jnp.minimum(n_prev, w) - n).astype(
+            data.dtype)
+        x = (data - g) * realmask
+
+        j = jnp.arange(n, dtype=jnp.int32)
+        t_abs = n_prev + j
+        cnt = jnp.minimum(t_abs + 1, w).astype(x.dtype)[None, :, None]
+        ks, kg = _prior_counts(cnt, w, cs, speaker_frames,
+                               cg, global_frames)
+        # priors re-centered by the block mean (cancels exactly)
+        sm_c, gm_c = sm - g, gm - g
+        smsq_c = smsq - 2.0 * g * sm + g * g
+        gmsq_c = gmsq - 2.0 * g * gm + g * g
+
+        lower_mask = (t_abs + 1 < w)[None, :, None]
+
+        def winsum(v):
+            cums = jnp.cumsum(
+                jnp.concatenate([jnp.zeros_like(v[:, :1]), v], axis=1),
+                axis=1)                                    # [B, w+n+1, D]
+            upper = cums[:, w + 1:]                        # cs[j+w+1]
+            lower = cums[:, 1: n + 1]                      # cs[j+1]
+            floor = jax.lax.dynamic_slice_in_dim(
+                cums, jnp.clip(w - n_prev, 0, w + n), 1, axis=1)
+            return upper - jnp.where(lower_mask, floor, lower)
+
+        tot = cnt + ks + kg
+        mean = (winsum(x) + ks * sm_c + kg * gm_c) / tot
+        out = x[:, w:] - mean
+        if norm_vars:
+            e2 = (winsum(x * x) + ks * smsq_c + kg * gmsq_c) / tot
+            var = jnp.maximum(e2 - mean * mean, 1e-10)
+            out = out / jnp.sqrt(var)
+        return out, data[:, n:]
+
+    return jax.jit(impl)
+
+
 # --- checkpoint/resume (SURVEY.md §5) ---
 
 def save_state(path: str, state) -> None:
@@ -823,7 +996,8 @@ class StreamingPipeline:
 
     def __init__(self, cfg: FeatureConfig = None, batch_size: int = 1,
                  pitch=False, pitch_lookahead: int = 15,
-                 input_rate: int | None = None):
+                 input_rate: int | None = None,
+                 online_cmvn: "OnlineCmvn | None" = None):
         import dataclasses
         from tpufeat.config import KALDI39
         cfg = KALDI39 if cfg is None else cfg
@@ -861,6 +1035,19 @@ class StreamingPipeline:
                 cfg.cmvn_min_window, cfg.cmvn.endswith("meanvar"))
         elif cfg.cmvn != "none":
             self.cmvn_stats = init_cmvn(batch_size, cfg.feature_dim)
+        # Kaldi online2-style prior-smoothed CMVN: a pre-configured
+        # OnlineCmvn instance (it carries speaker/global stats arrays,
+        # which can't live in the frozen config) applied at the same
+        # point as the cfg.cmvn variants; mutually exclusive with them
+        self._ocmvn = online_cmvn
+        if online_cmvn is not None:
+            if cfg.cmvn != "none":
+                raise ValueError("online_cmvn= replaces cfg.cmvn; set "
+                                 f"cmvn='none' (got {cfg.cmvn!r})")
+            if online_cmvn.dim != cfg.feature_dim:
+                raise ValueError(
+                    f"online_cmvn dim {online_cmvn.dim} != pipeline "
+                    f"feature_dim {cfg.feature_dim}")
         # alignment FIFOs stay DEVICE-resident (jnp): a np.asarray here
         # would be a synchronous device->host fetch per chunk (~30 ms
         # through the relay, BASELINE.md readback rows) on the
@@ -902,6 +1089,8 @@ class StreamingPipeline:
                 norm_vars=(self.cfg.cmvn == "meanvar"))
         elif self._scmvn is not None:
             out = self._scmvn.process(out)
+        elif self._ocmvn is not None and n:
+            out = self._ocmvn.process(out)
         return out
 
     def _join(self, main: jnp.ndarray, prows: jnp.ndarray) -> jnp.ndarray:
@@ -998,6 +1187,8 @@ class StreamingPipeline:
             s["resampler"] = self._resampler.state()
         if self._scmvn is not None:
             s["scmvn"] = self._scmvn.state()
+        if self._ocmvn is not None:
+            s["ocmvn"] = self._ocmvn.state()
         if self._pitch is not None:
             s["pitch"] = self._pitch.state()
             s["main_fifo"] = self._main_fifo
@@ -1024,6 +1215,8 @@ class StreamingPipeline:
             self._resampler.set_state(s["resampler"])
         if self._scmvn is not None:
             self._scmvn.set_state(s["scmvn"])
+        if self._ocmvn is not None:
+            self._ocmvn.set_state(s["ocmvn"])
         self._fifos = [jnp.asarray(f) for f in s["fifos"]]
         if self._pitch is not None:
             self._pitch.set_state(s["pitch"])
