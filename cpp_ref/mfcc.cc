@@ -665,6 +665,59 @@ void tpufeat_sliding_cmvn_f64(const double* feat, long n_frames, int dim,
   }
 }
 
+// Kaldi online2 OnlineCmvn (C16 online-normalization family; SURVEY §2.1
+// config 3): per frame t the statistics are the trailing min(t+1, window)
+// frames, smoothed — while the window is short — with up to speaker_frames
+// worth of the speaker prior then up to global_frames of the global prior
+// (the SmoothOnlineCmvnStats rule), total never exceeding `window`. Third
+// independent implementation next to tpufeat/reference/cpu.py::online_cmvn
+// and the JAX op — direct per-frame double loops, no cumsum. Priors are
+// raw (count, sum[dim], sumsq[dim]); pass count=0 / nullptr for "none".
+void tpufeat_online_cmvn_f64(const double* feat, long n_frames, int dim,
+                             int window,
+                             double spk_count, const double* spk_sum,
+                             const double* spk_sumsq,
+                             double glob_count, const double* glob_sum,
+                             const double* glob_sumsq,
+                             int speaker_frames, int global_frames,
+                             int norm_vars, double* out) {
+  for (long t = 0; t < n_frames; ++t) {
+    const long ws = std::max(0L, t + 1 - window);
+    const double c = static_cast<double>(t + 1 - ws);
+    double ks = std::min(std::max(window - c, 0.0),
+                         static_cast<double>(speaker_frames));
+    ks = std::min(ks, spk_count);
+    double kg = std::min(std::max(window - c - ks, 0.0),
+                         static_cast<double>(global_frames));
+    kg = std::min(kg, glob_count);
+    const double n = c + ks + kg;
+    for (int d = 0; d < dim; ++d) {
+      double s = 0.0, s2 = 0.0;
+      for (long u = ws; u <= t; ++u) {
+        const double v = feat[u * dim + d];
+        s += v;
+        s2 += v * v;
+      }
+      if (ks > 0.0) {
+        s += (ks / spk_count) * spk_sum[d];
+        s2 += (ks / spk_count) * spk_sumsq[d];
+      }
+      if (kg > 0.0) {
+        s += (kg / glob_count) * glob_sum[d];
+        s2 += (kg / glob_count) * glob_sumsq[d];
+      }
+      const double mean = s / n;
+      double o = feat[t * dim + d] - mean;
+      if (norm_vars) {
+        double var = s2 / n - mean * mean;
+        if (var < 1e-10) var = 1e-10;
+        o /= std::sqrt(var);
+      }
+      out[t * dim + d] = o;
+    }
+  }
+}
+
 }  // extern "C"
 
 // ---- multithreaded batch WAV loader (native data-loading path) ----

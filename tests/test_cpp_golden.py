@@ -212,3 +212,43 @@ class TestSlidingCmvnThreeWay:
             jnp.asarray(f, jnp.float32)[None], None, window=50,
             min_window=15, center=center, norm_vars=norm_vars)[0]
         np.testing.assert_allclose(np.asarray(c), a, atol=5e-4, rtol=0)
+
+
+class TestOnlineCmvnThreeWay:
+    @pytest.mark.parametrize("norm_vars", [False, True])
+    @pytest.mark.parametrize("priors", ["none", "both"])
+    @pytest.mark.parametrize("T", [5, 80, 400])
+    def test_three_way(self, T, priors, norm_vars):
+        """Kaldi online2 OnlineCmvn: NumPy f64 golden == C++ double to
+        1e-12; JAX f32 within 2e-4 (prior-smoothed short-window means
+        amplify f32 rounding at small T)."""
+        if not cpp_golden.available():
+            pytest.skip("C++ golden not built")
+        rng = np.random.default_rng(1000 + T)
+        D = 7
+        f = (rng.standard_normal((T, D)) * 2 + 1).astype(np.float64)
+        spk = glob = None
+        if priors == "both":
+            s = rng.standard_normal((40, D)) * 1.5 + 0.5
+            g = rng.standard_normal((300, D)) * 2 - 0.3
+            spk = (40.0, s.sum(0), (s * s).sum(0))
+            glob = (300.0, g.sum(0), (g * g).sum(0))
+        kw = dict(window=50, speaker_stats=spk, global_stats=glob,
+                  speaker_frames=30, global_frames=20, norm_vars=norm_vars)
+        a = cpu.online_cmvn(f, **kw)
+        b = cpp_golden.online_cmvn_native(f, **kw)
+        np.testing.assert_allclose(a, b, atol=1e-12, rtol=0)
+        import jax.numpy as jnp
+
+        from tpufeat import features
+
+        class _St:
+            def __init__(self, t):
+                self.count, self.sum, self.sumsq = t
+                self.mean = self.sum / self.count
+        jkw = dict(kw)
+        jkw["speaker_stats"] = _St(spk) if spk else None
+        jkw["global_stats"] = _St(glob) if glob else None
+        c = features.online_cmvn(jnp.asarray(f, jnp.float32)[None], None,
+                                 **jkw)[0]
+        np.testing.assert_allclose(np.asarray(c), a, atol=2e-4, rtol=0)

@@ -253,7 +253,34 @@ class TestStreamingPipelinePitch:
         """Lookahead >= total frames: every column — 39 spectral + POV +
         mean-subtracted log-pitch + delta-log-pitch — matches the offline
         extract()+pitch_features() concatenation (the CLI composition),
-        truncated to the pitch frame count like cli.py:163."""
+        truncated to the pitch frame count like cli.py:163.
+
+        Runs in a SUBPROCESS on the CPU backend: this is the largest
+        XLA:CPU compile in the suite (full-lookahead Viterbi program,
+        ~140 s), and LLVM has segfaulted compiling it in a long-lived
+        suite process while the same test passes in isolation (observed
+        2026-08-18; also clean with torch pre-imported). Process
+        isolation makes the suite deterministic; TPUFEAT_ISOLATED=1 (or
+        an on-chip run, where a second TPU client is forbidden) runs the
+        body inline."""
+        import os
+        import subprocess
+        import sys
+        if (os.environ.get("TPUFEAT_ISOLATED") == "1"
+                or os.environ.get("TPUFEAT_TEST_TPU") == "1"):
+            self._full_lookahead_body()
+            return
+        env = dict(os.environ, TPUFEAT_ISOLATED="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             __file__ + "::TestStreamingPipelinePitch::"
+             "test_full_lookahead_matches_offline_composition"],
+            env=env, capture_output=True, text=True, timeout=1800)
+        assert r.returncode == 0, (
+            f"isolated run failed (rc={r.returncode}):\n"
+            f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}")
+
+    def _full_lookahead_body(self):
         from tpufeat import pitch as pm
         b, n = 2, 24000
         x = _voiced(b, n, 97)

@@ -711,6 +711,36 @@ class TestAuxOnChip:
         assert np.asarray(res.features).shape[-1] == 27
         assert golden_err(sig, cfg) < 2e-3
 
+    def test_online_cmvn_on_chip(self):
+        """Kaldi online2 OnlineCmvn on hardware: the offline op over
+        fused-kernel features vs the f64 golden, and the streaming twin
+        through StreamingPipeline(online_cmvn=...) vs the offline
+        composition (same-chip oracle)."""
+        from tpufeat import data
+        cfg = dataclasses.replace(KALDI39, cmvn="none",
+                                  matmul_precision="bf16x3", **FUSED)
+        sig = make_signal(32000, seed=363)
+        feats = features.extract(sig, cfg=cfg).features
+        spk_rows = np.random.default_rng(364).standard_normal((80, 39))
+        spk = data.CmvnStats(39)
+        spk.accumulate(spk_rows)
+        got = np.asarray(features.online_cmvn(
+            feats, window=120, speaker_stats=spk, norm_vars=True))
+        want = cpu.online_cmvn(np.asarray(feats, np.float64), window=120,
+                               speaker_stats=spk, norm_vars=True)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
+
+        oc = streaming.OnlineCmvn(39, window=120, speaker_stats=spk,
+                                  norm_vars=True)
+        pipe = streaming.StreamingPipeline(cfg, batch_size=1,
+                                           online_cmvn=oc)
+        outs = [np.asarray(pipe.process(sig[None, i: i + 8000]))
+                for i in range(0, 32000, 8000)]
+        outs.append(np.asarray(pipe.flush()))
+        stream = np.concatenate(outs, axis=1)[0]
+        np.testing.assert_allclose(stream, want[: len(stream)],
+                                   atol=5e-4, rtol=0)
+
     def test_segments_corpus_on_chip(self, tmp_path):
         """--segments corpus flow on hardware: per-segment features match
         direct extract of the sample slices."""

@@ -76,6 +76,16 @@ def _lib():
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double)]
+    lib.tpufeat_online_cmvn_f64.restype = None
+    lib.tpufeat_online_cmvn_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_read_wav.restype = ctypes.c_long
     lib.tpufeat_read_wav.argtypes = [ctypes.c_char_p,
                                      ctypes.POINTER(ctypes.c_float),
@@ -243,6 +253,49 @@ def sliding_cmvn_native(feat: np.ndarray, window: int = 600,
             f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             f.shape[0], f.shape[1], window, min_window, int(center),
             int(norm_vars),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def online_cmvn_native(feat: np.ndarray, window: int = 600,
+                       speaker_stats=None, global_stats=None,
+                       speaker_frames: int = 600, global_frames: int = 200,
+                       norm_vars: bool = False) -> np.ndarray:
+    """C++ double Kaldi-online2 OnlineCmvn — the third independent
+    implementation (three-way parity with reference/cpu.py::online_cmvn
+    and features.online_cmvn). Priors are ``(count, sum, sumsq)`` triples
+    or :class:`tpufeat.data.CmvnStats`; None for no prior."""
+    lib = _lib()
+    f = np.ascontiguousarray(feat, dtype=np.float64)
+    if f.ndim != 2:
+        raise ValueError(f"want [T, D], got shape {f.shape}")
+
+    def unpack(st):
+        if st is None:
+            return 0.0, None, None
+        if isinstance(st, (tuple, list)):  # tuples HAVE a .count method
+            c, s, s2 = float(st[0]), st[1], st[2]
+        else:
+            c, s, s2 = float(st.count), st.sum, st.sumsq
+        s = np.ascontiguousarray(s, dtype=np.float64)
+        s2 = np.ascontiguousarray(s2, dtype=np.float64)
+        if s.shape != (f.shape[1],) or s2.shape != (f.shape[1],):
+            raise ValueError("prior stats dim mismatch")
+        return c, s, s2
+
+    def ptr(a):
+        return (a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+                if a is not None else None)
+
+    cs, ssum, ssq = unpack(speaker_stats)
+    cg, gsum, gsq = unpack(global_stats)
+    out = np.zeros_like(f)
+    if f.shape[0]:
+        lib.tpufeat_online_cmvn_f64(
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            f.shape[0], f.shape[1], window,
+            cs, ptr(ssum), ptr(ssq), cg, ptr(gsum), ptr(gsq),
+            speaker_frames, global_frames, int(norm_vars),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
 

@@ -392,11 +392,11 @@ def online_cmvn(feat: np.ndarray, window: int = 600,
     def unpack(st):
         if st is None:
             return 0.0, 0.0, 0.0
-        if hasattr(st, "count"):
-            return float(st.count), np.asarray(st.sum, np.float64), \
-                np.asarray(st.sumsq, np.float64)
-        return float(st[0]), np.asarray(st[1], np.float64), \
-            np.asarray(st[2], np.float64)
+        if isinstance(st, (tuple, list)):  # tuples HAVE a .count method
+            return float(st[0]), np.asarray(st[1], np.float64), \
+                np.asarray(st[2], np.float64)
+        return float(st.count), np.asarray(st.sum, np.float64), \
+            np.asarray(st.sumsq, np.float64)
 
     cs, ssum, ssq = unpack(speaker_stats)
     cg, gsum, gsq = unpack(global_stats)
