@@ -3,6 +3,10 @@ StreamingPipeline = front-end -> online Δ -> online ΔΔ -> running CMVN
 behind one process()/flush() pair (tpufeat/streaming.py)."""
 
 import dataclasses
+import functools
+import os
+import subprocess
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +16,34 @@ from tpufeat import features, streaming
 from tpufeat.config import KALDI39, MFCC13_HTK
 
 KALDI39_NOCMVN = dataclasses.replace(KALDI39, cmvn="none")
+
+
+def isolated(test):
+    """Run the test in a fresh pytest SUBPROCESS on the CPU backend.
+
+    Applied to every test that compiles a streaming-pitch Viterbi
+    program: XLA:CPU's LLVM has segfaulted compiling these in a
+    long-lived suite process (observed 2026-08-18 at two different
+    tests — whichever large pitch compile came first in-process — while
+    each passes in a fresh process, even with torch pre-imported).
+    Process isolation makes `pytest tests/` deterministic.
+    TPUFEAT_ISOLATED=1 (the subprocess) runs the body inline, as does an
+    on-chip run (a second TPU client is forbidden there, and the crash
+    is CPU-backend-specific)."""
+    @functools.wraps(test)
+    def wrapper(self, *args, **kwargs):
+        if (os.environ.get("TPUFEAT_ISOLATED") == "1"
+                or os.environ.get("TPUFEAT_TEST_TPU") == "1"):
+            return test(self, *args, **kwargs)
+        node = f"{__file__}::{type(self).__name__}::{test.__name__}"
+        env = dict(os.environ, TPUFEAT_ISOLATED="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x", node],
+            env=env, capture_output=True, text=True, timeout=1800)
+        assert r.returncode == 0, (
+            f"isolated run failed (rc={r.returncode}):\n"
+            f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}")
+    return wrapper
 
 
 def _sig(b, n, seed):
@@ -249,38 +281,12 @@ class TestStreamingPipelinePitch:
     """pitch=True on StreamingPipeline — the online sibling of
     `cli --pitch` (42-dim rows on the shared hop grid)."""
 
+    @isolated
     def test_full_lookahead_matches_offline_composition(self):
         """Lookahead >= total frames: every column — 39 spectral + POV +
         mean-subtracted log-pitch + delta-log-pitch — matches the offline
         extract()+pitch_features() concatenation (the CLI composition),
-        truncated to the pitch frame count like cli.py:163.
-
-        Runs in a SUBPROCESS on the CPU backend: this is the largest
-        XLA:CPU compile in the suite (full-lookahead Viterbi program,
-        ~140 s), and LLVM has segfaulted compiling it in a long-lived
-        suite process while the same test passes in isolation (observed
-        2026-08-18; also clean with torch pre-imported). Process
-        isolation makes the suite deterministic; TPUFEAT_ISOLATED=1 (or
-        an on-chip run, where a second TPU client is forbidden) runs the
-        body inline."""
-        import os
-        import subprocess
-        import sys
-        if (os.environ.get("TPUFEAT_ISOLATED") == "1"
-                or os.environ.get("TPUFEAT_TEST_TPU") == "1"):
-            self._full_lookahead_body()
-            return
-        env = dict(os.environ, TPUFEAT_ISOLATED="1")
-        r = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "-x",
-             __file__ + "::TestStreamingPipelinePitch::"
-             "test_full_lookahead_matches_offline_composition"],
-            env=env, capture_output=True, text=True, timeout=1800)
-        assert r.returncode == 0, (
-            f"isolated run failed (rc={r.returncode}):\n"
-            f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}")
-
-    def _full_lookahead_body(self):
+        truncated to the pitch frame count like cli.py:163."""
         from tpufeat import pitch as pm
         b, n = 2, 24000
         x = _voiced(b, n, 97)
@@ -304,6 +310,7 @@ class TestStreamingPipelinePitch:
         np.testing.assert_allclose(got[..., 39:], want[..., 39:],
                                    rtol=0, atol=2e-5)
 
+    @isolated
     def test_realistic_lookahead_shape_and_grid(self):
         """K=15 online: emitted row count == pitch frame count; POV and
         delta-log-pitch columns match offline (decisions final after the
@@ -324,6 +331,7 @@ class TestStreamingPipelinePitch:
         np.testing.assert_allclose(got[..., 41], w[..., 2], rtol=0,
                                    atol=2e-5)
 
+    @isolated
     def test_pitch_checkpoint_resume(self, tmp_path):
         """state()/set_state with pitch enabled round-trips through
         save_state/load_state; the resumed pipeline (incl. tracker ring
@@ -351,6 +359,7 @@ class TestStreamingPipelinePitch:
         got = np.concatenate(first + rest, axis=1)
         np.testing.assert_array_equal(got, want)
 
+    @isolated
     def test_reset_preserves_pitch(self):
         pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=1,
                                            pitch=True)
@@ -363,6 +372,7 @@ class TestStreamingPipelinePitch:
 
 
 class TestSlidingCmvnPitchComposition:
+    @isolated
     def test_sliding_cmvn_with_pitch(self):
         """cmvn='sliding' + pitch=True compose: spectral columns match the
         offline sliding-CMVN extract truncated to the pitch grid (CMVN
@@ -448,3 +458,35 @@ class TestOnlineCmvnComposition:
                                  np.asarray(c.flush())], axis=1)
         np.testing.assert_array_equal(tail_a, tail_c)
         assert out_a1.shape[-1] == 39
+
+
+class TestPitchResetRows:
+    """Slot recycle through the pitch path (reset_rows — see
+    tests/test_stream_pool.py for the non-pitch contracts)."""
+
+    @isolated
+    def test_pitch_pipeline_reset_rows(self):
+        """Row independence holds through the tracker/FIFO state; the
+        reset slot keeps emitting finite 42-dim rows; warmup_rows covers
+        the Viterbi restart."""
+        def run(pipe, x, plan, reset_at=None):
+            outs, pos = [], 0
+            for i, c in enumerate(plan):
+                outs.append(np.asarray(pipe.process(x[:, pos: pos + c])))
+                pos += c
+                if reset_at is not None and i == reset_at:
+                    pipe.reset_rows([0])
+            return np.concatenate(outs, axis=1)
+
+        b = 2
+        x = _voiced(b, 16000, 60)
+        plan = [4000, 4000, 4000, 4000]
+        ref = run(streaming.StreamingPipeline(
+            KALDI39_NOCMVN, batch_size=b, pitch=True), x, plan)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN,
+                                           batch_size=b, pitch=True)
+        assert pipe.warmup_rows == 8 + 2 * (15 + 2 * 2)
+        got = run(pipe, x, plan, reset_at=1)
+        np.testing.assert_array_equal(got[1], ref[1])
+        assert got.shape[-1] == 42 and np.isfinite(got).all()
+        assert not np.array_equal(got[0], ref[0])

@@ -741,6 +741,45 @@ class TestAuxOnChip:
         np.testing.assert_allclose(stream, want[: len(stream)],
                                    atol=5e-4, rtol=0)
 
+    def test_slot_recycle_on_chip(self):
+        """reset_rows + StreamPool on hardware through the production
+        fused streaming step: recycling slot 0 leaves slot 1 bit-
+        unchanged, and the recycled slot is bit-exact vs the zeros-prefix
+        oracle after warmup (the serving utterance-turnover contract)."""
+        cfg = dataclasses.replace(KALDI39, cmvn="none",
+                                  matmul_precision="bf16x3", **FUSED)
+        b, plan = 2, [4800] * 4
+        rng = np.random.default_rng(365)
+        x = (0.1 * rng.standard_normal((b, sum(plan)))).astype(np.float32)
+
+        def run(pipe, sig, reset_at=None):
+            outs, pos = [], 0
+            for i, c in enumerate(plan):
+                outs.append(np.asarray(pipe.process(sig[:, pos: pos + c])))
+                pos += c
+                if reset_at is not None and i == reset_at:
+                    pipe.reset_rows([0])
+            return np.concatenate(outs, axis=1)
+
+        ref = run(streaming.StreamingPipeline(cfg, batch_size=b), x)
+        pipe = streaming.StreamingPipeline(cfg, batch_size=b)
+        got = run(pipe, x, reset_at=1)
+        np.testing.assert_array_equal(got[1], ref[1])
+        xz = x.copy()
+        xz[0, :9600] = 0.0
+        oracle = run(streaming.StreamingPipeline(cfg, batch_size=b), xz)
+        r0 = MFCC13_HTK.num_frames(9600) + pipe.warmup_rows
+        np.testing.assert_array_equal(got[0, r0:], oracle[0, r0:])
+
+        pool = streaming.StreamPool(
+            streaming.StreamingPipeline(cfg, batch_size=b))
+        s0, s1 = pool.attach(), pool.attach()
+        out = pool.process({s0: x[0, :4800], s1: x[1, :4800]})
+        n = MFCC13_HTK.num_frames(4800) - 4
+        assert np.asarray(out[s0]).shape[0] == max(0, n - pool.warmup)
+        pool.detach(s1)
+        assert pool.attach() == s1
+
     def test_segments_corpus_on_chip(self, tmp_path):
         """--segments corpus flow on hardware: per-segment features match
         direct extract of the sample slices."""

@@ -30,6 +30,7 @@ from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (OnlineCmvn, StreamingDeltas,
                                StreamingFrontend,
                                StreamingPipeline, StreamingSlidingCMVN,
+                               StreamPool,
                                StreamState, extract_scan, init_state,
                                process_chunk, process_chunk_static,
                                scan_chunks, scan_chunks_static)
@@ -45,7 +46,8 @@ __all__ = [
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
     "process_chunk", "process_chunk_static", "scan_chunks",
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
-    "StreamingPipeline", "StreamingSlidingCMVN", "sliding_cmvn",
+    "StreamingPipeline", "StreamingSlidingCMVN", "StreamPool",
+    "sliding_cmvn",
     "OnlineCmvn", "online_cmvn",
     "resample", "StreamingResampler",
     "spec_augment", "energy_vad", "StreamingEnergyVAD", "add_noise",

@@ -554,6 +554,18 @@ class StreamingPitch:
         self._fill = total - n_new * self.cfg.hop_length
         return self._hz(lags[:, skip:]), povs[:, skip:]
 
+    def reset_rows(self, rows) -> None:
+        """Slot recycle: zero the rows' sample carry, Viterbi scores,
+        backpointer/NCCF rings, and running ballast stats (the shared
+        fill/pos clock keeps running). The init state is all-zeros
+        (init_pitch_state), so the slot restarts from the tracker's
+        initial condition; its decisions are warmup garbage for the next
+        ``lookahead`` emitted frames (same as stream start), then final.
+        Other rows are bit-unchanged."""
+        from tpufeat.streaming import zero_rows
+        self.state = PitchStreamState(
+            *(zero_rows(leaf, rows) for leaf in self.state))
+
     def flush(self):
         if self.cfg.center and not self._tail_padded:
             # the offline centered tracker sees wext//2 trailing zeros;
@@ -610,12 +622,14 @@ class StreamingPitchFeatures:
         self._pov_fifo = jnp.zeros((batch_size, 0), jnp.float32)
         self._lp_fifo = jnp.zeros((batch_size, 0), jnp.float32)
         self._lp_sum = jnp.zeros((batch_size,), jnp.float32)
-        self._n = 0
+        # PER-ROW decided-frame counter so a recycled slot's running
+        # log-pitch mean restarts with its own frames (reset_rows)
+        self._n = jnp.zeros((batch_size,), jnp.float32)
 
     def _ingest(self, hz: jnp.ndarray, pov: jnp.ndarray) -> jnp.ndarray:
         lp = jnp.log(hz)
         self._lp_sum = self._lp_sum + jnp.sum(lp, axis=1)
-        self._n += lp.shape[1]
+        self._n = self._n + lp.shape[1]
         self._pov_fifo = jnp.concatenate([self._pov_fifo, pov], axis=1)
         self._lp_fifo = jnp.concatenate([self._lp_fifo, lp], axis=1)
         return self._deltas.process(lp[..., None])
@@ -624,7 +638,7 @@ class StreamingPitchFeatures:
         n = dlp.shape[1]
         pov, self._pov_fifo = self._pov_fifo[:, :n], self._pov_fifo[:, n:]
         lp, self._lp_fifo = self._lp_fifo[:, :n], self._lp_fifo[:, n:]
-        mean = self._lp_sum[:, None] / max(self._n, 1)
+        mean = self._lp_sum[:, None] / jnp.maximum(self._n, 1.0)[:, None]
         return jnp.stack([pov, lp - mean, dlp[..., 0]], axis=-1)
 
     def process(self, chunk) -> jnp.ndarray:
@@ -657,6 +671,22 @@ class StreamingPitchFeatures:
             "lp_sum": self._lp_sum, "n": self._n,
         }
 
+    def reset_rows(self, rows) -> None:
+        """Slot recycle: reset the rows' tracker state, delta carry,
+        alignment FIFO content, and running log-pitch mean (per-row
+        ``_n``), leaving the shared emission clock and the other rows
+        bit-unchanged. The slot's next ``lookahead + 2*delta_window``
+        emitted rows are warmup (tracker restart + delta transient)."""
+        from tpufeat.streaming import zero_rows
+        self.tracker.reset_rows(rows)
+        self._deltas.reset_rows(rows)
+        if self._pov_fifo.shape[1]:
+            self._pov_fifo = zero_rows(self._pov_fifo, rows)
+        if self._lp_fifo.shape[1]:
+            self._lp_fifo = zero_rows(self._lp_fifo, rows)
+        self._lp_sum = zero_rows(self._lp_sum, rows)
+        self._n = zero_rows(self._n, rows)
+
     def set_state(self, s: dict) -> None:
         t = self.tracker
         t.state = s["tracker"]
@@ -667,4 +697,7 @@ class StreamingPitchFeatures:
         self._pov_fifo = jnp.asarray(s["pov_fifo"])
         self._lp_fifo = jnp.asarray(s["lp_fifo"])
         self._lp_sum = jnp.asarray(s["lp_sum"])
-        self._n = int(s["n"])
+        n = np.asarray(s["n"])
+        # pre-per-row checkpoints stored one shared host int
+        self._n = (jnp.full_like(self._lp_sum, float(n)) if n.ndim == 0
+                   else jnp.asarray(n, jnp.float32))

@@ -205,6 +205,16 @@ class StreamingResampler:
         self._blocks = n_blocks
         return y[:, : n_out - (n_blocks - remaining) * self.p]
 
+    def reset_rows(self, rows) -> None:
+        """Slot recycle (serving): zero the rows' filter carry without
+        touching the other rows or the shared block clock — the slot
+        resamples as a stream that carried zeros from the global start
+        (exact: the polyphase window is linear, so a zero carry IS the
+        zeros-prefix history). Other rows are bit-unchanged."""
+        if not self.passthrough:
+            from tpufeat.streaming import zero_rows
+            self.buf = zero_rows(self.buf, rows)
+
     def state(self) -> dict:
         s = {"total": self._total, "blocks": self._blocks}
         if not self.passthrough:

@@ -74,6 +74,17 @@ class StreamState(NamedTuple):
     prev_raw: jnp.ndarray  # [B] last raw sample seen
 
 
+def zero_rows(x: jnp.ndarray, rows) -> jnp.ndarray:
+    """Zero the given batch rows of a [B, ...] array — the slot-recycle
+    primitive shared by every streaming wrapper's ``reset_rows``. One
+    eager ``where`` per leaf (reset is a per-utterance-end event, not a
+    per-chunk op, so it never joins the jitted step)."""
+    keep = np.ones(x.shape[0], bool)
+    keep[np.asarray(list(rows), int)] = False
+    k = jnp.asarray(keep).reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.where(k, x, jnp.zeros((), x.dtype))
+
+
 def _check_streamable(cfg: FeatureConfig) -> None:
     if cfg.center:
         raise ValueError("streaming requires center=False (snip-edges)")
@@ -451,6 +462,22 @@ class StreamingFrontend:
         b = self._state.buf.shape[0]
         self.state = init_state(b, self.cfg)
 
+    def reset_rows(self, rows) -> None:
+        """Recycle the given batch slots (serving: utterance ended, a new
+        stream takes the row) WITHOUT touching the other rows or the
+        shared chunk schedule: the slot's carry and pre-emphasis state
+        are zeroed while the shared ``fill`` clock keeps running, so the
+        slot behaves exactly as a stream that carried zeros (silence)
+        from the global start — its subsequent features are bit-identical
+        to :func:`extract_scan` of (zeros-prefix ++ future samples) under
+        the same chunk plan (tested). Other rows are bit-unchanged (the
+        zeroing is a pure per-row ``where``)."""
+        self._state = StreamState(
+            buf=zero_rows(self._state.buf, rows),
+            fill=self._state.fill,            # shared schedule clock
+            prev_raw=zero_rows(self._state.prev_raw, rows),
+        )
+
 
 # ---------------------------------------------------------------------------
 # Online deltas: the streaming twin of features.deltas (config 3 post-
@@ -555,6 +582,14 @@ class StreamingDeltas:
         n = self.n_seen if self.n_seen < 2 * self.window \
             else 2 * self.window
         return _make_delta_flush_fn(self.window, n)(self.carry)
+
+    def reset_rows(self, rows) -> None:
+        """Slot recycle: zero the rows' carry (the shared ``n_seen``
+        emission clock keeps running). The slot's next ``window`` output
+        rows are transitional (they regress against the zeroed carry);
+        from the ``window``-th row on, the output is exactly the offline
+        delta of the slot's own post-reset base rows."""
+        self.carry = zero_rows(self.carry, rows)
 
 
 @functools.lru_cache(maxsize=None)
@@ -691,6 +726,16 @@ class StreamingSlidingCMVN:
         self.n_seen = int(s["n_seen"])
         self._pending = jnp.asarray(s["pending"])
 
+    def reset_rows(self, rows) -> None:
+        """Slot recycle: zero the rows' ring (emission alignment stays
+        shared — the batch emits in lockstep, so a fresh slot cannot get
+        its own ``min_window`` startup delay). The zeroed rows count as
+        window content until they wash out: the slot's first ``window``
+        rows are normalized against a partially-zero window."""
+        self.carry = zero_rows(self.carry, rows)
+        if self._pending.shape[1]:
+            self._pending = zero_rows(self._pending, rows)
+
 
 @functools.lru_cache(maxsize=None)
 def _sliding_cmvn_step_jit(n: int, window: int, min_window: int,
@@ -790,7 +835,11 @@ class OnlineCmvn:
         self._cs, self._ssum, self._ssq = unpack(speaker_stats)
         self._cg, self._gsum, self._gsq = unpack(global_stats)
         self.carry = jnp.zeros((batch_size, window, dim), jnp.float32)
-        self.n_seen = 0
+        # PER-ROW frame counter (unlike the other wrappers' shared host
+        # clock): a recycled slot restarts at 0, so the prior smoothing
+        # re-engages for its first frames — Kaldi's fresh-utterance
+        # OnlineCmvn semantics inside a running batch (see reset_rows)
+        self.n_seen = jnp.zeros((batch_size,), jnp.int32)
         self.frozen = False
         self._fmean = jnp.zeros((batch_size, 1, dim), jnp.float32)
         self._fscale = jnp.ones((batch_size, 1, dim), jnp.float32)
@@ -818,13 +867,14 @@ class OnlineCmvn:
         """Pin the smoothed statistics at the CURRENT frame (Kaldi
         ``OnlineCmvn::Freeze``); later :meth:`process` calls normalize
         against them without updating the window."""
-        if self.n_seen == 0 and self._cs == 0.0 and self._cg == 0.0:
+        n_rows = np.asarray(self.n_seen)
+        if n_rows.max() == 0 and self._cs == 0.0 and self._cg == 0.0:
             raise ValueError("freeze() before any frame needs a speaker "
                              "or global prior to freeze")
         ring = np.asarray(self.carry, np.float64)
-        k = min(self.n_seen, self.window)
         means, scales = [], []
         for b in range(ring.shape[0]):
+            k = int(min(n_rows[b], self.window))
             mean, var = self._smoothed(ring[b, self.window - k:])
             means.append(mean)
             scales.append(1.0 / np.sqrt(var) if self.norm_vars
@@ -849,10 +899,9 @@ class OnlineCmvn:
         smsq = jnp.asarray(self._ssq / max(self._cs, 1.0), jnp.float32)
         gm = jnp.asarray(self._gsum / max(self._cg, 1.0), jnp.float32)
         gmsq = jnp.asarray(self._gsq / max(self._cg, 1.0), jnp.float32)
-        out, self.carry = fn(self.carry, rows,
-                             jnp.asarray(self.n_seen, jnp.int32),
+        out, self.carry = fn(self.carry, rows, self.n_seen,
                              sm, smsq, gm, gmsq)
-        self.n_seen += n
+        self.n_seen = self.n_seen + n
         return out
 
     def state(self) -> dict:
@@ -862,10 +911,24 @@ class OnlineCmvn:
 
     def set_state(self, s: dict) -> None:
         self.carry = jnp.asarray(s["carry"])
-        self.n_seen = int(s["n_seen"])
+        n = np.asarray(s["n_seen"])
+        B = self.carry.shape[0]
+        # pre-per-row checkpoints stored one shared host int
+        self.n_seen = jnp.full((B,), int(n), jnp.int32) if n.ndim == 0 \
+            else jnp.asarray(n, jnp.int32)
         self.frozen = bool(np.asarray(s["frozen"]))
         self._fmean = jnp.asarray(s["fmean"])
         self._fscale = jnp.asarray(s["fscale"])
+
+    def reset_rows(self, rows) -> None:
+        """Slot recycle: zero the rows' ring AND their frame counter, so
+        the slot's next frames are smoothed against the speaker/global
+        priors exactly like a fresh Kaldi OnlineCmvn — per-utterance
+        restart semantics inside a running batch. Under :meth:`freeze`
+        the pinned statistics stay in force for every row (freezing is
+        global); other rows are bit-unchanged."""
+        self.carry = zero_rows(self.carry, rows)
+        self.n_seen = zero_rows(self.n_seen, rows)
 
 
 @functools.lru_cache(maxsize=None)
@@ -873,26 +936,28 @@ def _online_cmvn_step_jit(n: int, window: int, norm_vars: bool,
                           cs: float, cg: float,
                           speaker_frames: int, global_frames: int):
     """One compiled online-CMVN step per (chunk rows, window/prior
-    config); the frame counter and prior moments are traced. Same
-    gather-free shifted-cumsum formulation as _sliding_cmvn_step_jit,
-    with Kaldi's trailing-``window`` window ([t+1-w, t+1), one frame
-    narrower than apply-cmvn-sliding's [t-w, t+1)) and prior smoothing
-    instead of a min_window future borrow."""
+    config); the PER-ROW frame counter ``n_prev`` [B] and prior moments
+    are traced (per-row so recycled serving slots restart against the
+    priors mid-batch — reset_rows). Same gather-free shifted-cumsum
+    formulation as _sliding_cmvn_step_jit, with Kaldi's
+    trailing-``window`` window ([t+1-w, t+1), one frame narrower than
+    apply-cmvn-sliding's [t-w, t+1)) and prior smoothing instead of a
+    min_window future borrow."""
     w = window
 
     def impl(carry, rows, n_prev, sm, smsq, gm, gmsq):
         from tpufeat.features import _prior_counts
         data = jnp.concatenate([carry, rows], axis=1)      # [B, w+n, D]
-        nreal = (jnp.minimum(n_prev, w) + n).astype(data.dtype)
+        nprev = jnp.minimum(n_prev, w)[:, None, None]      # [B, 1, 1]
+        nreal = (nprev + n).astype(data.dtype)
         g = jnp.sum(data, axis=1, keepdims=True) / nreal
         k = jnp.arange(w + n, dtype=jnp.int32)[None, :, None]
-        realmask = (k >= (w + n) - jnp.minimum(n_prev, w) - n).astype(
-            data.dtype)
+        realmask = (k >= (w + n) - nprev - n).astype(data.dtype)
         x = (data - g) * realmask
 
         j = jnp.arange(n, dtype=jnp.int32)
-        t_abs = n_prev + j
-        cnt = jnp.minimum(t_abs + 1, w).astype(x.dtype)[None, :, None]
+        t_abs = n_prev[:, None] + j[None, :]               # [B, n]
+        cnt = jnp.minimum(t_abs + 1, w).astype(x.dtype)[..., None]
         ks, kg = _prior_counts(cnt, w, cs, speaker_frames,
                                cg, global_frames)
         # priors re-centered by the block mean (cancels exactly)
@@ -900,7 +965,13 @@ def _online_cmvn_step_jit(n: int, window: int, norm_vars: bool,
         smsq_c = smsq - 2.0 * g * sm + g * g
         gmsq_c = gmsq - 2.0 * g * gm + g * g
 
-        lower_mask = (t_abs + 1 < w)[None, :, None]
+        lower_mask = (t_abs + 1 < w)[..., None]            # [B, n, 1]
+        # per-row short-carry floor pick: cums[b, w - n_prev_b] via a
+        # one-hot contraction (a take_along_axis gather here is the op
+        # class measured 2.1x the whole pipeline on chip)
+        fidx = jnp.clip(w - n_prev, 0, w + n)              # [B]
+        onehot = (jnp.arange(w + n + 1, dtype=jnp.int32)[None, :]
+                  == fidx[:, None]).astype(x.dtype)        # [B, w+n+1]
 
         def winsum(v):
             cums = jnp.cumsum(
@@ -908,8 +979,7 @@ def _online_cmvn_step_jit(n: int, window: int, norm_vars: bool,
                 axis=1)                                    # [B, w+n+1, D]
             upper = cums[:, w + 1:]                        # cs[j+w+1]
             lower = cums[:, 1: n + 1]                      # cs[j+1]
-            floor = jax.lax.dynamic_slice_in_dim(
-                cums, jnp.clip(w - n_prev, 0, w + n), 1, axis=1)
+            floor = jnp.einsum("bk,bkd->bd", onehot, cums)[:, None]
             return upper - jnp.where(lower_mask, floor, lower)
 
         tot = cnt + ks + kg
@@ -1174,6 +1244,63 @@ class StreamingPipeline:
                       pitch_lookahead=self._pitch_lookahead,
                       input_rate=self._input_rate)
 
+    @property
+    def warmup_rows(self) -> int:
+        """Conservative bound on transitional rows after
+        :meth:`reset_rows`: discard this many emitted rows for the reset
+        slot before trusting its output. Delta stages contribute
+        ``2 * delta_order * delta_window``: the emission-lag rows queued
+        in the FIFOs at reset (zeroed — they belonged to the previous
+        utterance) plus the zeroed-carry regression transient — beyond
+        it, every delta window covers only the slot's own rows and the
+        output is bit-exact vs the zeros-prefix oracle (tested).
+        Windowed CMVN adds its window (zeros wash out of the trailing
+        statistics); pitch adds the Viterbi restart + its delta chain,
+        lag-doubled the same way."""
+        w = 2 * self.cfg.delta_order * self.cfg.delta_window
+        if self._scmvn is not None:
+            w += self._scmvn.window
+        elif self._ocmvn is not None:
+            w += self._ocmvn.window
+        if self._pitch is not None:
+            w += 2 * (self._pitch_lookahead
+                      + 2 * self._pitch_cfg.delta_window)
+        return w
+
+    def reset_rows(self, rows) -> None:
+        """Recycle the given batch slots for new streams (serving: the
+        endpointer fired, the caller hung up) WITHOUT touching the other
+        rows — their outputs stay bit-identical to an un-reset run — or
+        the shared chunk schedule. Per stage: the front-end slot restarts
+        as a zeros-carrying (silence) stream — bit-exact vs the
+        zeros-prefix oracle; delta carries are zeroed (``warmup_rows``
+        transient, then exact); running/sliding CMVN statistics restart;
+        OnlineCmvn restarts per-row against its priors (Kaldi
+        fresh-utterance semantics); pitch restarts from the tracker's
+        initial condition. Queued-but-unemitted FIFO rows for the slot
+        are zeroed — they belong to the previous utterance and emit as
+        part of the warmup."""
+        self.frontend.reset_rows(rows)
+        for stage in self.stages:
+            stage.reset_rows(rows)
+        if self.cmvn_stats is not None:
+            self.cmvn_stats = RunningCMVN(
+                *(zero_rows(leaf, rows) for leaf in self.cmvn_stats))
+        if self._scmvn is not None:
+            self._scmvn.reset_rows(rows)
+        if self._ocmvn is not None:
+            self._ocmvn.reset_rows(rows)
+        if self._resampler is not None:
+            self._resampler.reset_rows(rows)
+        self._fifos = [zero_rows(f, rows) if f.shape[1] else f
+                       for f in self._fifos]
+        if self._pitch is not None:
+            self._pitch.reset_rows(rows)
+            if self._main_fifo.shape[1]:
+                self._main_fifo = zero_rows(self._main_fifo, rows)
+            if self._pfeat_fifo.shape[1]:
+                self._pfeat_fifo = zero_rows(self._pfeat_fifo, rows)
+
     def state(self) -> dict:
         """Full pipeline state as one pytree (host counters included) —
         feed to :func:`save_state` for checkpoint/resume."""
@@ -1222,3 +1349,100 @@ class StreamingPipeline:
             self._pitch.set_state(s["pitch"])
             self._main_fifo = jnp.asarray(s["main_fifo"])
             self._pfeat_fifo = jnp.asarray(s["pfeat_fifo"])
+
+
+class StreamPool:
+    """Slot manager for batched online serving over ONE fixed-shape
+    streaming wrapper (:class:`StreamingPipeline` or
+    :class:`StreamingFrontend`) — the piece that turns "65,536 concurrent
+    streams per chip" (BASELINE.md serving rows) into an operable service:
+    real streams start and end at different times, but the compiled step
+    has one static [capacity, C] shape, so utterance turnover must recycle
+    batch rows in place.
+
+    :meth:`attach` leases a free slot (resetting its row state via
+    ``reset_rows`` — other rows bit-unchanged); :meth:`detach` returns it;
+    :meth:`process` runs one batched step per tick, feeding zeros to
+    unleased rows, and returns ONLY each fed slot's trustworthy rows
+    (the wrapper's ``warmup_rows`` transitional rows after attach are
+    dropped automatically). Returned rows are device-resident slices —
+    ``np.asarray`` them (or batch the fetch) on the host side.
+
+    The composition with :class:`tpufeat.augment.StreamingEndpointer` is
+    the full serving control loop: endpointer fires -> ``detach`` ->
+    ``attach`` for the next caller. A detached slot's undecided lookahead
+    tail (delta/Viterbi lag) is dropped — ends of serving utterances are
+    endpointed trailing silence, exactly the rows lookahead would finish.
+
+    All slots share one chunk clock: every ``process`` tick advances every
+    row by the same C samples (feed ticks at your serving cadence, e.g.
+    100 ms). Per-slot chunk SIZES cannot differ — that would need per-row
+    dynamic fills, the gather-class path measured 30x slower (framing.py).
+    """
+
+    def __init__(self, pipeline, warmup: int | None = None):
+        self.pipeline = pipeline
+        if hasattr(pipeline, "_fifos"):              # StreamingPipeline
+            self.capacity = pipeline._fifos[0].shape[0]
+        else:                                        # StreamingFrontend
+            self.capacity = pipeline.state.buf.shape[0]
+        self.warmup = (getattr(pipeline, "warmup_rows", 0)
+                       if warmup is None else warmup)
+        self._free = list(range(self.capacity - 1, -1, -1))
+        self._skip: dict[int, int] = {}    # slot -> warmup rows to drop
+
+    @property
+    def active(self) -> list:
+        return sorted(self._skip)
+
+    @property
+    def free_slots(self) -> int:
+        return len(self._free)
+
+    def attach(self) -> int:
+        """Lease a slot for a new stream; raises when the pool is full
+        (size the pipeline's batch for peak concurrency — BASELINE.md
+        measures the per-chip budget)."""
+        if not self._free:
+            raise RuntimeError(f"pool full ({self.capacity} slots); "
+                               "detach a stream first")
+        slot = self._free.pop()
+        self.pipeline.reset_rows([slot])
+        self._skip[slot] = self.warmup
+        return slot
+
+    def detach(self, slot: int) -> None:
+        """End a stream and recycle its slot (no per-slot flush: the
+        undecided lookahead tail is endpointed trailing silence)."""
+        if slot not in self._skip:
+            raise KeyError(f"slot {slot} is not attached")
+        del self._skip[slot]
+        self._free.append(slot)
+
+    def process(self, chunks: dict) -> dict:
+        """One serving tick: ``{slot: [C] samples}`` for any subset of
+        attached slots -> ``{slot: [n_b, D] rows}`` (device-resident;
+        n_b varies per slot only through warmup trimming). Unfed slots
+        (attached but silent this tick, or unleased) advance on zeros."""
+        if not chunks:
+            raise ValueError("feed at least one attached slot")
+        bad = set(chunks) - set(self._skip)
+        if bad:
+            raise KeyError(f"slots not attached: {sorted(bad)}")
+        sizes = {int(np.shape(c)[-1]) for c in chunks.values()}
+        if len(sizes) != 1:
+            raise ValueError("all slots share one chunk clock; got chunk "
+                             f"sizes {sorted(sizes)}")
+        x = np.zeros((self.capacity, sizes.pop()), np.float32)
+        for s, c in chunks.items():
+            x[s] = np.asarray(c, np.float32)
+        out = self.pipeline.process(x)
+        if isinstance(out, tuple):                   # frontend: (feats, mask)
+            out = out[0]
+        n = out.shape[1]
+        res = {}
+        for s in chunks:
+            skip = min(self._skip[s], n)
+            self._skip[s] -= skip
+            res[s] = out[s, skip:]
+        return res
