@@ -255,6 +255,30 @@ class TestStreamPool:
         assert out[s].shape == (MFCC13_HTK.num_frames(4800),
                                 MFCC13_HTK.feature_dim)
 
+    def test_process_batch_matches_dict_path(self):
+        """process_batch (caller-assembled [capacity, C] block — the
+        data-plane shape at serving scale) returns bit-identical rows to
+        the dict path when fed the same content, and covers ALL attached
+        slots including unfed-this-tick ones."""
+        b = 3
+        pool = streaming.StreamPool(
+            streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b))
+        pool_b = streaming.StreamPool(
+            streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b))
+        s0 = pool.attach(); s1 = pool.attach()
+        assert (pool_b.attach(), pool_b.attach()) == (s0, s1)
+        x = _sig(b, 9600, 55)
+        x[2] = 0.0                                # slot 2 unleased
+        for lo, hi in ((0, 4800), (4800, 9600)):
+            want = pool.process({s0: x[s0, lo:hi], s1: x[s1, lo:hi]})
+            got = pool_b.process_batch(x[:, lo:hi])
+            assert sorted(got) == sorted(want)
+            for s in want:
+                np.testing.assert_array_equal(np.asarray(got[s]),
+                                              np.asarray(want[s]))
+        with pytest.raises(ValueError, match="capacity"):
+            pool_b.process_batch(np.zeros((b + 1, 4800), np.float32))
+
     def test_recycled_slot_matches_zeros_prefix_oracle(self):
         """End-to-end serving semantics: a slot detached and re-leased
         produces, after warmup, exactly the features of a zeros-prefix

@@ -1439,9 +1439,29 @@ class StreamPool:
         out = self.pipeline.process(x)
         if isinstance(out, tuple):                   # frontend: (feats, mask)
             out = out[0]
+        return self._trim(out, chunks)
+
+    def process_batch(self, x) -> dict:
+        """Data-plane tick at serving scale: the caller assembles the
+        full ``[capacity, C]`` sample block itself (straight from its
+        ingest buffers — the per-slot dict of :meth:`process` costs
+        host time linear in capacity, measured 2-3 orders above the
+        device step at 10k+ slots) and the pool does only the slot
+        bookkeeping. Rows of unleased slots are computed but never
+        returned (their state is reset on the next :meth:`attach`).
+        Returns ``{slot: [n_b, D] rows}`` for every ATTACHED slot."""
+        if int(np.shape(x)[0]) != self.capacity:
+            raise ValueError(f"expected [capacity={self.capacity}, C] "
+                             f"block, got {np.shape(x)}")
+        out = self.pipeline.process(x)
+        if isinstance(out, tuple):                   # frontend: (feats, mask)
+            out = out[0]
+        return self._trim(out, self._skip)
+
+    def _trim(self, out, slots) -> dict:
         n = out.shape[1]
         res = {}
-        for s in chunks:
+        for s in slots:
             skip = min(self._skip[s], n)
             self._skip[s] -= skip
             res[s] = out[s, skip:]
