@@ -15,6 +15,12 @@ relay-safe checksum sync (BASELINE.md):
 The answer sizes the production recommendation in docs/STREAMING.md:
 dict feed for control-plane scale pools, process_batch when the caller
 already owns an assembled ingest block.
+
+Measured 2026-08-18 (BASELINE.md row): with the lazy PoolRows return,
+process_batch adds +2.7/+0.95/+0.46 ms at B=1k/8k/32k (the residual is
+this probe touching one slot = one relay dispatch). The first version
+eagerly sliced one row per attached slot in _trim — ~2 ms relay
+dispatch x B = +870 ms at B=1024 — which is why PoolRows exists.
 """
 import sys
 import time

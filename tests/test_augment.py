@@ -294,6 +294,20 @@ class TestStreamingEndpointer:
         with pytest.raises(ValueError):
             ep.update(np.zeros((3, 10), bool))
 
+    def test_reset_rows_matches_reset(self):
+        """reset_rows (pool-style slot recycle) == reset per row: the
+        reset rows' counters restart, other rows keep accumulating."""
+        ep = augment.StreamingEndpointer(batch_size=3)
+        flags = np.zeros((3, 120), bool)
+        flags[:, :20] = True
+        ep.update(flags)
+        ep.reset_rows([0, 2])
+        s = ep.state()
+        np.testing.assert_array_equal(s["frames_seen"], [0, 120, 0])
+        np.testing.assert_array_equal(s["seen_speech"],
+                                      [False, True, False])
+        np.testing.assert_array_equal(s["trailing_silence"], [0, 100, 0])
+
 
 class TestAddReverb:
     """RIR convolution (Kaldi wav-reverberate semantics)."""
@@ -504,6 +518,40 @@ class TestStreamingEnergyVAD:
         peak_t = int(np.argmax(frame_e))
         np.testing.assert_array_equal(got[:, peak_t:F],
                                       want[:, peak_t:F])
+
+    def test_reset_rows_zeros_prefix_decisions(self):
+        """Slot recycle: after reset_rows([0]), row 0's decisions equal a
+        zeros-prefix stream's under the same chunk plan (the new caller
+        is judged against ITS OWN running peak, not the previous
+        caller's), and row 1 is bit-unchanged."""
+        from tpufeat.augment import StreamingEnergyVAD
+        plan = [1600, 4800, 1600, 4800, 3200]
+        x = np.stack([self._speech_like(seed=62, loud_first=True),
+                      self._speech_like(seed=63)])
+
+        def run(v, sig, reset_at=None):
+            outs, pos = [], 0
+            for i, c in enumerate(plan):
+                outs.append(np.asarray(v.process(sig[:, pos:pos + c])))
+                pos += c
+                if reset_at is not None and i == reset_at:
+                    v.reset_rows([0])
+            return np.concatenate(outs, axis=1)
+
+        ref = run(StreamingEnergyVAD(batch_size=2), x)
+        v = StreamingEnergyVAD(batch_size=2)
+        got = run(v, x, reset_at=1)
+        np.testing.assert_array_equal(got[1], ref[1])
+        xz = x.copy()
+        xz[0, :sum(plan[:2])] = 0.0                # zeros-prefix oracle
+        oracle = run(StreamingEnergyVAD(batch_size=2), xz)
+        f_pre = 1 + (sum(plan[:2]) - 400) // 160   # flags emitted pre-reset
+        np.testing.assert_array_equal(got[0, f_pre:], oracle[0, f_pre:])
+        # the loud prefix peak must NOT gate the reset row's quiet tail:
+        # without the reset the tail would be judged against seed-62's
+        # 0.5-amplitude burst and stay silent
+        assert got[0, f_pre:].any()
+        assert not ref[0, f_pre:].any()
 
     def test_state_roundtrip(self, tmp_path):
         from tpufeat import streaming

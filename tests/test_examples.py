@@ -22,6 +22,7 @@ BOOTSTRAP = (
 
 @pytest.mark.parametrize("script", ["offline_corpus.py",
                                     "online_serving.py",
+                                    "serving_pool.py",
                                     "train_eval.py"])
 def test_example_runs(script, tmp_path):
     args = [sys.executable, "-c", BOOTSTRAP,

@@ -279,6 +279,37 @@ class TestStreamPool:
         with pytest.raises(ValueError, match="capacity"):
             pool_b.process_batch(np.zeros((b + 1, 4800), np.float32))
 
+    def test_poolrows_lazy_mapping_and_block(self):
+        """The tick result is a LAZY PoolRows mapping (per-slot slicing on
+        the relay costs ~2 ms x B — pool_overhead.py measured 870 ms/tick
+        at B=1024): mapping semantics match the old dict, block() exposes
+        the whole batched array + skips for the one-fetch bulk path, and
+        the warmup skips are a per-tick SNAPSHOT (later ticks that mutate
+        the pool's counters don't corrupt an earlier tick's view)."""
+        b = 3
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b)
+        pool = streaming.StreamPool(pipe)
+        s0, s1 = pool.attach(), pool.attach()
+        x = _sig(b, 9600, 56)
+        rows1 = pool.process({s0: x[s0, :4800], s1: x[s1, :4800]})
+        assert isinstance(rows1, streaming.PoolRows)
+        assert sorted(rows1) == sorted([s0, s1]) and len(rows1) == 2
+        assert s0 in rows1 and 99 not in rows1   # Mapping __contains__
+        out, skips = rows1.block()
+        assert out.shape[0] == b and sorted(skips) == sorted([s0, s1])
+        # snapshot: run tick 2 (which zeroes the pool's live skip
+        # counters), then read tick 1's view — must still trim warmup
+        rows2 = pool.process({s0: x[s0, 4800:], s1: x[s1, 4800:]})
+        host = np.asarray(out)
+        for s in rows1:
+            np.testing.assert_array_equal(np.asarray(rows1[s]),
+                                          host[s, skips[s]:])
+        assert skips[s0] == pipe.warmup_rows     # tick-1 trim preserved
+        o2, sk2 = rows2.block()
+        assert sk2[s0] == 0                      # warmup consumed by tick 1
+        np.testing.assert_array_equal(np.asarray(rows2[s0]),
+                                      np.asarray(o2)[s0])
+
     def test_recycled_slot_matches_zeros_prefix_oracle(self):
         """End-to-end serving semantics: a slot detached and re-leased
         produces, after warmup, exactly the features of a zeros-prefix

@@ -777,6 +777,12 @@ class TestAuxOnChip:
         out = pool.process({s0: x[0, :4800], s1: x[1, :4800]})
         n = MFCC13_HTK.num_frames(4800) - 4
         assert np.asarray(out[s0]).shape[0] == max(0, n - pool.warmup)
+        # block(): the zero-dispatch bulk path agrees with per-slot slicing
+        blk, skips = out.block()
+        host = np.asarray(blk)
+        for s in out:
+            np.testing.assert_array_equal(np.asarray(out[s]),
+                                          host[s, skips[s]:])
         pool.detach(s1)
         assert pool.attach() == s1
 

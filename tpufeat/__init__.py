@@ -27,7 +27,7 @@ from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               sliding_cmvn, spectrogram)
 from tpufeat.io import read_wav, write_wav
 from tpufeat.resampling import StreamingResampler, resample
-from tpufeat.streaming import (OnlineCmvn, StreamingDeltas,
+from tpufeat.streaming import (OnlineCmvn, PoolRows, StreamingDeltas,
                                StreamingFrontend,
                                StreamingPipeline, StreamingSlidingCMVN,
                                StreamPool,
@@ -46,7 +46,7 @@ __all__ = [
     "write_wav", "StreamingFrontend", "StreamState", "init_state",
     "process_chunk", "process_chunk_static", "scan_chunks",
     "scan_chunks_static", "extract_scan", "StreamingDeltas",
-    "StreamingPipeline", "StreamingSlidingCMVN", "StreamPool",
+    "StreamingPipeline", "StreamingSlidingCMVN", "StreamPool", "PoolRows",
     "sliding_cmvn",
     "OnlineCmvn", "online_cmvn",
     "resample", "StreamingResampler",

@@ -246,6 +246,20 @@ class StreamingEnergyVAD:
         self._fill = total - n_new * hop
         return out
 
+    def reset_rows(self, rows) -> None:
+        """Slot recycle (serving): zero the rows' sample carry and reset
+        their running peak to -inf, so the recycled slot judges speech
+        like a fresh stream — the peak is per-utterance state, and
+        without this a quiet new caller would be gated against the
+        previous caller's loud peak. Other rows are bit-unchanged; the
+        shared fill clock keeps running. Decisions on the reset row are
+        exactly those of a zeros-prefix stream under the same chunk plan
+        (a zero frame's -120 dB energy folds into the first real frame's
+        cummax either way; tested)."""
+        from tpufeat.streaming import zero_rows
+        self.buf = zero_rows(self.buf, rows)
+        self.peak_db = zero_rows(self.peak_db, rows, value=-np.inf)
+
     def state(self) -> dict:
         return {"buf": self.buf, "peak_db": self.peak_db,
                 "fill": self._fill}
@@ -431,6 +445,13 @@ class StreamingEndpointer:
         self.frames_seen[idx] = 0
         self.trailing_silence[idx] = 0
         self.seen_speech[idx] = False
+
+    def reset_rows(self, rows) -> None:
+        """Slot-recycle spelling of :meth:`reset` — same verb as every
+        other streaming wrapper, so pool-driven serving code can reset
+        the full per-slot chain (pipeline + VAD + endpointer) uniformly
+        on detach/attach."""
+        self.reset(np.asarray(list(rows), int))
 
     def state(self) -> dict:
         return {"frames_seen": self.frames_seen.copy(),

@@ -57,6 +57,7 @@ are rejected (use the one-shot path, or streaming_cmvn for running stats).
 from __future__ import annotations
 
 import functools
+from collections.abc import Mapping
 from typing import NamedTuple
 
 import jax
@@ -74,15 +75,18 @@ class StreamState(NamedTuple):
     prev_raw: jnp.ndarray  # [B] last raw sample seen
 
 
-def zero_rows(x: jnp.ndarray, rows) -> jnp.ndarray:
-    """Zero the given batch rows of a [B, ...] array — the slot-recycle
-    primitive shared by every streaming wrapper's ``reset_rows``. One
-    eager ``where`` per leaf (reset is a per-utterance-end event, not a
-    per-chunk op, so it never joins the jitted step)."""
+def zero_rows(x: jnp.ndarray, rows, value=None) -> jnp.ndarray:
+    """Reset the given batch rows of a [B, ...] array to ``value``
+    (default 0) — the slot-recycle primitive shared by every streaming
+    wrapper's ``reset_rows``. One eager ``where`` per leaf (reset is a
+    per-utterance-end event, not a per-chunk op, so it never joins the
+    jitted step)."""
     keep = np.ones(x.shape[0], bool)
     keep[np.asarray(list(rows), int)] = False
     k = jnp.asarray(keep).reshape((-1,) + (1,) * (x.ndim - 1))
-    return jnp.where(k, x, jnp.zeros((), x.dtype))
+    fill = (jnp.zeros((), x.dtype) if value is None
+            else jnp.asarray(value, x.dtype))
+    return jnp.where(k, x, fill)
 
 
 def _check_streamable(cfg: FeatureConfig) -> None:
@@ -1351,6 +1355,52 @@ class StreamingPipeline:
             self._pfeat_fifo = jnp.asarray(s["pfeat_fifo"])
 
 
+class PoolRows(Mapping):
+    """One serving tick's per-slot rows, as a LAZY mapping over the single
+    batched ``[capacity, n, D]`` device array the pipeline step produced.
+
+    Why lazy: on the TPU relay every dispatch costs ~2 ms regardless of
+    size (BASELINE.md), so materializing a per-slot slice for every
+    attached slot is ~2 ms x B of pure host/dispatch time — measured
+    870 ms per tick at B=1024 vs the 4.5 ms device step
+    (``benchmarks/experiments/pool_overhead.py``). Here ``rows[slot]``
+    slices on demand (control-plane consumers touching a few slots pay a
+    dispatch per touched slot), and :meth:`block` hands bulk consumers the
+    whole batched array plus the per-slot warmup trims in ZERO extra
+    dispatches — fetch once with ``np.asarray`` and trim on the host.
+
+    Mapping semantics match the old eager dict: iteration order is the fed
+    slots, ``rows[slot]`` is that slot's ``[n_b, D]`` trimmed rows.
+    """
+
+    __slots__ = ("_out", "_skips")
+
+    def __init__(self, out, skips: dict):
+        self._out = out          # [capacity, n, D] device-resident
+        self._skips = skips      # slot -> leading warmup rows to drop
+
+    def __getitem__(self, slot):
+        skip = self._skips[slot]
+        return self._out[slot, skip:] if skip else self._out[slot]
+
+    def __iter__(self):
+        return iter(self._skips)
+
+    def __len__(self) -> int:
+        return len(self._skips)
+
+    def __repr__(self) -> str:
+        return (f"PoolRows(slots={sorted(self._skips)}, "
+                f"block={tuple(self._out.shape)})")
+
+    def block(self):
+        """Zero-dispatch bulk access: ``(out, skips)`` where ``out`` is the
+        batched ``[capacity, n, D]`` device array (unleased rows are junk —
+        index it by this mapping's keys only) and ``skips[slot]`` is how
+        many leading warmup rows of ``out[slot]`` to drop."""
+        return self._out, dict(self._skips)
+
+
 class StreamPool:
     """Slot manager for batched online serving over ONE fixed-shape
     streaming wrapper (:class:`StreamingPipeline` or
@@ -1365,8 +1415,10 @@ class StreamPool:
     :meth:`process` runs one batched step per tick, feeding zeros to
     unleased rows, and returns ONLY each fed slot's trustworthy rows
     (the wrapper's ``warmup_rows`` transitional rows after attach are
-    dropped automatically). Returned rows are device-resident slices —
-    ``np.asarray`` them (or batch the fetch) on the host side.
+    dropped automatically). The return value is a :class:`PoolRows` lazy
+    mapping: ``rows[slot]`` slices on demand (one relay dispatch per
+    touched slot), ``rows.block()`` is the zero-dispatch bulk path —
+    at serving scale, fetch the block once and trim on the host.
 
     The composition with :class:`tpufeat.augment.StreamingEndpointer` is
     the full serving control loop: endpointer fires -> ``detach`` ->
@@ -1419,7 +1471,7 @@ class StreamPool:
         del self._skip[slot]
         self._free.append(slot)
 
-    def process(self, chunks: dict) -> dict:
+    def process(self, chunks: dict) -> "PoolRows":
         """One serving tick: ``{slot: [C] samples}`` for any subset of
         attached slots -> ``{slot: [n_b, D] rows}`` (device-resident;
         n_b varies per slot only through warmup trimming). Unfed slots
@@ -1441,7 +1493,7 @@ class StreamPool:
             out = out[0]
         return self._trim(out, chunks)
 
-    def process_batch(self, x) -> dict:
+    def process_batch(self, x) -> "PoolRows":
         """Data-plane tick at serving scale: the caller assembles the
         full ``[capacity, C]`` sample block itself (straight from its
         ingest buffers — the per-slot dict of :meth:`process` costs
@@ -1449,7 +1501,8 @@ class StreamPool:
         device step at 10k+ slots) and the pool does only the slot
         bookkeeping. Rows of unleased slots are computed but never
         returned (their state is reset on the next :meth:`attach`).
-        Returns ``{slot: [n_b, D] rows}`` for every ATTACHED slot."""
+        Returns a :class:`PoolRows` over every ATTACHED slot — use its
+        ``block()`` to consume the whole tick in one fetch."""
         if int(np.shape(x)[0]) != self.capacity:
             raise ValueError(f"expected [capacity={self.capacity}, C] "
                              f"block, got {np.shape(x)}")
@@ -1458,11 +1511,11 @@ class StreamPool:
             out = out[0]
         return self._trim(out, self._skip)
 
-    def _trim(self, out, slots) -> dict:
+    def _trim(self, out, slots) -> PoolRows:
         n = out.shape[1]
-        res = {}
+        skips = {}
         for s in slots:
             skip = min(self._skip[s], n)
             self._skip[s] -= skip
-            res[s] = out[s, skip:]
-        return res
+            skips[s] = skip
+        return PoolRows(out, skips)
