@@ -588,7 +588,7 @@ long tpufeat_read_wav(const char* path, float* out, long cap, int* rate) {
       }
       if (size > want) std::fseek(fp, size - want, SEEK_CUR);
     } else if (!std::memcmp(ch, "data", 4)) {
-      if (channels <= 0 || bits <= 0) break;
+      if (channels <= 0 || bits <= 0 || *rate <= 0) break;
       const bool supported =
           (format == 1 && (bits == 8 || bits == 16 || bits == 24 ||
                            bits == 32)) ||
@@ -598,7 +598,18 @@ long tpufeat_read_wav(const char* path, float* out, long cap, int* rate) {
         break;
       }
       const int block = bits / 8 * channels;
-      const long n_samp = size / block;
+      // A corrupt/hostile size field must not drive the allocation (or
+      // the caller's, via the two-pass size probe): clamp the chunk to
+      // the bytes actually present in the file, like the Python decoder
+      // truncates its data slice. Whole trailing frames only.
+      const long pos = std::ftell(fp);
+      if (pos < 0 || std::fseek(fp, 0, SEEK_END) != 0) break;
+      const long remain = std::ftell(fp) - pos;
+      if (remain < 0 || std::fseek(fp, pos, SEEK_SET) != 0) break;
+      const uint64_t avail =
+          size < static_cast<uint64_t>(remain)
+              ? size : static_cast<uint64_t>(remain);
+      const long n_samp = static_cast<long>(avail / block);
       if (!out) {
         n_out = n_samp;
         break;

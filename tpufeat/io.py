@@ -91,9 +91,9 @@ def read_wav(path: str, *, native: bool | None = None,
                     raise ValueError(f"truncated extensible fmt chunk: {path}")
                 # the real format is the first 2 bytes of the SubFormat GUID
                 fmt = struct.unpack_from("<H", body, 24)[0]
-            if channels <= 0 or bits <= 0 or bits % 8:
+            if channels <= 0 or bits <= 0 or bits % 8 or rate <= 0:
                 raise ValueError(f"malformed fmt chunk (channels={channels}, "
-                                 f"bits={bits}): {path}")
+                                 f"bits={bits}, rate={rate}): {path}")
         elif cid == b"data":
             if fmt is None:
                 raise ValueError(f"data chunk before fmt chunk: {path}")
@@ -134,7 +134,7 @@ def wav_info(path: str) -> tuple[int, int]:
                     raise ValueError(f"truncated fmt chunk: {path}")
                 _, channels, rate = struct.unpack_from("<HHI", body, 0)
                 bits = struct.unpack_from("<H", body, 14)[0]
-                if channels <= 0 or bits <= 0 or bits % 8:
+                if channels <= 0 or bits <= 0 or bits % 8 or rate <= 0:
                     raise ValueError(f"malformed fmt chunk: {path}")
                 if size > len(body):
                     f.seek(size - len(body) + (size & 1), 1)
