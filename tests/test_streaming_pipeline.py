@@ -490,3 +490,110 @@ class TestPitchResetRows:
         np.testing.assert_array_equal(got[1], ref[1])
         assert got.shape[-1] == 42 and np.isfinite(got).all()
         assert not np.array_equal(got[0], ref[0])
+
+
+class TestIvectorComposition:
+    """Online i-vectors appended by the composed pipeline (ivector=
+    kwarg; Kaldi online2 OnlineIvectorFeature semantics — see
+    tpufeat/ivector.py)."""
+
+    @staticmethod
+    @functools.lru_cache(maxsize=1)
+    def _extractor():
+        from tpufeat import ivector as iv
+        base_cfg = dataclasses.replace(KALDI39, deltas=False, cmvn="none")
+        train = np.asarray(features.extract(
+            _sig(4, 16000, 90), cfg=base_cfg).features).reshape(-1, 13)
+        ubm = iv.train_diag_ubm(train, 4, iters=2, final_iters=4, seed=0)
+        utts = [train[i::4] for i in range(4)]
+        return iv.train_ivector_extractor(ubm, utts, ivector_dim=4,
+                                          iters=2, seed=1)
+
+    def test_matches_offline_composition(self):
+        from tpufeat import ivector as iv
+        ext = self._extractor()
+        b, n = 2, 16000
+        x = _sig(b, n, 91)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                           ivector=ext, ivector_period=10)
+        assert pipe.out_dim == 39 + 4
+        got = _run(pipe, x, [4800, 1600, 3200, 6400])   # hop-aligned
+        base_cfg = dataclasses.replace(KALDI39, deltas=False, cmvn="none")
+        base = np.asarray(features.extract(x, cfg=base_cfg).features)
+        want_iv = np.asarray(iv.ivector_features(ext, base, period=10))
+        want_main = np.asarray(
+            features.extract(x, cfg=KALDI39_NOCMVN).features)
+        assert got.shape == (b, base.shape[1], 43)
+        np.testing.assert_allclose(got[..., :39], want_main, atol=5e-4)
+        np.testing.assert_allclose(got[..., 39:], want_iv, atol=1e-4)
+
+    def test_with_pitch_truncates_ivector_identically(self):
+        ext = self._extractor()
+        b = 1
+        x = _voiced(b, 16000, 92)
+        pipe = streaming.StreamingPipeline(
+            KALDI39_NOCMVN, batch_size=b, pitch=True, ivector=ext)
+        assert pipe.out_dim == 39 + 3 + 4
+        out = _run(pipe, x, [8000, 8000])
+        ref = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                          ivector=ext)
+        full = _run(ref, x, [8000, 8000])
+        n = out.shape[1]
+        assert n <= full.shape[1]       # pitch window decides fewer rows
+        np.testing.assert_array_equal(out[..., -4:], full[:, :n, -4:])
+
+    def test_checkpoint_resume(self, tmp_path):
+        ext = self._extractor()
+        x = _sig(1, 16000, 93)
+        mk = lambda: streaming.StreamingPipeline(  # noqa: E731
+            KALDI39_NOCMVN, batch_size=1, ivector=ext)
+        a = mk()
+        a.process(x[:, :9600])
+        p = str(tmp_path / "ivpipe_state.npz")
+        streaming.save_state(p, a.state())
+        c = mk()
+        c.set_state(streaming.load_state(p, c.state()))
+        tail_a = np.concatenate([np.asarray(a.process(x[:, 9600:])),
+                                 np.asarray(a.flush())], axis=1)
+        tail_c = np.concatenate([np.asarray(c.process(x[:, 9600:])),
+                                 np.asarray(c.flush())], axis=1)
+        np.testing.assert_array_equal(tail_a, tail_c)
+
+    def test_reset_rows_keeps_other_rows(self):
+        ext = self._extractor()
+        b = 2
+        x = _sig(b, 12800, 94)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                           ivector=ext)
+        ref = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                          ivector=ext)
+        o1 = np.asarray(pipe.process(x[:, :6400]))
+        r1 = np.asarray(ref.process(x[:, :6400]))
+        pipe.reset_rows([1])
+        o2 = np.asarray(pipe.process(x[:, 6400:]))
+        r2 = np.asarray(ref.process(x[:, 6400:]))
+        np.testing.assert_array_equal(o1[0], r1[0])
+        np.testing.assert_array_equal(o2[0], r2[0])
+
+    def test_reset_restores_fresh(self):
+        ext = self._extractor()
+        x = _sig(1, 9600, 95)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=1,
+                                           ivector=ext)
+        first = _run(pipe, x, [4800, 4800])
+        pipe.reset()
+        again = _run(pipe, x, [4800, 4800])
+        np.testing.assert_array_equal(first, again)
+        assert pipe.out_dim == 43
+
+    def test_rejects_dim_mismatch(self):
+        from tpufeat import ivector as iv
+        ubm = iv.DiagUbm(np.full(2, 0.5), np.zeros((2, 5)),
+                         np.ones((2, 5)))
+        bad = iv.IvectorExtractor(ubm, np.zeros((2, 5, 3)))
+        with pytest.raises(ValueError, match="dim"):
+            streaming.StreamingPipeline(KALDI39_NOCMVN, ivector=bad)
+
+    def test_rejects_wrong_type(self):
+        with pytest.raises(TypeError, match="IvectorExtractor"):
+            streaming.StreamingPipeline(KALDI39_NOCMVN, ivector=object())

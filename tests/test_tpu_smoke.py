@@ -804,3 +804,73 @@ class TestAuxOnChip:
             want = np.asarray(
                 features.extract(x[s:t], cfg=MFCC13_HTK).features)
             np.testing.assert_allclose(got[utt], want, atol=2e-5)
+
+
+class TestIvectorOnChip:
+    """I-vector subsystem on hardware (tpufeat/ivector.py): GEMM
+    log-likelihoods, EM training, estimation, and the streaming twin —
+    all against the float64 goldens."""
+
+    @staticmethod
+    def _trained():
+        from tpufeat import ivector as iv
+        r = np.random.default_rng(320)
+        centers = r.standard_normal((3, 13)) * 3.0
+        x = np.concatenate(
+            [c + r.standard_normal((150, 13)) for c in centers]
+        ).astype(np.float32)
+        ubm = iv.train_diag_ubm(x, 8, iters=2, final_iters=4, seed=0)
+        utts = [x[r.integers(0, len(x), 120)] for _ in range(4)]
+        ext = iv.train_ivector_extractor(ubm, utts, ivector_dim=4,
+                                         iters=2, seed=1)
+        return x, ubm, ext
+
+    def test_golden_parity_on_chip(self):
+        from tpufeat import ivector as iv
+        x, ubm, ext = self._trained()
+        ll = np.asarray(ubm.log_likes(x[:64]))
+        gll = cpu.diag_gmm_log_likes(x[:64], ubm.weights, ubm.means,
+                                     ubm.vars)
+        assert np.abs(ll - gll).max() < 1e-3
+        n, f = ext.stats(x[:64])
+        got = np.asarray(ext.estimate(n, f))
+        ng, fg = cpu.ivector_stats(x[:64], ubm.weights, ubm.means,
+                                   ubm.vars)
+        want = cpu.ivector_estimate(ng, fg, ext.M, ubm.vars)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_streaming_matches_offline_on_chip(self):
+        from tpufeat import ivector as iv
+        x, ubm, ext = self._trained()
+        feats = x[:70]
+        want = np.asarray(iv.ivector_features(ext, feats, period=10))
+        st = iv.StreamingIvector(ext, period=10)
+        outs, i = [], 0
+        for c in (23, 7, 30, 10):
+            outs.append(np.asarray(st.process(feats[None, i:i + c])))
+            i += c
+        got = np.concatenate(outs, axis=1)[0]
+        np.testing.assert_allclose(got, want, atol=2e-3)
+        gold = cpu.ivector_features(feats, ubm.weights, ubm.means,
+                                    ubm.vars, ext.M, period=10,
+                                    posterior_scale=0.1)
+        np.testing.assert_allclose(want, gold, atol=2e-3)
+
+    def test_pipeline_composition_on_chip(self):
+        from tpufeat import ivector as iv
+        _, ubm, ext = self._trained()
+        cfg = dataclasses.replace(KALDI39, cmvn="none",
+                                  matmul_precision="bf16x3", **FUSED)
+        pipe = streaming.StreamingPipeline(cfg, batch_size=2, ivector=ext)
+        sig = np.stack([make_signal(16000, seed=321),
+                        make_signal(16000, seed=322)])
+        rows = [np.asarray(pipe.process(sig[:, i:i + 3200]))
+                for i in range(0, 16000, 3200)]
+        rows.append(np.asarray(pipe.flush()))
+        out = np.concatenate(rows, axis=1)
+        assert out.shape[-1] == 39 + 4
+        base_cfg = dataclasses.replace(cfg, deltas=False)
+        base = np.asarray(features.extract(sig, cfg=base_cfg).features)
+        want_iv = np.asarray(iv.ivector_features(ext, base, period=10))
+        assert out.shape[1] == base.shape[1]
+        np.testing.assert_allclose(out[..., 39:], want_iv, atol=2e-3)

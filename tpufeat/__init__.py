@@ -26,6 +26,9 @@ from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               mel_spectrogram, mfcc, online_cmvn,
                               sliding_cmvn, spectrogram)
 from tpufeat.io import read_wav, write_wav
+from tpufeat.ivector import (DiagUbm, IvectorExtractor, StreamingIvector,
+                             ivector_features, train_diag_ubm,
+                             train_ivector_extractor, utterance_ivector)
 from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (OnlineCmvn, PoolRows, StreamingDeltas,
                                StreamingFrontend,
@@ -55,5 +58,7 @@ __all__ = [
     "StreamingEndpointer", "speech_segments", "segments_to_samples",
     "speed_perturb", "PitchConfig", "pitch_config_for",
     "pitch_features", "track_pitch", "StreamingPitch",
-    "StreamingPitchFeatures", "__version__",
+    "StreamingPitchFeatures", "DiagUbm", "IvectorExtractor",
+    "StreamingIvector", "ivector_features", "train_diag_ubm",
+    "train_ivector_extractor", "utterance_ivector", "__version__",
 ]

@@ -462,3 +462,88 @@ def extract(x: np.ndarray, cfg: FeatureConfig,
                             cfg.cmvn_center,
                             cfg.cmvn.endswith("meanvar"))
     return cmvn(base, cfg.cmvn)
+
+
+# --- i-vectors (goldens for tpufeat.ivector; SURVEY.md §4 parity row) ---
+
+def diag_gmm_log_likes(x: np.ndarray, weights: np.ndarray,
+                       means: np.ndarray, vars_: np.ndarray) -> np.ndarray:
+    """Float64 golden for :meth:`tpufeat.ivector.DiagUbm.log_likes`:
+    direct per-gaussian evaluation, no GEMM re-association."""
+    x = np.asarray(x, np.float64)
+    w = np.asarray(weights, np.float64)
+    mu = np.asarray(means, np.float64)
+    var = np.asarray(vars_, np.float64)
+    d = x[:, None, :] - mu[None, :, :]                  # [T, G, D]
+    return (np.log(w)[None, :]
+            - 0.5 * np.log(2.0 * np.pi * var).sum(axis=1)[None, :]
+            - 0.5 * (d * d / var[None]).sum(axis=2))
+
+
+def gmm_posteriors(x: np.ndarray, weights, means, vars_,
+                   min_post: float = 0.0) -> np.ndarray:
+    """Softmax responsibilities with Kaldi-style min_post pruning."""
+    ll = diag_gmm_log_likes(x, weights, means, vars_)
+    ll -= ll.max(axis=1, keepdims=True)
+    post = np.exp(ll)
+    post /= post.sum(axis=1, keepdims=True)
+    if min_post > 0.0:
+        post[post < min_post] = 0.0
+        post /= np.maximum(post.sum(axis=1, keepdims=True), 1e-20)
+    return post
+
+
+def ivector_stats(x: np.ndarray, weights, means, vars_, *,
+                  posterior_scale: float = 1.0,
+                  min_post: float = 0.0):
+    """(N [G], centered F [G, D]) Baum-Welch stats — golden for
+    :meth:`tpufeat.ivector.IvectorExtractor.stats`."""
+    post = gmm_posteriors(x, weights, means, vars_,
+                          min_post) * posterior_scale
+    n = post.sum(axis=0)
+    f = post.T @ np.asarray(x, np.float64) \
+        - n[:, None] * np.asarray(means, np.float64)
+    return n, f
+
+
+def ivector_estimate(n: np.ndarray, f: np.ndarray, M: np.ndarray,
+                     vars_: np.ndarray, max_count: float = 0.0
+                     ) -> np.ndarray:
+    """Posterior-mean i-vector from (N, F) stats — golden for
+    :meth:`tpufeat.ivector.IvectorExtractor.estimate`."""
+    M = np.asarray(M, np.float64)
+    inv = 1.0 / np.asarray(vars_, np.float64)           # [G, D]
+    n = np.asarray(n, np.float64)
+    f = np.asarray(f, np.float64)
+    if max_count > 0.0:
+        factor = min(1.0, max_count / max(n.sum(), 1e-20))
+        n, f = n * factor, f * factor
+    P = inv[:, :, None] * M                             # Σ⁻¹M [G, D, K]
+    K = M.shape[2]
+    L = np.eye(K) + np.einsum("g,gdk,gdl->kl", n, M, P)
+    b = np.einsum("gd,gdk->k", f, P)
+    return np.linalg.solve(L, b)
+
+
+def ivector_features(x: np.ndarray, weights, means, vars_, M, *,
+                     period: int = 10, posterior_scale: float = 0.1,
+                     max_count: float = 0.0,
+                     min_post: float = 0.0) -> np.ndarray:
+    """Per-frame online i-vectors — float64 golden for
+    :func:`tpufeat.ivector.ivector_features` (direct loop over boundary
+    grid: frame t carries the estimate from frames [0, (t//period)*
+    period))."""
+    x = np.asarray(x, np.float64)
+    T = x.shape[0]
+    K = np.asarray(M).shape[2]
+    out = np.zeros((T, K))
+    post = gmm_posteriors(x, weights, means, vars_,
+                          min_post) * posterior_scale
+    mu = np.asarray(means, np.float64)
+    for m in range(-(-T // period)):
+        lo, hi = m * period, min((m + 1) * period, T)
+        p = post[:lo]
+        n = p.sum(axis=0)
+        f = p.T @ x[:lo] - n[:, None] * mu
+        out[lo:hi] = ivector_estimate(n, f, M, vars_, max_count)
+    return out

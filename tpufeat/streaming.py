@@ -934,6 +934,16 @@ class OnlineCmvn:
         self.carry = zero_rows(self.carry, rows)
         self.n_seen = zero_rows(self.n_seen, rows)
 
+    def reset(self) -> None:
+        """Fresh-stream restart for every row: clear the window, the
+        frame counters, and any :meth:`freeze` pin; the speaker/global
+        priors stay (they are model data, not stream state)."""
+        self.carry = jnp.zeros_like(self.carry)
+        self.n_seen = jnp.zeros_like(self.n_seen)
+        self.frozen = False
+        self._fmean = jnp.zeros_like(self._fmean)
+        self._fscale = jnp.ones_like(self._fscale)
+
 
 @functools.lru_cache(maxsize=None)
 def _online_cmvn_step_jit(n: int, window: int, norm_vars: bool,
@@ -1057,6 +1067,15 @@ class StreamingPipeline:
     (cli.py:163). CMVN (when enabled) covers the spectral columns only,
     matching the offline composition order.
 
+    ``ivector=extractor`` (a :class:`tpufeat.ivector.IvectorExtractor`)
+    appends per-frame online i-vectors (Kaldi online2
+    ``OnlineIvectorFeature``) as the LAST ``extractor.ivector_dim``
+    columns: estimated from the base (pre-delta, pre-CMVN) rows on the
+    ``ivector_period`` grid with ``posterior_scale``/``max_count``
+    semantics (:class:`tpufeat.ivector.StreamingIvector`), re-aligned
+    with the delta/pitch emission lag, and excluded from CMVN — the
+    Kaldi nnet3-online input layout [spectral | pitch | ivector].
+
     ``input_rate=48000`` (or any standard rate) puts a
     :class:`tpufeat.resampling.StreamingResampler` ahead of the
     front-end, so a live mic stream at a non-``cfg.sample_rate`` rate
@@ -1071,7 +1090,10 @@ class StreamingPipeline:
     def __init__(self, cfg: FeatureConfig = None, batch_size: int = 1,
                  pitch=False, pitch_lookahead: int = 15,
                  input_rate: int | None = None,
-                 online_cmvn: "OnlineCmvn | None" = None):
+                 online_cmvn: "OnlineCmvn | None" = None,
+                 ivector=None, ivector_period: int = 10,
+                 ivector_scale: float = 0.1,
+                 ivector_max_count: float = 0.0):
         import dataclasses
         from tpufeat.config import KALDI39
         cfg = KALDI39 if cfg is None else cfg
@@ -1142,11 +1164,38 @@ class StreamingPipeline:
             self._main_fifo = jnp.zeros((batch_size, 0, cfg.feature_dim),
                                         jnp.float32)
             self._pfeat_fifo = jnp.zeros((batch_size, 0, 3), jnp.float32)
+        # Kaldi online2 OnlineIvectorFeature composition: per-frame
+        # i-vectors estimated from the BASE (pre-delta, pre-CMVN) rows —
+        # Kaldi likewise feeds its i-vector UBM a non-CMVN feature
+        # stream — appended as the last K columns (after pitch). The
+        # i-vector rows are 1:1 with base rows; a FIFO re-aligns them
+        # with the delta/pitch emission lag.
+        self._ivector = None
+        self._iv_args = (ivector_period, ivector_scale, ivector_max_count)
+        if ivector is not None:
+            from tpufeat.ivector import IvectorExtractor, StreamingIvector
+            if not isinstance(ivector, IvectorExtractor):
+                raise TypeError("ivector= wants an IvectorExtractor, got "
+                                f"{type(ivector).__name__}")
+            if ivector.ubm.dim != dim:
+                raise ValueError(
+                    f"ivector UBM dim {ivector.ubm.dim} != base feature "
+                    f"dim {dim} (the extractor must be trained on the "
+                    "pipeline's base features)")
+            self._ivector = StreamingIvector(
+                ivector, batch_size, period=ivector_period,
+                posterior_scale=ivector_scale,
+                max_count=ivector_max_count)
+            self._iv_fifo = jnp.zeros(
+                (batch_size, 0, ivector.ivector_dim), jnp.float32)
 
     @property
     def out_dim(self) -> int:
-        """Emitted row width: cfg.feature_dim (+3 with pitch)."""
-        return self.cfg.feature_dim + (3 if self._pitch is not None else 0)
+        """Emitted row width: cfg.feature_dim (+3 with pitch, +K with
+        ivector)."""
+        return (self.cfg.feature_dim
+                + (3 if self._pitch is not None else 0)
+                + (self._ivector.dim if self._ivector is not None else 0))
 
     def _emit(self, last_rows: jnp.ndarray) -> jnp.ndarray:
         """Pop n = last_rows rows off every FIFO and assemble the
@@ -1197,15 +1246,27 @@ class StreamingPipeline:
         base, _ = self.frontend.process(chunk)
         rows = base
         self._fifos[0] = jnp.concatenate([self._fifos[0], base], axis=1)
+        if self._ivector is not None and base.shape[1]:
+            self._iv_fifo = jnp.concatenate(
+                [self._iv_fifo, self._ivector.process(base)], axis=1)
         for i, stage in enumerate(self.stages):
             rows = stage.process(rows)
             if i + 1 < len(self.stages):
                 self._fifos[i + 1] = jnp.concatenate(
                     [self._fifos[i + 1], rows], axis=1)
         out = self._emit(rows)
-        if self._pitch is None:
+        if self._pitch is not None:
+            out = self._join(out, self._pitch.process(chunk))
+        return self._append_ivector(out)
+
+    def _append_ivector(self, out: jnp.ndarray) -> jnp.ndarray:
+        """Pop as many queued i-vector rows as the main block emitted and
+        concat them as the trailing columns."""
+        if self._ivector is None:
             return out
-        return self._join(out, self._pitch.process(chunk))
+        n = out.shape[1]
+        iv, self._iv_fifo = self._iv_fifo[:, :n], self._iv_fifo[:, n:]
+        return jnp.concatenate([out, iv], axis=-1)
 
     def flush(self) -> jnp.ndarray:
         """End of stream: drain the delta lookaheads
@@ -1229,24 +1290,38 @@ class StreamingPipeline:
             out = jnp.concatenate([out, self._scmvn.flush()], axis=1)
         assert all(f.shape[1] == 0 for f in self._fifos), \
             "FIFO accounting bug: rows left after flush"
-        if self._pitch is None:
-            return out if pre is None else jnp.concatenate([pre, out],
-                                                           axis=1)
-        out = self._join(out, self._pitch.flush())
-        assert self._pfeat_fifo.shape[1] == 0, \
-            "FIFO accounting bug: pitch rows left after flush"
-        # the pitch window (frame + lag_max) is longer than the spectral
-        # frame, so the tracker decides fewer frames; drop the unmatched
-        # spectral tail — the offline CLI truncates identically
-        self._main_fifo = self._main_fifo[:, :0]
+        if self._pitch is not None:
+            out = self._join(out, self._pitch.flush())
+            assert self._pfeat_fifo.shape[1] == 0, \
+                "FIFO accounting bug: pitch rows left after flush"
+            # the pitch window (frame + lag_max) is longer than the
+            # spectral frame, so the tracker decides fewer frames; drop
+            # the unmatched spectral tail — the offline CLI truncates
+            # identically
+            self._main_fifo = self._main_fifo[:, :0]
+        out = self._append_ivector(out)
+        if self._ivector is not None:
+            assert self._pitch is not None or self._iv_fifo.shape[1] == 0,\
+                "FIFO accounting bug: i-vector rows left after flush"
+            # with pitch, the dropped spectral tail's i-vector rows drop
+            # with it
+            self._iv_fifo = self._iv_fifo[:, :0]
         return out if pre is None else jnp.concatenate([pre, out], axis=1)
 
     def reset(self) -> None:
         b = self._fifos[0].shape[0]
+        if self._ocmvn is not None:
+            self._ocmvn.reset()   # was silently dropped before round 3
         self.__init__(self.cfg, b,
                       pitch=self._pitch_cfg if self._pitch_cfg else False,
                       pitch_lookahead=self._pitch_lookahead,
-                      input_rate=self._input_rate)
+                      input_rate=self._input_rate,
+                      online_cmvn=self._ocmvn,
+                      ivector=(self._ivector.extractor
+                               if self._ivector is not None else None),
+                      ivector_period=self._iv_args[0],
+                      ivector_scale=self._iv_args[1],
+                      ivector_max_count=self._iv_args[2])
 
     @property
     def warmup_rows(self) -> int:
@@ -1304,6 +1379,13 @@ class StreamingPipeline:
                 self._main_fifo = zero_rows(self._main_fifo, rows)
             if self._pfeat_fifo.shape[1]:
                 self._pfeat_fifo = zero_rows(self._pfeat_fifo, rows)
+        if self._ivector is not None:
+            # the slot's i-vector restarts at the prior mean (zeros) on
+            # its own period grid — fresh-utterance adaptation, no extra
+            # warmup beyond the queued rows zeroed here
+            self._ivector.reset_rows(rows)
+            if self._iv_fifo.shape[1]:
+                self._iv_fifo = zero_rows(self._iv_fifo, rows)
 
     def state(self) -> dict:
         """Full pipeline state as one pytree (host counters included) —
@@ -1324,6 +1406,9 @@ class StreamingPipeline:
             s["pitch"] = self._pitch.state()
             s["main_fifo"] = self._main_fifo
             s["pfeat_fifo"] = self._pfeat_fifo
+        if self._ivector is not None:
+            s["ivector"] = self._ivector.state()
+            s["iv_fifo"] = self._iv_fifo
         return s
 
     def set_state(self, s: dict) -> None:
@@ -1353,6 +1438,12 @@ class StreamingPipeline:
             self._pitch.set_state(s["pitch"])
             self._main_fifo = jnp.asarray(s["main_fifo"])
             self._pfeat_fifo = jnp.asarray(s["pfeat_fifo"])
+        if self._ivector is not None:
+            if "ivector" not in s:
+                raise ValueError("checkpoint lacks i-vector state but the "
+                                 "pipeline has ivector= configured")
+            self._ivector.set_state(s["ivector"])
+            self._iv_fifo = jnp.asarray(s["iv_fifo"])
 
 
 class PoolRows(Mapping):
