@@ -463,3 +463,56 @@ class TestKaldiDoubleMatrix:
         with pytest.raises(ValueError, match="dtype"):
             feats_io.write_kaldi_ark(str(tmp_path / "x.ark"),
                                      {"u": np.ones((1, 1))}, dtype="f16")
+
+
+class TestKaldiVectorArk:
+    """Kaldi binary VECTOR archives (FV/DV — ivector-extract /
+    compute-vad output format)."""
+
+    def test_roundtrip_f32_f64(self, tmp_path):
+        rng = np.random.default_rng(0)
+        utts = {"a": rng.standard_normal(7).astype(np.float32),
+                "b": rng.standard_normal(100).astype(np.float32),
+                "c": np.zeros(1, np.float32)}
+        for dt, npdt in (("f32", np.float32), ("f64", np.float64)):
+            ark = str(tmp_path / f"v_{dt}.ark")
+            scp = str(tmp_path / f"v_{dt}.scp")
+            feats_io.write_kaldi_vec_ark(ark, utts, scp, dtype=dt)
+            back = feats_io.read_kaldi_vec_ark(ark)
+            assert list(back) == list(utts)
+            for k in utts:
+                assert back[k].dtype == npdt
+                np.testing.assert_allclose(back[k],
+                                           utts[k].astype(npdt), rtol=0)
+            for k, (path, off) in feats_io.read_kaldi_scp(scp).items():
+                np.testing.assert_array_equal(
+                    feats_io.read_kaldi_vector(path, off, k), back[k])
+
+    def test_writer_validation(self, tmp_path):
+        ark = str(tmp_path / "v.ark")
+        with pytest.raises(ValueError, match="key"):
+            feats_io.write_kaldi_vec_ark(ark, {"a b": np.zeros(3)})
+        with pytest.raises(ValueError, match=r"\[D\]"):
+            feats_io.write_kaldi_vec_ark(ark, {"a": np.zeros((2, 3))})
+        with pytest.raises(ValueError, match="dtype"):
+            feats_io.write_kaldi_vec_ark(ark, {"a": np.zeros(3)},
+                                         dtype="f16")
+
+    def test_reader_rejects_matrix_archive(self, tmp_path):
+        ark = str(tmp_path / "m.ark")
+        feats_io.write_kaldi_ark(ark, {"a": np.zeros((2, 3), np.float32)})
+        with pytest.raises(ValueError, match="vector"):
+            feats_io.read_kaldi_vec_ark(ark)
+
+    def test_reader_rejects_truncation_and_dupes(self, tmp_path):
+        ark = str(tmp_path / "v.ark")
+        feats_io.write_kaldi_vec_ark(ark, {"a": np.arange(5.0)})
+        raw = open(ark, "rb").read()
+        trunc = str(tmp_path / "t.ark")
+        open(trunc, "wb").write(raw[:-3])
+        with pytest.raises(ValueError, match="truncated"):
+            feats_io.read_kaldi_vec_ark(trunc)
+        dupe = str(tmp_path / "d.ark")
+        open(dupe, "wb").write(raw + raw)
+        with pytest.raises(ValueError, match="duplicate"):
+            feats_io.read_kaldi_vec_ark(dupe)

@@ -1,6 +1,7 @@
 """Corpus pipeline (tpufeat/pipeline.py): dir of WAVs -> features."""
 
 import numpy as np
+import pytest
 
 from tpufeat import features, io, pipeline
 from tpufeat.config import MFCC13_HTK
@@ -417,3 +418,75 @@ class TestSegments:
                        "--utt2spk", str(u2s), "--global-cmvn", stats_p])
         from tpufeat import feats_io
         assert sorted(feats_io.read_kaldi_ark(stats_p)) == ["spkA", "spkB"]
+
+
+class TestCorpusIvector:
+    """Per-utterance i-vectors computed inside the corpus pipeline
+    (ivector= / --ivector-extractor; the ivector-extract flow)."""
+
+    @staticmethod
+    def _train_extractor(d):
+        from tpufeat import ivector as iv
+        feats = [f for _, f in pipeline.extract_corpus(str(d), MFCC13_HTK,
+                                                       batch_size=2)]
+        ubm = iv.train_diag_ubm(np.concatenate(feats), 4, iters=2,
+                                final_iters=3, seed=0)
+        return iv.train_ivector_extractor(ubm, feats, ivector_dim=3,
+                                          iters=2, seed=1)
+
+    def test_matches_per_utterance(self, tmp_path):
+        from tpufeat import ivector as iv
+        d, _ = _make_corpus(tmp_path, [16000, 7000, 12000, 9000])
+        ext = self._train_extractor(d)
+        ivecs = {}
+        got = dict(pipeline.extract_corpus(str(d), MFCC13_HTK,
+                                           batch_size=2, ivector=ext,
+                                           ivectors=ivecs))
+        assert set(ivecs) == set(got)
+        for key, feats in got.items():
+            want = np.asarray(iv.utterance_ivector(ext, feats))
+            np.testing.assert_allclose(ivecs[key], want, atol=2e-4,
+                                       rtol=1e-3)
+
+    def test_validation(self, tmp_path):
+        from tpufeat import ivector as iv
+        d, _ = _make_corpus(tmp_path, [8000])
+        ubm = iv.DiagUbm(np.full(2, 0.5), np.zeros((2, 5)),
+                         np.ones((2, 5)))
+        bad = iv.IvectorExtractor(ubm, np.zeros((2, 5, 3)))
+        with pytest.raises(ValueError, match="dim"):
+            list(pipeline.extract_corpus(str(d), MFCC13_HTK, ivector=bad,
+                                         ivectors={}))
+        ext = self._train_extractor(d)
+        with pytest.raises(ValueError, match="ivectors"):
+            list(pipeline.extract_corpus(str(d), MFCC13_HTK, ivector=ext))
+
+    def test_cli_writes_vec_ark(self, tmp_path, capsys):
+        from tpufeat import feats_io
+        from tpufeat import ivector as iv
+        d, sigs = _make_corpus(tmp_path, [8000, 8000, 12000])
+        ext = self._train_extractor(d)
+        ext_path = tmp_path / "ext.npz"
+        ext.save(str(ext_path))
+        out = tmp_path / "corpus.npz"
+        ark = tmp_path / "ivectors.ark"
+        rc = pipeline.main([str(d), str(out), "--preset", "mfcc13",
+                            "--batch", "2",
+                            "--ivector-extractor", str(ext_path),
+                            "--ivector-ark", str(ark)])
+        assert rc == 0
+        back = feats_io.read_kaldi_vec_ark(str(ark))
+        assert len(back) == len(sigs)
+        for v in back.values():
+            assert v.shape == (3,) and np.isfinite(v).all()
+        # .scp random access agrees with the sequential read
+        scp = feats_io.read_kaldi_scp(str(tmp_path / "ivectors.scp"))
+        for k, (path, off) in scp.items():
+            np.testing.assert_array_equal(
+                feats_io.read_kaldi_vector(path, off, k), back[k])
+
+    def test_cli_ark_requires_extractor(self, tmp_path):
+        d, _ = _make_corpus(tmp_path, [8000])
+        with pytest.raises(ValueError, match="ivector-extractor"):
+            pipeline.main([str(d), str(tmp_path / "o.npz"),
+                           "--ivector-ark", str(tmp_path / "iv.ark")])

@@ -289,10 +289,102 @@ def _read_matrix_body(f, ark_path: str, key: str) -> np.ndarray:
         raise ValueError(f"{ark_path}: {key}: implausible matrix "
                          f"dims {t}x{d} (corrupt archive)")
     nbytes = np.dtype(wdt[0]).itemsize * t * d
-    data = np.frombuffer(f.read(nbytes), dtype=wdt[0])
-    if data.size != t * d:
-        raise ValueError(f"{ark_path}: {key}: truncated matrix")
-    return data.reshape(t, d).astype(wdt[1])
+    buf = f.read(nbytes)
+    if len(buf) != nbytes:   # check BYTES: frombuffer on a partial read
+        raise ValueError(    # raises an unrelated element-size error
+            f"{ark_path}: {key}: truncated matrix")
+    return np.frombuffer(buf, dtype=wdt[0]).reshape(t, d).astype(wdt[1])
+
+
+def write_kaldi_vec_ark(ark_path: str, utts: dict[str, np.ndarray],
+                        scp_path: str | None = None, *,
+                        dtype: str = "f32") -> None:
+    """Write ``{utt_id: [D]}`` as a Kaldi binary VECTOR archive (``FV``
+    float / ``DV`` double tokens — the format ``ivector-extract`` and
+    ``compute-vad`` emit), with an optional .scp index."""
+    if dtype not in ("f32", "f64"):
+        raise ValueError(f"dtype must be 'f32' or 'f64', got {dtype!r}")
+    np_dt, token = ((np.float32, b"FV ") if dtype == "f32"
+                    else (np.float64, b"DV "))
+    validated = {}
+    for key, vec in utts.items():
+        if not key or any(c.isspace() for c in key):
+            raise ValueError(f"bad Kaldi utterance key {key!r}")
+        vec = np.ascontiguousarray(vec, dtype=np_dt)
+        if vec.ndim != 1:
+            raise ValueError(f"{key}: expected [D], got {vec.shape}")
+        validated[key] = vec
+    scp_lines = []
+    with open(ark_path, "wb") as f:
+        for key, vec in validated.items():
+            f.write(key.encode())
+            f.write(b" ")
+            scp_lines.append(f"{key} {ark_path}:{f.tell()}")
+            f.write(b"\0B")
+            f.write(token)
+            f.write(b"\x04" + struct.pack("<i", vec.shape[0]))
+            f.write(vec.astype(vec.dtype.newbyteorder("<")).tobytes())
+    if scp_path:
+        with open(scp_path, "w") as f:
+            f.write("\n".join(scp_lines) + ("\n" if scp_lines else ""))
+
+
+def read_kaldi_vec_ark(ark_path: str) -> dict[str, np.ndarray]:
+    """Read a binary Kaldi vector archive -> ``{utt_id: [D]}`` (``FV``
+    float32 / ``DV`` float64)."""
+    out: dict[str, np.ndarray] = {}
+    with open(ark_path, "rb") as f:
+        while True:
+            key_bytes = bytearray()
+            while True:
+                c = f.read(1)
+                if not c:
+                    if key_bytes:
+                        raise ValueError(f"{ark_path}: truncated key")
+                    return out
+                if c == b" ":
+                    break
+                key_bytes += c
+            key = key_bytes.decode()
+            if key in out:
+                raise ValueError(f"{ark_path}: duplicate utterance id "
+                                 f"{key!r}")
+            out[key] = _read_vector_body(f, ark_path, key)
+
+
+def _read_vector_body(f, ark_path: str, key: str) -> np.ndarray:
+    """One binary float/double vector starting at the \\0B marker."""
+    marker = f.read(2)
+    if marker != b"\0B":
+        raise ValueError(f"{ark_path}: {key}: only binary archives "
+                         f"supported (marker {marker!r})")
+    token = f.read(3)
+    if token not in (b"FV ", b"DV "):
+        raise ValueError(f"{ark_path}: {key}: expected a float ('FV ') "
+                         f"or double ('DV ') vector, got {token!r}")
+    wdt = ("<f4", np.float32) if token == b"FV " else ("<f8", np.float64)
+    size = f.read(1)
+    if size != b"\x04":
+        raise ValueError(f"{ark_path}: {key}: bad dim size {size!r}")
+    raw = f.read(4)
+    if len(raw) != 4:
+        raise ValueError(f"{ark_path}: {key}: truncated dim")
+    d = struct.unpack("<i", raw)[0]
+    if d < 0 or d > (1 << 31):
+        raise ValueError(f"{ark_path}: {key}: implausible vector dim {d}")
+    nbytes = np.dtype(wdt[0]).itemsize * d
+    buf = f.read(nbytes)
+    if len(buf) != nbytes:
+        raise ValueError(f"{ark_path}: {key}: truncated vector")
+    return np.frombuffer(buf, dtype=wdt[0]).astype(wdt[1])
+
+
+def read_kaldi_vector(ark_path: str, offset: int,
+                      key: str = "?") -> np.ndarray:
+    """Random-access read of one [D] vector at a .scp offset."""
+    with open(ark_path, "rb") as f:
+        f.seek(offset)
+        return _read_vector_body(f, ark_path, key)
 
 
 def read_kaldi_scp(scp_path: str) -> dict[str, tuple[str, int]]:
