@@ -874,3 +874,29 @@ class TestIvectorOnChip:
         want_iv = np.asarray(iv.ivector_features(ext, base, period=10))
         assert out.shape[1] == base.shape[1]
         np.testing.assert_allclose(out[..., 39:], want_iv, atol=2e-3)
+
+
+class TestBeamformOnChip:
+    """GCC-PHAT + delay-and-sum on hardware vs the float64 golden."""
+
+    def test_recovers_delays_and_matches_golden(self):
+        r = np.random.default_rng(330)
+        n = 8000
+        clean = r.standard_normal(n + 256)
+
+        def shift(d):
+            p = 16384
+            X = np.fft.rfft(clean, n=p)
+            k = np.arange(p // 2 + 1)
+            return np.fft.irfft(X * np.exp(-2j * np.pi * k * d / p),
+                                n=p)[:n]
+
+        from tpufeat import beamform as bf
+        delays = [0.0, 3.0, -5.0, 7.5]
+        x = np.stack([shift(d) + 0.05 * r.standard_normal(n)
+                      for d in delays]).astype(np.float32)
+        d = np.asarray(bf.gcc_phat(x, max_delay=32))
+        np.testing.assert_allclose(d, delays, atol=0.3)
+        y, _ = bf.delay_and_sum(x, max_delay=32)
+        want = cpu.delay_and_sum(x, 32)
+        np.testing.assert_allclose(np.asarray(y), want, atol=1e-3)

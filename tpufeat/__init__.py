@@ -25,6 +25,7 @@ from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               frames, logmel, make_extractor,
                               mel_spectrogram, mfcc, online_cmvn,
                               sliding_cmvn, spectrogram)
+from tpufeat.beamform import delay_and_sum, gcc_phat, steer
 from tpufeat.io import read_wav, write_wav
 from tpufeat.ivector import (DiagUbm, IvectorExtractor, StreamingIvector,
                              ivector_features, train_diag_ubm,
@@ -58,7 +59,8 @@ __all__ = [
     "StreamingEndpointer", "speech_segments", "segments_to_samples",
     "speed_perturb", "PitchConfig", "pitch_config_for",
     "pitch_features", "track_pitch", "StreamingPitch",
-    "StreamingPitchFeatures", "DiagUbm", "IvectorExtractor",
+    "StreamingPitchFeatures", "gcc_phat", "steer", "delay_and_sum",
+    "DiagUbm", "IvectorExtractor",
     "StreamingIvector", "ivector_features", "train_diag_ubm",
     "train_ivector_extractor", "utterance_ivector", "__version__",
 ]

@@ -50,7 +50,7 @@ def _decode_samples(raw: bytes, fmt: int, bits: int) -> np.ndarray:
 
 
 def read_wav(path: str, *, native: bool | None = None,
-             channel: int | None = None) -> tuple[np.ndarray, int]:
+             channel: "int | str | None" = None) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 samples in [-1, 1), sample_rate).
 
     Supports PCM 8/16/24/32-bit and IEEE-float 32/64-bit, including
@@ -58,7 +58,9 @@ def read_wav(path: str, *, native: bool | None = None,
     instead of decoding garbage. Multi-channel audio is averaged to mono
     by default (the reference is mono-only); ``channel=k`` selects one
     channel instead (telephony stereo keeps one speaker per channel —
-    Kaldi's ``extract-channel``/wav channel suffix). ``native=True``
+    Kaldi's ``extract-channel``/wav channel suffix) and
+    ``channel="all"`` returns the full ``[C, N]`` array (microphone
+    arrays — feed :func:`tpufeat.beamform.delay_and_sum`). ``native=True``
     forces the C++ decoder, ``native=False`` forces Python, ``None``
     prefers native when built (channel selection routes to Python; the
     native decoder downmixes internally).
@@ -104,7 +106,10 @@ def read_wav(path: str, *, native: bool | None = None,
         pos += 8 + size + (size & 1)          # chunks are word-aligned
     if samples is None:
         raise ValueError(f"no data chunk found: {path}")
-    if channel is not None:
+    if channel == "all":
+        # [C, N] for multi-channel consumers (tpufeat/beamform.py)
+        samples = np.ascontiguousarray(samples.reshape(-1, channels).T)
+    elif channel is not None:
         if not 0 <= channel < channels:
             raise ValueError(f"channel {channel} out of range: {path} has "
                              f"{channels} channel(s)")
@@ -178,7 +183,9 @@ def _pack24(x: np.ndarray) -> bytes:
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int,
               encoding: str = "pcm16") -> None:
-    """Write mono float samples in [-1, 1] as WAV.
+    """Write float samples in [-1, 1] as WAV: [N] mono or [N, C]
+    interleaved multi-channel (matching :func:`read_wav`'s
+    ``channel="all"`` transpose).
 
     ``encoding``: pcm8 | pcm16 (default, the reference's format) | pcm24 |
     pcm32 | float32 | float64."""
@@ -186,14 +193,22 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int,
         raise ValueError(f"unknown encoding {encoding!r}; "
                          f"one of {sorted(_WRITERS)}")
     fmt, bits, conv = _WRITERS[encoding]
-    payload = conv(np.asarray(samples, dtype=np.float64))
-    block = bits // 8
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim not in (1, 2):
+        raise ValueError(f"expected [N] or [N, C] samples, "
+                         f"got {arr.shape}")
+    channels = 1 if arr.ndim == 1 else arr.shape[1]
+    if not 1 <= channels <= 0xFFFF:
+        raise ValueError(f"bad channel count {channels}")
+    payload = conv(arr.reshape(-1))       # row-major == interleaved
+    block = bits // 8 * channels
     # RIFF size counts everything after the size field, including the
     # word-alignment pad byte on odd-length data chunks
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(payload) + (len(payload) & 1), b"WAVE",
-        b"fmt ", 16, fmt, 1, sample_rate, sample_rate * block, block, bits,
+        b"fmt ", 16, fmt, channels, sample_rate, sample_rate * block,
+        block, bits,
         b"data", len(payload))
     with open(path, "wb") as f:
         f.write(hdr + payload)

@@ -547,3 +547,54 @@ def ivector_features(x: np.ndarray, weights, means, vars_, M, *,
         f = p.T @ x[:lo] - n[:, None] * mu
         out[lo:hi] = ivector_estimate(n, f, M, vars_, max_count)
     return out
+
+
+# --- multi-channel beamforming (goldens for tpufeat.beamform) ---
+
+def _bf_pow2(n: int, w: int) -> int:
+    p = 1
+    while p < n + 2 * w:
+        p *= 2
+    return p
+
+
+def gcc_phat(x: np.ndarray, max_delay: int = 64, ref: int = 0,
+             subsample: bool = True) -> np.ndarray:
+    """Float64 golden for :func:`tpufeat.beamform.gcc_phat` ([C, N] ->
+    [C] delays; positive = channel is late vs ref)."""
+    x = np.asarray(x, np.float64)
+    C, N = x.shape
+    p = _bf_pow2(N, max_delay)
+    X = np.fft.rfft(x, n=p, axis=-1)
+    out = np.zeros(C)
+    for c in range(C):
+        cross = X[c] * np.conj(X[ref])
+        cross /= np.maximum(np.abs(cross), 1e-12)
+        corr = np.fft.irfft(cross, n=p)
+        win = np.concatenate([corr[p - max_delay:],
+                              corr[: max_delay + 1]])
+        i = int(np.argmax(win))
+        d = float(i - max_delay)
+        if subsample and 0 < i < 2 * max_delay:
+            cm, c0, cp = win[i - 1], win[i], win[i + 1]
+            den = cm - 2.0 * c0 + cp
+            if abs(den) > 1e-12:
+                d += float(np.clip(0.5 * (cm - cp) / den, -1.0, 1.0))
+        out[c] = d
+    out[ref] = 0.0
+    return out
+
+
+def delay_and_sum(x: np.ndarray, max_delay: int = 64, ref: int = 0,
+                  subsample: bool = True) -> np.ndarray:
+    """Float64 golden for :func:`tpufeat.beamform.delay_and_sum`
+    ([C, N] -> [N]): phase-ramp steering + channel mean."""
+    x = np.asarray(x, np.float64)
+    C, N = x.shape
+    d = gcc_phat(x, max_delay, ref, subsample)
+    p = _bf_pow2(N, 1)
+    X = np.fft.rfft(x, n=p, axis=-1)
+    k = np.arange(p // 2 + 1)
+    y = np.fft.irfft(X * np.exp(2j * np.pi * k[None, :] * d[:, None] / p),
+                     n=p, axis=-1)[:, :N]
+    return y.mean(axis=0)
