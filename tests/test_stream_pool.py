@@ -344,3 +344,47 @@ class TestStreamPool:
                                       if want_rows.shape[0] else got[:0],
                                       want_rows)
 
+
+
+class TestPoolWithIvector:
+    """StreamPool is wrapper-generic: an ivector-composed pipeline's
+    slots lease/recycle like any other, and a recycled slot's i-vector
+    columns restart at the prior (fresh-utterance adaptation)."""
+
+    def test_pool_over_ivector_pipeline(self):
+        from tpufeat import ivector as iv
+        b = 3
+        base_cfg = dataclasses.replace(KALDI39, deltas=False, cmvn="none")
+        train = np.asarray(features.extract(
+            _sig(2, 16000, 70), cfg=base_cfg).features).reshape(-1, 13)
+        ubm = iv.train_diag_ubm(train, 4, iters=2, final_iters=3, seed=0)
+        ext = iv.train_ivector_extractor(ubm, [train[::2], train[1::2]],
+                                         ivector_dim=3, iters=2, seed=1)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                           ivector=ext)
+        pool = streaming.StreamPool(pipe)
+        s0 = pool.attach()
+        x = _sig(b, 9600, 71)
+        rows = pool.process({s0: x[s0, :4800]})
+        out, skips = rows.block()
+        assert out.shape == (b, out.shape[1], 39 + 3)
+        # recycle and confirm the slot's restart matches a fresh pipeline
+        pool.detach(s0)
+        s1 = pool.attach()
+        assert s1 == s0
+        rows2 = pool.process({s1: x[s1, :4800]})
+        # zeros-prefix oracle (the documented recycle contract) for the
+        # spectral columns; the i-vector stage differs deliberately —
+        # reset_rows restarts ADAPTATION (fresh-utterance semantics)
+        # while a zeros-prefix stream has adapted to silence — so mirror
+        # the reset on the oracle's i-vector stage after the zero tick
+        fresh = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=1,
+                                            ivector=ext)
+        fresh.process(np.zeros((1, 4800), np.float32))
+        fresh._ivector.reset()
+        fresh._iv_fifo = fresh._iv_fifo * 0.0
+        want = np.asarray(fresh.process(x[None, s1, :4800]))[0]
+        got = np.asarray(rows2[s1])
+        skip = pipe.warmup_rows
+        np.testing.assert_allclose(got, want[skip:][: got.shape[0]],
+                                   atol=1e-5)

@@ -11,9 +11,12 @@ TPU-native formulation — every hot step is a GEMM or a small batched solve:
   counts and the PROJECTED linear term ``b = Σ_t Σ_g γ_tg M_gᵀΣ_g⁻¹
   (x_t-μ_g)`` — never the [G, D] first-order stats, so the online carry
   is [B, G] + [B, K] floats and each chunk update is one masked GEMM.
-- the posterior precision is diagonally-dominant (``L = I + Σ_g N_g
-  M_gᵀΣ_g⁻¹M_g``), so a plain batched ``jnp.linalg.solve`` at K ≈ 100 is
-  cheap and stable in f32.
+- the posterior precision is SPD with eigenvalues >= 1 (``L = I + Σ_g
+  N_g M_gᵀΣ_g⁻¹M_g``), so every estimate is a batched CHOLESKY solve —
+  measured 2.6× faster than LU on chip at K=100 at the same ~2e-6
+  accuracy; Newton-Schulz (GEMM-only) was costed and rejected: its f32
+  iteration stalls at ~2e-2 under TPU default matmul precision
+  (`benchmarks/experiments/solver_cost.py`).
 
 Model: classic total variability (Dehak et al.), ``x_t ~ N(μ_g + M_g w,
 Σ_g)`` with prior ``w ~ N(0, I)`` and Σ_g the diagonal UBM variances.
@@ -285,12 +288,20 @@ class IvectorExtractor:
         return cls(DiagUbm(z["weights"], z["means"], z["vars"]), z["M"])
 
 
+def _spd_solve(L, b):
+    """Batched SPD solve via Cholesky ([..., K, K] + [..., K] ->
+    [..., K]); L = I + PSD here, so factorization never pivots."""
+    import jax.scipy.linalg as jsl
+    return jsl.cho_solve((jnp.linalg.cholesky(L), True),
+                         b[..., None])[..., 0]
+
+
 @jax.jit
 def _estimate_from_nf_jit(n, f, P, U):
     L = (jnp.eye(U.shape[-1], dtype=jnp.float32)
          + jnp.einsum("...g,gkl->...kl", n, U, precision=_HI))
     b = jnp.einsum("...gd,gdk->...k", f, P, precision=_HI)
-    return jnp.linalg.solve(L, b[..., None])[..., 0]
+    return _spd_solve(L, b)
 
 
 def utterance_ivector(extractor: IvectorExtractor, feats, mask=None, *,
@@ -362,7 +373,10 @@ def _extractor_estep_jit(n, f, P, U):
     L = (jnp.eye(K, dtype=jnp.float32)
          + jnp.einsum("bg,gkl->bkl", n, U, precision=_HI))
     b = jnp.einsum("bgd,gdk->bk", f, P, precision=_HI)
-    Linv = jnp.linalg.inv(L)
+    import jax.scipy.linalg as jsl
+    Linv = jsl.cho_solve(
+        (jnp.linalg.cholesky(L), True),
+        jnp.broadcast_to(jnp.eye(K, dtype=jnp.float32), L.shape))
     Ew = jnp.einsum("bkl,bl->bk", Linv, b, precision=_HI)
     Eww = Linv + jnp.einsum("bk,bl->bkl", Ew, Ew, precision=_HI)
     Y = jnp.einsum("bgd,bk->gdk", f, Ew, precision=_HI)
@@ -478,7 +492,7 @@ def _damped_solve(N, bsum, U, max_count):
     K = U.shape[-1]
     L = (jnp.eye(K, dtype=jnp.float32)
          + jnp.einsum("...g,gkl->...kl", N, U, precision=_HI))
-    return jnp.linalg.solve(L, bsum[..., None])[..., 0]
+    return _spd_solve(L, bsum)
 
 
 class StreamingIvector:
@@ -559,11 +573,13 @@ def _streaming_ivector_step_jit(n: int, period: int, scale: float,
                                 max_count: float, min_post: float):
     """One compiled step per (chunk rows, config). Per-row boundary grid:
     row b refreshes at chunk offsets j with (n_seen[b] + j) % period == 0;
-    up to nb = n//period + 1 boundaries fall inside a chunk. Prefix
-    stats at each boundary and the per-frame segment selection are both
-    one-hot GEMMs (gathers are the op class measured 30× slower on this
-    chip — CLAUDE.md)."""
-    nb = n // period + 1
+    at most ceil(n/period) boundaries fall inside a chunk (the first
+    candidate sits in [0, period), so the tight bound matters: at the
+    serving shape n == period it HALVES the Cholesky count vs the naive
+    n//period + 1). Prefix stats at each boundary and the per-frame
+    segment selection are both one-hot GEMMs (gathers are the op class
+    measured 30× slower on this chip — CLAUDE.md)."""
+    nb = -(-n // period)
 
     def impl(rows, N0, b0, inf0, n_seen, gconst, a, bq, P, U, q):
         B = rows.shape[0]
