@@ -900,3 +900,47 @@ class TestBeamformOnChip:
         y, _ = bf.delay_and_sum(x, max_delay=32)
         want = cpu.delay_and_sum(x, 32)
         np.testing.assert_allclose(np.asarray(y), want, atol=1e-3)
+
+
+class TestPldaOnChip:
+    """PLDA trial scoring on hardware (tpufeat/plda.py): the GEMM-
+    factored [E, T] LLR matrix vs the float64 per-pair golden loop, at a
+    serving-scale trial count."""
+
+    def test_scoring_golden_parity_on_chip(self):
+        from tpufeat import plda as pl
+        r = np.random.default_rng(340)
+        dim, n_spk, n_per = 16, 24, 6
+        spk = r.standard_normal((n_spk, dim)) * 1.5
+        x = (np.repeat(spk, n_per, axis=0)
+             + r.standard_normal((n_spk * n_per, dim)))
+        ids = np.repeat(np.arange(n_spk), n_per)
+        model = pl.train_plda(x, ids, iters=5)
+        enroll = r.standard_normal((32, dim))
+        test = r.standard_normal((48, dim))
+        n = r.integers(1, 6, 32)
+        got = np.asarray(model.score(enroll, test, n_enroll=n))
+        want = cpu.plda_log_likelihood_ratio(
+            model.mean, model.transform, model.psi, enroll, n, test)
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-3)
+
+    def test_large_trial_matrix_on_chip(self):
+        """One dispatch scores a 2048 x 2048 trial grid; spot-check 16
+        random pairs against the golden."""
+        from tpufeat import plda as pl
+        r = np.random.default_rng(341)
+        dim = 32
+        model = pl.Plda(r.standard_normal(dim),
+                        np.linalg.qr(r.standard_normal((dim, dim)))[0],
+                        np.sort(r.random(dim) * 5.0)[::-1])
+        enroll = r.standard_normal((2048, dim))
+        test = r.standard_normal((2048, dim))
+        scores = np.asarray(model.score(enroll, test))
+        assert scores.shape == (2048, 2048)
+        es = r.integers(0, 2048, 16)
+        ts = r.integers(0, 2048, 16)
+        want = cpu.plda_log_likelihood_ratio(
+            model.mean, model.transform, model.psi, enroll[es], 1,
+            test[ts])
+        np.testing.assert_allclose(scores[np.ix_(es, ts)], want,
+                                   atol=2e-2, rtol=1e-3)

@@ -30,6 +30,8 @@ from tpufeat.io import read_wav, write_wav
 from tpufeat.ivector import (DiagUbm, IvectorExtractor, StreamingIvector,
                              ivector_features, train_diag_ubm,
                              train_ivector_extractor, utterance_ivector)
+from tpufeat.plda import (Plda, ivector_mean, length_normalize,
+                          train_plda)
 from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (OnlineCmvn, PoolRows, StreamingDeltas,
                                StreamingFrontend,
@@ -62,5 +64,7 @@ __all__ = [
     "StreamingPitchFeatures", "gcc_phat", "steer", "delay_and_sum",
     "DiagUbm", "IvectorExtractor",
     "StreamingIvector", "ivector_features", "train_diag_ubm",
-    "train_ivector_extractor", "utterance_ivector", "__version__",
+    "train_ivector_extractor", "utterance_ivector",
+    "Plda", "train_plda", "length_normalize", "ivector_mean",
+    "__version__",
 ]

@@ -598,3 +598,46 @@ def delay_and_sum(x: np.ndarray, max_delay: int = 64, ref: int = 0,
     y = np.fft.irfft(X * np.exp(2j * np.pi * k[None, :] * d[:, None] / p),
                      n=p, axis=-1)[:, :N]
     return y.mean(axis=0)
+
+
+# --- PLDA (goldens for tpufeat.plda; SURVEY.md §4 parity row) ---
+
+def plda_transform_ivector(mean, transform, psi, x,
+                           normalize_length: bool = True) -> np.ndarray:
+    """Float64 golden for :meth:`tpufeat.plda.Plda.transform_ivector`:
+    y = A(x - mean), optionally scaled so sum(y^2/(psi+1)) == dim."""
+    mean = np.asarray(mean, np.float64)
+    a = np.asarray(transform, np.float64)
+    psi = np.asarray(psi, np.float64)
+    y = (np.asarray(x, np.float64) - mean) @ a.T
+    if normalize_length:
+        sq = (y * y / (psi + 1.0)).sum(axis=-1, keepdims=True)
+        y = y * np.sqrt(mean.size / np.where(sq > 0, sq, 1.0))
+    return y
+
+
+def plda_log_likelihood_ratio(mean, transform, psi, enroll, n_enroll,
+                              test,
+                              normalize_length: bool = True) -> np.ndarray:
+    """Float64 golden for :meth:`tpufeat.plda.Plda.score`: naive
+    per-pair Kaldi LogLikelihoodRatio loop over [E, K] x [T, K] raw
+    i-vectors -> [E, T]."""
+    psi = np.asarray(psi, np.float64)
+    u = plda_transform_ivector(mean, transform, psi, enroll,
+                               normalize_length)
+    v = plda_transform_ivector(mean, transform, psi, test,
+                               normalize_length)
+    n = np.broadcast_to(np.asarray(n_enroll, np.float64), (u.shape[0],))
+    out = np.empty((u.shape[0], v.shape[0]))
+    vn = 1.0 + psi
+    for e in range(u.shape[0]):
+        npsi = n[e] * psi
+        m = npsi / (npsi + 1.0) * u[e]
+        vg = 1.0 + psi / (npsi + 1.0)
+        for t in range(v.shape[0]):
+            given = -0.5 * (np.log(2.0 * np.pi * vg)
+                            + (v[t] - m) ** 2 / vg).sum()
+            without = -0.5 * (np.log(2.0 * np.pi * vn)
+                              + v[t] ** 2 / vn).sum()
+            out[e, t] = given - without
+    return out
