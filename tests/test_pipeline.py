@@ -490,3 +490,111 @@ class TestCorpusIvector:
         with pytest.raises(ValueError, match="ivector-extractor"):
             pipeline.main([str(d), str(tmp_path / "o.npz"),
                            "--ivector-ark", str(tmp_path / "iv.ark")])
+
+
+class TestFmllr:
+    """--fmllr-ubm/--fmllr-ark estimation + --apply-fmllr application
+    (gmm-est-fmllr / transform-feats corpus flow)."""
+
+    def _corpus_and_ubm(self, tmp_path):
+        d, _ = _make_corpus(tmp_path, [9000, 10000, 11000, 12000])
+        u2s = tmp_path / "utt2spk"
+        u2s.write_text("u0.wav spkA\nu2.wav spkA\n"
+                       "sub/u1 spkB\nsub/u3 spkB\n")
+        # UBM trained on THIS preset's corpus features
+        feats = [f for _, f in pipeline.extract_corpus(
+            str(d), MFCC13_HTK, batch_size=2)]
+        from tpufeat.ivector import train_diag_ubm
+        ubm = train_diag_ubm(np.concatenate(feats), 2, iters=2,
+                             final_iters=2, seed=0)
+        ubm_p = str(tmp_path / "ubm.npz")
+        ubm.save(ubm_p)
+        return d, str(u2s), ubm, ubm_p
+
+    def test_estimate_and_apply_roundtrip(self, tmp_path):
+        d, u2s, ubm, ubm_p = self._corpus_and_ubm(tmp_path)
+        trans_p = str(tmp_path / "trans.ark")
+        rc = pipeline.main([str(d), str(tmp_path / "o1.npz"),
+                            "--batch", "2", "--utt2spk", u2s,
+                            "--fmllr-ubm", ubm_p, "--fmllr-ark", trans_p,
+                            "--fmllr-min-count", "1"])
+        assert rc == 0
+        from tpufeat import feats_io
+        ark = feats_io.read_kaldi_ark(trans_p)
+        assert sorted(ark) == ["spkA", "spkB"]
+        for W in ark.values():
+            assert W.shape == (13, 14)
+        # transforms must match direct estimation on the same features
+        from tpufeat import fmllr as fm
+        per_spk = {"spkA": [], "spkB": []}
+        for rel, f in np.load(str(tmp_path / "o1.npz")).items():
+            per_spk["spkA" if rel in ("u0.wav", "u2.wav")
+                    else "spkB"].append(f)
+        for spk, fs in per_spk.items():
+            # exactly the pipeline's accumulation: per-utterance stats
+            # summed in f64, then one estimate
+            b_, K_, G_ = fm.fmllr_stats(ubm, fs[0])
+            for f in fs[1:]:
+                b2, K2, G2 = fm.fmllr_stats(ubm, f)
+                b_, K_, G_ = b_ + b2, K_ + K2, G_ + G2
+            want = fm.estimate_fmllr(b_, K_, G_, min_count=1.0)
+            np.testing.assert_allclose(ark[spk],
+                                       want.astype(np.float32),
+                                       rtol=1e-6, atol=1e-6)
+            # and mathematically equivalent (stats are additive) to the
+            # one-shot estimate — loose: the tiny per-speaker corpus
+            # leaves G_d barely determined, so f32 stat noise moves the
+            # (flat) optimum
+            direct = fm.est_fmllr(ubm, np.concatenate(fs), min_count=1.0)
+            np.testing.assert_allclose(ark[spk], direct, atol=0.1)
+        # apply pass: adapted features == apply_transform of the originals
+        rc = pipeline.main([str(d), str(tmp_path / "o2.npz"),
+                            "--batch", "2", "--utt2spk", u2s,
+                            "--apply-fmllr", trans_p])
+        assert rc == 0
+        from tpufeat.data import apply_transform
+        z1 = np.load(str(tmp_path / "o1.npz"))
+        z2 = np.load(str(tmp_path / "o2.npz"))
+        for rel in z1.files:
+            spk = "spkA" if rel in ("u0.wav", "u2.wav") else "spkB"
+            np.testing.assert_allclose(
+                z2[rel], np.asarray(apply_transform(z1[rel], ark[spk])),
+                rtol=1e-5, atol=1e-5)
+
+    def test_global_without_utt2spk(self, tmp_path):
+        d, _, ubm, ubm_p = self._corpus_and_ubm(tmp_path)
+        trans_p = str(tmp_path / "trans.ark")
+        pipeline.main([str(d), str(tmp_path / "o.npz"), "--batch", "2",
+                       "--fmllr-ubm", ubm_p, "--fmllr-ark", trans_p,
+                       "--fmllr-min-count", "1"])
+        from tpufeat import feats_io
+        ark = feats_io.read_kaldi_ark(trans_p)
+        assert list(ark) == ["global"]
+        # below min-count: identity fallback
+        pipeline.main([str(d), str(tmp_path / "o.npz"), "--batch", "2",
+                       "--fmllr-ubm", ubm_p, "--fmllr-ark", trans_p,
+                       "--fmllr-min-count", "1e9"])
+        W = feats_io.read_kaldi_ark(trans_p)["global"]
+        np.testing.assert_array_equal(
+            W, np.concatenate([np.eye(13), np.zeros((13, 1))],
+                              axis=1).astype(np.float32))
+
+    def test_validation(self, tmp_path):
+        d, u2s, ubm, ubm_p = self._corpus_and_ubm(tmp_path)
+        with pytest.raises(ValueError, match="requires --fmllr-ark"):
+            pipeline.main([str(d), "o.npz", "--fmllr-ubm", ubm_p])
+        with pytest.raises(ValueError, match="requires --fmllr-ubm"):
+            pipeline.main([str(d), "o.npz", "--fmllr-ark", "t.ark"])
+        # dim mismatch: whisper80 features vs 13-dim UBM
+        with pytest.raises(ValueError, match="UBM dim"):
+            pipeline.main([str(d), "o.npz", "--preset", "whisper80",
+                           "--fmllr-ubm", ubm_p, "--fmllr-ark", "t.ark"])
+        # apply with a missing speaker entry
+        from tpufeat import feats_io
+        trans_p = str(tmp_path / "only_a.ark")
+        feats_io.write_kaldi_ark(
+            trans_p, {"spkA": np.concatenate(
+                [np.eye(13), np.zeros((13, 1))], 1).astype(np.float32)})
+        with pytest.raises(ValueError, match="no fMLLR transform"):
+            pipeline.main([str(d), str(tmp_path / "o.npz"),
+                           "--utt2spk", u2s, "--apply-fmllr", trans_p])

@@ -944,3 +944,31 @@ class TestPldaOnChip:
             test[ts])
         np.testing.assert_allclose(scores[np.ix_(es, ts)], want,
                                    atol=2e-2, rtol=1e-3)
+
+
+class TestFmllrOnChip:
+    """fMLLR statistics accumulation on hardware vs the float64 golden
+    loop, plus an end-to-end estimate+apply likelihood check."""
+
+    def test_stats_and_adaptation_on_chip(self):
+        from tpufeat import fmllr as fm, ivector as iv
+        from tpufeat.data import apply_transform
+        r = np.random.default_rng(350)
+        centers = r.standard_normal((4, 6)) * 2.0
+        frames = np.concatenate(
+            [c + r.standard_normal((300, 6)) for c in centers]
+        ).astype(np.float32)
+        ubm = iv.train_diag_ubm(frames, 4, iters=2, final_iters=4, seed=0)
+        x = frames[:200]
+        beta, K, G = fm.fmllr_stats(ubm, x)
+        bg, Kg, Gg = cpu.fmllr_stats(x, ubm.weights, ubm.means, ubm.vars)
+        assert abs(beta - bg) < 1e-2
+        np.testing.assert_allclose(K, Kg, rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(G, Gg, rtol=1e-3, atol=5e-2)
+        xd = (frames * 1.4 + 0.7).astype(np.float32)
+        W = fm.est_fmllr(ubm, xd, iters=15, min_count=1.0)
+        adapted = np.asarray(apply_transform(xd, W))
+        ll_gain = (iv.avg_log_like(ubm, adapted)
+                   + np.linalg.slogdet(W[:, :-1])[1]
+                   - iv.avg_log_like(ubm, xd))
+        assert ll_gain > 0.05, ll_gain

@@ -32,6 +32,8 @@ from tpufeat.ivector import (DiagUbm, IvectorExtractor, StreamingIvector,
                              train_ivector_extractor, utterance_ivector)
 from tpufeat.plda import (Plda, ivector_mean, length_normalize,
                           train_plda)
+from tpufeat.fmllr import (est_fmllr, estimate_fmllr, fmllr_objective,
+                           fmllr_stats)
 from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (OnlineCmvn, PoolRows, StreamingDeltas,
                                StreamingFrontend,
@@ -66,5 +68,6 @@ __all__ = [
     "StreamingIvector", "ivector_features", "train_diag_ubm",
     "train_ivector_extractor", "utterance_ivector",
     "Plda", "train_plda", "length_normalize", "ivector_mean",
+    "est_fmllr", "estimate_fmllr", "fmllr_stats", "fmllr_objective",
     "__version__",
 ]

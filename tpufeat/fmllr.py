@@ -1,0 +1,174 @@
+"""fMLLR (constrained MLLR) speaker adaptation — the Kaldi
+``gmm-est-fmllr`` / ``transform-feats`` pair over this package's
+:class:`tpufeat.ivector.DiagUbm` (SURVEY.md §2's "beyond the reference"
+tier; together with VTLN warping and i-vectors this completes the
+classic speaker-adaptation stack).
+
+Model (Gales 1998): an affine feature transform ``W = [A | b]`` chosen
+to maximize the adaptation data's likelihood under the diagonal GMM,
+
+    Q(W) = beta * log|det A| + sum_d [ w_d^T k_d - 1/2 w_d^T G_d w_d ]
+
+with per-row statistics over extended frames ``x^ = [x; 1]``:
+
+    beta = sum_t sum_g gamma_tg
+    k_d  = sum_t sum_g gamma_tg * mu_gd / sigma2_gd * x^_t        [D+1]
+    G_d  = sum_t sum_g gamma_tg / sigma2_gd * x^_t x^_t^T         [D+1, D+1]
+
+TPU-native split: the O(T·G·D) statistics are GEMMs — posteriors are the
+UBM's two-matmul log-likelihood path, then the per-gaussian sums collapse
+into two [T, G] @ [G, D] products (``gamma @ (mu/sigma2)`` and
+``gamma @ (1/sigma2)``) followed by two einsums against ``x^`` — one
+jitted program, frames never leave the device unreduced. The estimation
+itself is the classic row-wise cofactor update on the tiny [D, D+1]
+system — host float64 (K <= ~100; this is not TPU work), each row's
+optimal alpha the closed-form root of ``alpha^2 (p·m) + alpha (p·n) -
+beta = 0``.
+
+Apply the result with :func:`tpufeat.data.apply_transform` (the
+``transform-feats`` analogue — W is [D, D+1] affine in Kaldi's
+append-a-1 convention). Float64 goldens for the statistics live in
+``tpufeat.reference.cpu.fmllr_stats`` per the repo's parity convention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpufeat.ivector import DiagUbm, _posteriors_jit
+
+__all__ = ["fmllr_stats", "estimate_fmllr", "est_fmllr",
+           "fmllr_objective"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def fmllr_stats(ubm: DiagUbm, feats, mask=None, *,
+                min_post: float = 0.0):
+    """Accumulate fMLLR sufficient statistics for one speaker's
+    adaptation data: [T, D] frames or a padded batch [B, T, D] (+ [B, T]
+    or [B] ``mask``/lengths) -> ``(beta, K [D, D+1], G [D, D+1, D+1])``
+    as float64 NumPy (ready for :func:`estimate_fmllr`). One jitted
+    program; posteriors and both per-gaussian reductions are GEMMs."""
+    x = jnp.asarray(feats, jnp.float32)
+    if x.ndim == 2:
+        x = x[None]
+    if x.ndim != 3 or x.shape[-1] != ubm.dim:
+        raise ValueError(f"feats {np.shape(feats)} vs UBM dim {ubm.dim}")
+    B, T, D = x.shape
+    if mask is None:
+        m = jnp.ones((B, T), jnp.float32)
+    else:
+        m = jnp.asarray(mask)
+        if m.ndim == 1:                      # lengths
+            m = (jnp.arange(T)[None, :]
+                 < m[:, None]).astype(jnp.float32)
+        else:
+            m = m.astype(jnp.float32)
+        if m.shape != (B, T):
+            raise ValueError(f"mask {m.shape} vs frames {(B, T)}")
+    gconst, a, b = ubm._gemm_operands()
+    inv = (1.0 / ubm.vars).astype(np.float32)            # [G, D]
+    muinv = (ubm.means / ubm.vars).astype(np.float32)    # [G, D]
+    beta, K, G = _fmllr_stats_jit(x, m, jnp.asarray(gconst),
+                                  jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(muinv), jnp.asarray(inv),
+                                  float(min_post))
+    return (float(beta), np.asarray(K, np.float64),
+            np.asarray(G, np.float64))
+
+
+@functools.partial(jax.jit, static_argnums=7)
+def _fmllr_stats_jit(x, mask, gconst, a, b, muinv, inv, min_post):
+    post = _posteriors_jit(x, gconst, a, b, min_post)
+    post = post * mask[..., None]                        # [B, T, G]
+    ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
+    xe = jnp.concatenate([x, ones], axis=-1)             # [B, T, D+1]
+    wk = jnp.einsum("btg,gd->btd", post, muinv, precision=_HI)
+    wg = jnp.einsum("btg,gd->btd", post, inv, precision=_HI)
+    K = jnp.einsum("btd,bte->de", wk, xe, precision=_HI)
+    G = jnp.einsum("btd,bte,btf->def", wg, xe, xe, precision=_HI)
+    beta = post.sum()
+    return beta, K, G
+
+
+def estimate_fmllr(beta: float, K: np.ndarray, G: np.ndarray, *,
+                   iters: int = 20, min_count: float = 500.0,
+                   ridge: float = 1e-8):
+    """Row-wise iterative fMLLR estimation (Gales 1998; Kaldi
+    ``ComputeFmllrMatrixDiagGmm``) from :func:`fmllr_stats` output.
+    Returns ``W`` [D, D+1] float64 (identity-affine when ``beta <
+    min_count`` — Kaldi's ``--fmllr-min-count`` fallback).
+
+    Each row solves ``w_d = G_d^{-1}(k_d + alpha p_d)`` where ``p_d`` is
+    the cofactor row of the current square part and alpha is the
+    positive-determinant root of the quadratic stationarity condition;
+    ``iters`` full sweeps (the auxiliary Q is monotone per row update —
+    tested). ``ridge`` scales a diagonal loading of each G_d relative to
+    its mean diagonal (guards rank-deficient small-count stats)."""
+    K = np.asarray(K, np.float64)
+    G = np.asarray(G, np.float64)
+    D = K.shape[0]
+    if K.shape != (D, D + 1) or G.shape != (D, D + 1, D + 1):
+        raise ValueError(f"bad stats shapes {K.shape} {G.shape}")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    W = np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1)
+    if beta < min_count:
+        return W
+    Gl = G + (ridge * np.einsum("dii->d", G)[:, None, None]
+              / (D + 1) * np.eye(D + 1)[None])
+    for _ in range(iters):
+        for d in range(D):
+            A = W[:, :D]
+            # cofactor row d: det(A) * inv(A)^T row d — but det(A) may
+            # be huge/tiny; any positive scale of p leaves the optimum
+            # invariant (alpha rescales), so use inv(A).T directly with
+            # the current det's SIGN to keep the orientation.
+            sign = np.sign(np.linalg.det(A)) or 1.0
+            p = np.zeros(D + 1)
+            p[:D] = sign * np.linalg.inv(A).T[d]
+            n = np.linalg.solve(Gl[d], K[d])
+            m = np.linalg.solve(Gl[d], p)
+            pm = p @ m
+            pn = p @ n
+            if pm <= 0:
+                raise np.linalg.LinAlgError(
+                    "fMLLR G_d not positive definite (too few frames? "
+                    "raise min_count or ridge)")
+            disc = np.sqrt(pn * pn + 4.0 * pm * beta)
+            roots = [(-pn + disc) / (2 * pm), (-pn - disc) / (2 * pm)]
+            # pick the root maximizing the row objective
+            # beta*log|pn + alpha*pm| - 1/2 alpha^2 pm
+            def row_obj(alpha):
+                det_term = pn + alpha * pm
+                if det_term == 0.0:
+                    return -np.inf
+                return beta * np.log(abs(det_term)) - 0.5 * alpha ** 2 * pm
+            alpha = max(roots, key=row_obj)
+            W[d] = n + alpha * m
+    return W
+
+
+def fmllr_objective(beta: float, K: np.ndarray, G: np.ndarray,
+                    W: np.ndarray) -> float:
+    """The fMLLR auxiliary Q(W) (up to a W-independent constant) — the
+    quantity :func:`estimate_fmllr` maximizes; exposed for tests and
+    convergence diagnostics."""
+    W = np.asarray(W, np.float64)
+    D = W.shape[0]
+    logdet = np.linalg.slogdet(W[:, :D])[1]
+    quad = sum(W[d] @ K[d] - 0.5 * W[d] @ G[d] @ W[d] for d in range(D))
+    return float(beta * logdet + quad)
+
+
+def est_fmllr(ubm: DiagUbm, feats, mask=None, *, iters: int = 20,
+              min_count: float = 500.0, min_post: float = 0.0):
+    """Convenience one-call estimation: adaptation frames -> ``W``
+    [D, D+1] (apply with ``tpufeat.data.apply_transform(feat, W)``)."""
+    beta, K, G = fmllr_stats(ubm, feats, mask, min_post=min_post)
+    return estimate_fmllr(beta, K, G, iters=iters, min_count=min_count)

@@ -467,6 +467,25 @@ def main(argv=None) -> int:
                    help="where to write the i-vectors (Kaldi binary "
                         "FV vector archive + .scp index); requires "
                         "--ivector-extractor")
+    p.add_argument("--fmllr-ubm", metavar="NPZ", default=None,
+                   help="DiagUbm.save() file trained on this preset's "
+                        "(post-CMVN) features: accumulate fMLLR "
+                        "statistics over the corpus and estimate affine "
+                        "transforms (gmm-est-fmllr analogue) — one per "
+                        "--utt2spk speaker, or a single 'global' entry "
+                        "without the map; requires --fmllr-ark")
+    p.add_argument("--fmllr-ark", metavar="ARK", default=None,
+                   help="where to write the estimated [D, D+1] fMLLR "
+                        "transforms (Kaldi binary FM matrix archive + "
+                        ".scp index), keyed by speaker")
+    p.add_argument("--fmllr-min-count", type=float, default=500.0,
+                   help="frames below which a speaker keeps the identity "
+                        "transform (Kaldi --fmllr-min-count)")
+    p.add_argument("--apply-fmllr", metavar="ARK", default=None,
+                   help="apply previously estimated per-speaker fMLLR "
+                        "transforms to every utterance (transform-feats "
+                        "analogue; speakers via --utt2spk, or the "
+                        "'global' entry)")
     p.add_argument("--repeat", type=int, default=1,
                    help="extra passes over the corpus: pass 1 pays the "
                         "per-shape XLA compiles (~13 s each through the "
@@ -493,6 +512,24 @@ def main(argv=None) -> int:
                 feats_io.read_kaldi_ark(args.apply_cmvn).items()}
         else:
             apply_stats = data.CmvnStats.load(args.apply_cmvn)
+    fmllr_ubm = None
+    if args.fmllr_ubm:
+        if not args.fmllr_ark:
+            raise ValueError("--fmllr-ubm requires --fmllr-ark (where "
+                             "the estimated transforms go)")
+        from tpufeat.ivector import DiagUbm
+        fmllr_ubm = DiagUbm.load(args.fmllr_ubm)
+        if fmllr_ubm.dim != cfg.feature_dim:
+            raise ValueError(
+                f"fMLLR UBM dim {fmllr_ubm.dim} != feature dim "
+                f"{cfg.feature_dim} (train the UBM on this preset's "
+                "features)")
+    elif args.fmllr_ark:
+        raise ValueError("--fmllr-ark requires --fmllr-ubm")
+    apply_fmllr = None
+    if args.apply_fmllr:
+        from tpufeat import feats_io
+        apply_fmllr = feats_io.read_kaldi_ark(args.apply_fmllr)
     extractor = None
     if args.ivector_extractor:
         from tpufeat.ivector import IvectorExtractor
@@ -509,6 +546,7 @@ def main(argv=None) -> int:
         out = {}
         stats = {}
         ivecs = {}
+        fmllr_acc: dict = {}
         cmvn_acc = (({} if utt2spk else data.CmvnStats(cfg.feature_dim))
                     if args.global_cmvn else None)
         for key, feats in extract_corpus(args.wav_dir, cfg, args.batch,
@@ -534,6 +572,25 @@ def main(argv=None) -> int:
                         f"{args.apply_cmvn}: no CMVN stats for speaker "
                         f"{spk!r} (utterance {rel!r})")
                 feats = st.apply(feats, norm_vars=args.norm_vars)
+            if apply_fmllr is not None:
+                W = apply_fmllr.get(spk if spk is not None else "global")
+                if W is None:
+                    raise ValueError(
+                        f"{args.apply_fmllr}: no fMLLR transform for "
+                        f"speaker {spk or 'global'!r} (utterance "
+                        f"{rel!r})")
+                feats = np.asarray(data.apply_transform(feats, W))
+            if fmllr_ubm is not None:
+                from tpufeat import fmllr as fmllr_mod
+                b_, K_, G_ = fmllr_mod.fmllr_stats(fmllr_ubm, feats)
+                acc = fmllr_acc.get(spk if spk is not None else "global")
+                if acc is None:
+                    fmllr_acc[spk if spk is not None else "global"] = \
+                        [b_, K_, G_]
+                else:
+                    acc[0] += b_
+                    acc[1] += K_
+                    acc[2] += G_
             out[rel] = feats
         passes.append(time.perf_counter() - t0)   # extraction wall
     if cmvn_acc is not None:
@@ -545,6 +602,17 @@ def main(argv=None) -> int:
                 dtype="f64")
         else:
             cmvn_acc.save(args.global_cmvn)
+    if fmllr_ubm is not None:
+        from tpufeat import feats_io
+        from tpufeat import fmllr as fmllr_mod
+        trans = {
+            s: fmllr_mod.estimate_fmllr(
+                b_, K_, G_, min_count=args.fmllr_min_count
+            ).astype(np.float32)
+            for s, (b_, K_, G_) in sorted(fmllr_acc.items())}
+        feats_io.write_kaldi_ark(
+            args.fmllr_ark, trans,
+            scp_path=os.path.splitext(args.fmllr_ark)[0] + ".scp")
     dt = passes[-1]                    # steady-state (or only) pass
     if args.out_npz.lower().endswith(".ark"):
         from tpufeat import feats_io

@@ -641,3 +641,29 @@ def plda_log_likelihood_ratio(mean, transform, psi, enroll, n_enroll,
                               + v[t] ** 2 / vn).sum()
             out[e, t] = given - without
     return out
+
+
+# --- fMLLR (goldens for tpufeat.fmllr; SURVEY.md §4 parity row) ---
+
+def fmllr_stats(x: np.ndarray, weights, means, vars_,
+                min_post: float = 0.0):
+    """Float64 golden for :func:`tpufeat.fmllr.fmllr_stats`: naive
+    frame x gaussian loop. [T, D] -> (beta, K [D, D+1],
+    G [D, D+1, D+1])."""
+    x = np.asarray(x, np.float64)
+    means = np.asarray(means, np.float64)
+    vars_ = np.asarray(vars_, np.float64)
+    post = gmm_posteriors(x, weights, means, vars_, min_post)
+    T, D = x.shape
+    beta = post.sum()
+    K = np.zeros((D, D + 1))
+    G = np.zeros((D, D + 1, D + 1))
+    for t in range(T):
+        xe = np.append(x[t], 1.0)
+        outer = np.outer(xe, xe)
+        for g in range(means.shape[0]):
+            if post[t, g] == 0.0:
+                continue
+            K += post[t, g] * (means[g] / vars_[g])[:, None] * xe[None, :]
+            G += (post[t, g] / vars_[g])[:, None, None] * outer[None]
+    return float(beta), K, G
