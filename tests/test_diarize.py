@@ -1,0 +1,212 @@
+"""Diarization tests (tpufeat/diarize.py): sliding-window grid math,
+slice-arithmetic segment i-vectors vs the per-window oracle, PLDA
+affinity + agglomerative clustering, and who-spoke-when end to end on
+synthetic multi-speaker audio features."""
+
+import numpy as np
+import pytest
+
+from tpufeat import diarize as dz
+from tpufeat import ivector as iv
+from tpufeat import plda as pl
+
+
+class TestSlidingWindows:
+    def test_regular_grid(self):
+        spans = dz.sliding_windows(300, window=150, period=75)
+        np.testing.assert_array_equal(spans, [(0, 150), (75, 225),
+                                              (150, 300)])
+
+    def test_clamped_tail(self):
+        spans = dz.sliding_windows(310, window=150, period=75)
+        np.testing.assert_array_equal(
+            spans, [(0, 150), (75, 225), (150, 300), (225, 310)])
+
+    def test_short_tail_dropped(self):
+        spans = dz.sliding_windows(310, window=150, period=75,
+                                   min_window=100)
+        np.testing.assert_array_equal(spans, [(0, 150), (75, 225),
+                                              (150, 300)])
+
+    def test_short_audio_single_window(self):
+        np.testing.assert_array_equal(
+            dz.sliding_windows(40, window=150, period=75), [(0, 40)])
+        np.testing.assert_array_equal(
+            dz.sliding_windows(10, window=150, period=75,
+                               min_window=25), [(0, 10)])
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="multiple"):
+            dz.sliding_windows(100, window=100, period=33)
+        with pytest.raises(ValueError, match=">= 1"):
+            dz.sliding_windows(0)
+        with pytest.raises(ValueError, match=">= 1"):
+            dz.sliding_windows(10, window=0, period=1)
+
+
+def _speakers_fixture(seed=0, dim=8, n_spk=12):
+    """UBM + extractor + PLDA trained on a background population of
+    ``n_spk`` speakers (PLDA's between-class covariance needs many
+    speakers — with 3 it is rank-starved and scores are flat), plus a
+    draw function for labeled utterance frames. Diarization tests use
+    the first few speakers as the "recording" voices."""
+    r = np.random.default_rng(seed)
+    offs = r.standard_normal((n_spk, dim)) * 3.0
+
+    def draw(spk, n, s):
+        rr = np.random.default_rng(s)
+        return (offs[spk] + rr.standard_normal((n, dim))).astype(
+            np.float32)
+
+    frames = np.concatenate([draw(s, 200, 100 + s)
+                             for s in range(n_spk)])
+    ubm = iv.train_diag_ubm(frames, 8, iters=2, final_iters=3, seed=0)
+    utts, ids = [], []
+    for s in range(n_spk):
+        for u in range(6):
+            utts.append(draw(s, 150, 200 + 10 * s + u))
+            ids.append(s)
+    ext = iv.train_ivector_extractor(ubm, utts, ivector_dim=8, iters=4,
+                                     seed=1)
+    ivs = np.stack([np.asarray(iv.utterance_ivector(ext, u), np.float64)
+                    for u in utts])
+    model = pl.train_plda(ivs, ids, iters=6)
+    return ext, model, draw
+
+
+@pytest.fixture(scope="module")
+def spk():
+    return _speakers_fixture()
+
+
+class TestSegmentIvectors:
+    def test_matches_per_window_oracle(self, spk):
+        ext, _, draw = spk
+        feats = np.concatenate([draw(0, 200, 1), draw(1, 163, 2)])
+        got, spans = dz.segment_ivectors(ext, feats, window=100,
+                                         period=50, min_post=0.0)
+        got = np.asarray(got)
+        assert got.shape == (len(spans), ext.ivector_dim)
+        for i, (s, e) in enumerate(spans):
+            want = np.asarray(iv.utterance_ivector(ext, feats[s:e]))
+            np.testing.assert_allclose(got[i], want, atol=2e-4,
+                                       rtol=1e-4)
+
+    def test_clamped_tail_matches_oracle(self, spk):
+        ext, _, draw = spk
+        feats = draw(2, 287, 3)                    # ragged tail window
+        got, spans = dz.segment_ivectors(ext, feats, window=100,
+                                         period=50, min_post=0.0)
+        assert spans[-1][1] == 287
+        for i, (s, e) in enumerate(spans):
+            want = np.asarray(iv.utterance_ivector(ext, feats[s:e]))
+            np.testing.assert_allclose(np.asarray(got)[i], want,
+                                       atol=2e-4, rtol=1e-4)
+
+    def test_mask_gates_frames(self, spk):
+        ext, _, draw = spk
+        feats = draw(0, 200, 4)
+        mask = np.ones(200, np.float32)
+        mask[100:] = 0.0
+        got, spans = dz.segment_ivectors(ext, feats, window=100,
+                                         period=50, min_post=0.0,
+                                         mask=mask)
+        # a fully-masked window carries zero stats -> prior mean (zeros)
+        full_silence = [i for i, (s, e) in enumerate(spans) if s >= 100]
+        assert full_silence
+        np.testing.assert_allclose(np.asarray(got)[full_silence], 0.0,
+                                   atol=1e-6)
+        # the first window only sees unmasked frames -> equals oracle
+        want = np.asarray(iv.utterance_ivector(ext, feats[:100]))
+        np.testing.assert_allclose(np.asarray(got)[0], want, atol=2e-4,
+                                   rtol=1e-4)
+
+    def test_validates(self, spk):
+        ext, _, draw = spk
+        with pytest.raises(ValueError, match="features"):
+            dz.segment_ivectors(ext, np.zeros((10, ext.ubm.dim + 1)))
+        with pytest.raises(ValueError, match="mask"):
+            dz.segment_ivectors(ext, draw(0, 100, 5),
+                                mask=np.ones(99))
+
+
+class TestClustering:
+    def test_block_affinity(self):
+        aff = np.full((6, 6), -5.0)
+        for blk in (slice(0, 3), slice(3, 6)):
+            aff[blk, blk] = 5.0
+        labels = dz.cluster_affinity(aff, num_speakers=2)
+        np.testing.assert_array_equal(labels, [0, 0, 0, 1, 1, 1])
+        # threshold mode finds the same two clusters
+        labels_t = dz.cluster_affinity(aff, threshold=0.0)
+        np.testing.assert_array_equal(labels_t, labels)
+
+    def test_threshold_extremes(self):
+        aff = np.full((4, 4), 2.0)
+        assert len(set(dz.cluster_affinity(aff, threshold=0.0))) == 1
+        aff2 = np.full((4, 4), -2.0)
+        np.fill_diagonal(aff2, 5.0)
+        assert len(set(dz.cluster_affinity(aff2, threshold=0.0))) == 4
+
+    def test_single_segment(self):
+        np.testing.assert_array_equal(
+            dz.cluster_affinity(np.zeros((1, 1))), [0])
+
+    def test_validates(self):
+        with pytest.raises(ValueError, match="square"):
+            dz.cluster_affinity(np.zeros((2, 3)))
+        with pytest.raises(ValueError, match="num_speakers"):
+            dz.cluster_affinity(np.zeros((3, 3)), num_speakers=5)
+
+
+class TestDiarize:
+    def _alternating(self, draw, plan, seed0=700):
+        feats = np.concatenate([draw(s, n, seed0 + i)
+                                for i, (s, n) in enumerate(plan)])
+        truth = np.concatenate([np.full(n, s) for s, n in plan])
+        return feats, truth
+
+    @staticmethod
+    def _purity(labels, truth):
+        """Fraction of frames correct under the best label->speaker
+        mapping (greedy per cluster — fine for these sizes)."""
+        ok = 0
+        for lab in set(labels[labels >= 0]):
+            sel = labels == lab
+            vals, counts = np.unique(truth[sel], return_counts=True)
+            ok += counts.max()
+        return ok / len(truth)
+
+    def test_two_speakers_known_count(self, spk):
+        ext, model, draw = spk
+        feats, truth = self._alternating(
+            draw, [(0, 300), (1, 300), (0, 300), (1, 300)])
+        labels, segments = dz.diarize(ext, model, feats, window=150,
+                                      period=75, num_speakers=2)
+        assert len(set(labels)) == 2
+        assert self._purity(labels, truth) > 0.85
+        # segments tile the recording
+        assert segments[0][0] == 0 and segments[-1][1] == len(feats)
+        assert all(a[1] == b[0] for a, b in zip(segments, segments[1:]))
+
+    def test_three_speakers_threshold(self, spk):
+        ext, model, draw = spk
+        feats, truth = self._alternating(
+            draw, [(0, 300), (1, 300), (2, 300), (0, 300), (2, 300)])
+        labels, _ = dz.diarize(ext, model, feats, window=150, period=75,
+                               threshold=0.0)
+        assert self._purity(labels, truth) > 0.8
+        assert 2 <= len(set(labels)) <= 4      # ~3 speakers discovered
+
+    def test_vad_mask_labels_silence(self, spk):
+        ext, model, draw = spk
+        feats, _ = self._alternating(draw, [(0, 300), (1, 300)])
+        mask = np.ones(600, np.float32)
+        mask[280:320] = 0.0
+        labels, segments = dz.diarize(ext, model, feats, window=150,
+                                      period=75, num_speakers=2,
+                                      mask=mask)
+        assert (labels[280:320] == -1).all()
+        for s, e, lab in segments:
+            assert lab >= 0
+            assert not (s >= 280 and e <= 320)

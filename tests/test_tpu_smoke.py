@@ -972,3 +972,28 @@ class TestFmllrOnChip:
                    + np.linalg.slogdet(W[:, :-1])[1]
                    - iv.avg_log_like(ubm, xd))
         assert ll_gain > 0.05, ll_gain
+
+
+class TestDiarizeOnChip:
+    """Diarization on hardware: slice-arithmetic segment i-vectors vs
+    the per-window oracle, and who-spoke-when end to end."""
+
+    def test_segment_ivectors_and_diarize_on_chip(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_diarize import _speakers_fixture, TestDiarize
+        from tpufeat import diarize as dz, ivector as iv
+        ext, model, draw = _speakers_fixture()
+        feats = np.concatenate([draw(0, 220, 901), draw(1, 180, 902)])
+        got, spans = dz.segment_ivectors(ext, feats, window=100,
+                                         period=50, min_post=0.0)
+        got = np.asarray(got)
+        for i, (s, e) in enumerate(spans):
+            want = np.asarray(iv.utterance_ivector(ext, feats[s:e]))
+            np.testing.assert_allclose(got[i], want, atol=2e-3)
+        td = TestDiarize()
+        audio, truth = td._alternating(
+            draw, [(0, 300), (1, 300), (0, 300), (1, 300)])
+        labels, _ = dz.diarize(ext, model, audio, window=150, period=75,
+                               num_speakers=2)
+        assert td._purity(labels, truth) > 0.85

@@ -34,6 +34,8 @@ from tpufeat.plda import (Plda, ivector_mean, length_normalize,
                           train_plda)
 from tpufeat.fmllr import (est_fmllr, estimate_fmllr, fmllr_objective,
                            fmllr_stats)
+from tpufeat.diarize import (cluster_affinity, diarize, plda_affinity,
+                             segment_ivectors, sliding_windows)
 from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (OnlineCmvn, PoolRows, StreamingDeltas,
                                StreamingFrontend,
@@ -69,5 +71,7 @@ __all__ = [
     "train_ivector_extractor", "utterance_ivector",
     "Plda", "train_plda", "length_normalize", "ivector_mean",
     "est_fmllr", "estimate_fmllr", "fmllr_stats", "fmllr_objective",
+    "diarize", "segment_ivectors", "sliding_windows", "plda_affinity",
+    "cluster_affinity",
     "__version__",
 ]
