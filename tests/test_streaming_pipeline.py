@@ -413,9 +413,16 @@ class TestOnlineCmvnComposition:
         st.sumsq = (var + mean * mean) * count
         return st
 
+    @isolated
     def test_matches_offline_composition(self):
         """process/flush through OnlineCmvn == offline 39-dim extract
-        followed by features.online_cmvn (same window + speaker prior)."""
+        followed by features.online_cmvn (same window + speaker prior).
+
+        Isolated: with the round-3 suite growth (plda/fmllr/diarize
+        compiles land earlier in the run) the in-process XLA:CPU LLVM
+        segfault moved from the pitch tests to THIS compile (observed
+        2026-08-19, rc=139 at tests/test_streaming_pipeline.py:426);
+        same crash class the ``isolated`` docstring records."""
         b, n = 2, 24000
         x = _sig(b, n, 95)
         spk = self._stats(39, seed=96, count=150.0)
