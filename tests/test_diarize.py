@@ -1,4 +1,4 @@
-"""Diarization tests (tpufeat/diarize.py): sliding-window grid math,
+"""Diarization tests (tpufeat/diarization.py): sliding-window grid math,
 slice-arithmetic segment i-vectors vs the per-window oracle, PLDA
 affinity + agglomerative clustering, and who-spoke-when end to end on
 synthetic multi-speaker audio features."""
@@ -6,7 +6,7 @@ synthetic multi-speaker audio features."""
 import numpy as np
 import pytest
 
-from tpufeat import diarize as dz
+from tpufeat import diarization as dz
 from tpufeat import ivector as iv
 from tpufeat import plda as pl
 
@@ -210,3 +210,69 @@ class TestDiarize:
         for s, e, lab in segments:
             assert lab >= 0
             assert not (s >= 280 and e <= 320)
+
+
+class TestRttmAndCli:
+    def test_write_rttm(self, tmp_path):
+        p = str(tmp_path / "out.rttm")
+        dz.write_rttm(p, "rec1", [(0, 100, 0), (100, 250, 1)])
+        lines = open(p).read().strip().split("\n")
+        assert lines[0] == ("SPEAKER rec1 1 0.000 1.000 <NA> <NA> "
+                            "spk0 <NA> <NA>")
+        assert lines[1].split()[3:5] == ["1.000", "1.500"]
+
+    def test_cli_end_to_end(self, tmp_path, capsys, spk):
+        """WAV -> RTTM through main(): plumbing, not clustering quality
+        (the models come from the synthetic fixture; the audio is a real
+        WAV whose MFCCs the tiny models happily window and score)."""
+        from tpufeat import io, features
+        from tpufeat.config import MFCC13_HTK
+        import json
+        rng = np.random.default_rng(0)
+        sig = (rng.standard_normal(48000) * 0.1).astype(np.float32)
+        wav = str(tmp_path / "rec.wav")
+        io.write_wav(wav, sig, 16000)
+        # train a throwaway 13-dim stack on the wav's own features
+        x, _ = io.read_wav(wav)
+        feats = np.asarray(features.extract(x, cfg=MFCC13_HTK).features)
+        ubm = iv.train_diag_ubm(feats, 2, iters=1, final_iters=2, seed=0)
+        ext = iv.train_ivector_extractor(ubm, [feats[:150], feats[150:]],
+                                         ivector_dim=4, iters=2, seed=0)
+        r = np.random.default_rng(1)
+        ivs = np.concatenate([r.standard_normal((8, 4)) + off
+                              for off in (-2.0, 2.0)])
+        model = pl.train_plda(ivs, [0] * 8 + [1] * 8, iters=3)
+        ext_p = str(tmp_path / "ext.npz")
+        plda_p = str(tmp_path / "plda.npz")
+        ext.save(ext_p)
+        model.save(plda_p)
+        rttm = str(tmp_path / "rec.rttm")
+        rc = dz.main([wav, rttm, "--extractor", ext_p, "--plda", plda_p,
+                      "--num-speakers", "2", "--vad-db", "40"])
+        assert rc == 0
+        info = json.loads(capsys.readouterr().err.strip().split("\n")[-1])
+        assert info["recording"] == "rec"
+        lines = [ln.split() for ln in open(rttm).read().strip().split("\n")]
+        assert all(ln[0] == "SPEAKER" and ln[1] == "rec" for ln in lines)
+        # segments tile [0, audio] in seconds
+        t_end = float(lines[-1][3]) + float(lines[-1][4])
+        assert abs(t_end - feats.shape[0] * 0.01) < 0.02
+        # kaldi-format plda loads too
+        model.save_kaldi(str(tmp_path / "plda.kaldi"))
+        rc = dz.main([wav, "-", "--extractor", ext_p,
+                      "--plda", str(tmp_path / "plda.kaldi"),
+                      "--num-speakers", "2"])
+        assert rc == 0
+        assert "SPEAKER rec 1" in capsys.readouterr().out
+
+    def test_cli_validates(self, tmp_path, spk):
+        ext, model, _ = spk
+        from tpufeat import io
+        wav = str(tmp_path / "a.wav")
+        io.write_wav(wav, np.zeros(8000, np.float32), 8000)
+        ext_p = str(tmp_path / "e.npz")
+        plda_p = str(tmp_path / "p.npz")
+        ext.save(ext_p)
+        model.save(plda_p)
+        with pytest.raises(ValueError, match="UBM dim"):
+            dz.main([wav, "-", "--extractor", ext_p, "--plda", plda_p])

@@ -982,7 +982,7 @@ class TestDiarizeOnChip:
         import sys
         sys.path.insert(0, os.path.dirname(__file__))
         from test_diarize import _speakers_fixture, TestDiarize
-        from tpufeat import diarize as dz, ivector as iv
+        from tpufeat import diarization as dz, ivector as iv
         ext, model, draw = _speakers_fixture()
         feats = np.concatenate([draw(0, 220, 901), draw(1, 180, 902)])
         got, spans = dz.segment_ivectors(ext, feats, window=100,

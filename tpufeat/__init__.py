@@ -34,8 +34,9 @@ from tpufeat.plda import (Plda, ivector_mean, length_normalize,
                           train_plda)
 from tpufeat.fmllr import (est_fmllr, estimate_fmllr, fmllr_objective,
                            fmllr_stats)
-from tpufeat.diarize import (cluster_affinity, diarize, plda_affinity,
-                             segment_ivectors, sliding_windows)
+from tpufeat.diarization import (cluster_affinity, diarize,
+                                 plda_affinity, segment_ivectors,
+                                 sliding_windows)
 from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (OnlineCmvn, PoolRows, StreamingDeltas,
                                StreamingFrontend,

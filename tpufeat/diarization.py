@@ -203,3 +203,121 @@ def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
             segments.append((int(t), int(e), int(lab)))
         t = e
     return frame_labels, segments
+
+
+# ---------------------------------------------------------------------------
+# RTTM output + CLI (python -m tpufeat.diarization)
+# ---------------------------------------------------------------------------
+
+def write_rttm(file, rec_id: str, segments, *,
+               frame_shift: float = 0.010) -> None:
+    """Write diarization segments as standard RTTM ``SPEAKER`` lines
+    (the NIST scoring format): ``segments`` is :func:`diarize`'s
+    (start_frame, end_frame, speaker) list; times are frames x
+    ``frame_shift`` seconds. ``file`` is a path or an open text file."""
+    own = isinstance(file, str)
+    f = open(file, "w") if own else file
+    try:
+        for s, e, lab in segments:
+            f.write(f"SPEAKER {rec_id} 1 {s * frame_shift:.3f} "
+                    f"{(e - s) * frame_shift:.3f} <NA> <NA> "
+                    f"spk{lab} <NA> <NA>\n")
+    finally:
+        if own:
+            f.close()
+
+
+def main(argv=None) -> int:
+    """CLI: WAV -> RTTM. Requires a trained extractor + PLDA model
+    (see tpufeat.ivector / tpufeat.plda trainers)."""
+    import argparse
+    import json
+    import os
+    import sys
+
+    import dataclasses
+
+    from tpufeat import features, io
+    from tpufeat.config import PRESETS
+
+    p = argparse.ArgumentParser(
+        prog="tpufeat.diarization",
+        description="diarize a recording: WAV in, RTTM out")
+    p.add_argument("wav")
+    p.add_argument("rttm", help="output RTTM path ('-' for stdout)")
+    p.add_argument("--extractor", required=True, metavar="NPZ",
+                   help="IvectorExtractor.save() file trained on this "
+                        "preset's features")
+    p.add_argument("--plda", required=True, metavar="FILE",
+                   help="Plda.save() npz (or Kaldi binary <Plda> object "
+                        "written by save_kaldi / ivector-compute-plda)")
+    p.add_argument("--preset", default="mfcc13", choices=sorted(PRESETS))
+    p.add_argument("--fused", action="store_true",
+                   help="production TPU kernels (pallas + gemm + fused "
+                        "framing + bf16x3)")
+    p.add_argument("--num-speakers", type=int, default=None)
+    p.add_argument("--threshold", type=float, default=0.0,
+                   help="AHC stopping PLDA score (used when the speaker "
+                        "count is unknown)")
+    p.add_argument("--window", type=int, default=150,
+                   help="segment window in frames (150 = 1.5 s)")
+    p.add_argument("--period", type=int, default=75,
+                   help="segment hop in frames (75 = 0.75 s)")
+    p.add_argument("--vad-db", type=float, default=None,
+                   help="gate frames more than this many dB below the "
+                        "peak frame energy (off by default)")
+    args = p.parse_args(argv)
+
+    cfg = PRESETS[args.preset]
+    if args.fused:
+        cfg = dataclasses.replace(cfg, use_pallas=True, gemm_dft=True,
+                                  fused_framing=True,
+                                  matmul_precision="bf16x3")
+    ext = IvectorExtractor.load(args.extractor)
+    if ext.ubm.dim != cfg.feature_dim:
+        raise ValueError(f"extractor UBM dim {ext.ubm.dim} != preset "
+                         f"feature dim {cfg.feature_dim}")
+    try:
+        model = Plda.load(args.plda)
+    except Exception:
+        model = Plda.load_kaldi(args.plda)
+    if model.dim != ext.ivector_dim:
+        raise ValueError(f"PLDA dim {model.dim} != i-vector dim "
+                         f"{ext.ivector_dim}")
+
+    x, rate = io.read_wav(args.wav)
+    if rate != cfg.sample_rate:
+        raise ValueError(f"{args.wav} is {rate} Hz; resample to "
+                         f"{cfg.sample_rate} first (tpufeat.resample)")
+    feats = np.asarray(features.extract(x, cfg=cfg).features)
+    mask = None
+    if args.vad_db is not None:
+        from tpufeat.augment import energy_vad
+        v = np.asarray(energy_vad(
+            x[None], np.array([x.shape[0]]), cfg.frame_length,
+            cfg.hop_length, threshold_db=-abs(args.vad_db))[0])
+        F = feats.shape[0]
+        if v.shape[0] < F:          # centered configs frame a bit wider
+            v = np.concatenate([v, np.repeat(v[-1:], F - v.shape[0])])
+        mask = v[:F].astype(np.float32)
+
+    labels, segments = diarize(
+        ext, model, feats, window=args.window, period=args.period,
+        mask=mask, num_speakers=args.num_speakers,
+        threshold=args.threshold)
+    rec = os.path.splitext(os.path.basename(args.wav))[0]
+    shift = cfg.hop_length / cfg.sample_rate
+    if args.rttm == "-":
+        write_rttm(sys.stdout, rec, segments, frame_shift=shift)
+    else:
+        write_rttm(args.rttm, rec, segments, frame_shift=shift)
+    n_spk = len({lab for _, _, lab in segments})
+    print(json.dumps({"recording": rec, "frames": int(len(labels)),
+                      "speakers": n_spk, "segments": len(segments)}),
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
