@@ -23,7 +23,8 @@ BOOTSTRAP = (
 @pytest.mark.parametrize("script", ["offline_corpus.py",
                                     "online_serving.py",
                                     "serving_pool.py",
-                                    "train_eval.py"])
+                                    "train_eval.py",
+                                    "speaker_id.py"])
 def test_example_runs(script, tmp_path):
     args = [sys.executable, "-c", BOOTSTRAP,
             os.path.join(ROOT, "examples", script)]

@@ -290,3 +290,29 @@ class TestStreamingIvector:
         st = iv.StreamingIvector(extractor, batch_size=2)
         with pytest.raises(ValueError):
             st.process(np.zeros((3, 4, extractor.ubm.dim), np.float32))
+
+
+class TestOperandCaching:
+    """The device-operand caches (round-3 relay fix: re-uploading U
+    alone is 20 MB/call) must never capture tracers when a caller wraps
+    estimation in its own jit."""
+
+    def test_estimate_inside_outer_jit(self, extractor):
+        import jax
+
+        @jax.jit
+        def utt(x):
+            n, f = extractor.stats(x)
+            return extractor.estimate(n, f)
+
+        x = _clustered_frames(n_per=40, seed=9)
+        a = np.asarray(utt(x))          # traces; must not cache tracers
+        b = np.asarray(utt(x))          # cache hit or rebuild — either
+        want = np.asarray(iv.utterance_ivector(extractor, x))
+        np.testing.assert_allclose(a, want, atol=3e-4)
+        np.testing.assert_allclose(b, want, atol=3e-4)
+        # a later eager call still works and caches device arrays
+        again = np.asarray(iv.utterance_ivector(extractor, x))
+        np.testing.assert_allclose(again, want, atol=3e-4)
+        ops = iv._online_operands(extractor)
+        assert not any(isinstance(v, jax.core.Tracer) for v in ops)

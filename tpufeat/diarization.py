@@ -10,13 +10,15 @@ log-likelihood-ratio affinity between every window pair -> average-link
 agglomerative clustering (scipy) cut at a threshold or a known speaker
 count -> per-frame labels and (start, end, speaker) segments.
 
-TPU-native formulation of the hot part (everything per-frame or
-per-pair): posteriors and the projected linear term are the i-vector
-module's GEMM paths, window statistics are PERIOD-BLOCK sums + a block
-cumsum + two static slices (``cs[m:] - cs[:-m]`` — no gathers: the
-window grid is regular, so window sums are slice arithmetic, the same
-trick as ``ivector_features``'s boundary grid), every window estimate is
-one batched Cholesky solve, and the [N, N] affinity matrix is the PLDA
+TPU-native formulation of the hot part: posteriors are the i-vector
+module's GEMM path, first-order statistics are accumulated at
+PERIOD-BLOCK granularity (one [D, period] @ [period, G] matmul per
+block, G on the lane-aligned minor axis — never the per-frame [T, G, D]
+projected term, whose lane padding measured ~200x slower for 30 min
+audio), window sums are a block cumsum + two static slices (``cs[m:] -
+cs[:-m]`` — no gathers: the window grid is regular, the same trick as
+``ivector_features``'s boundary grid), every window estimate is one
+batched Cholesky solve, and the [N, N] affinity matrix is the PLDA
 module's two-GEMM scoring. Clustering runs on host (tiny: N = audio
 minutes x 80).
 """
@@ -30,8 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from tpufeat.ivector import (IvectorExtractor, _damped_solve,
-                             _online_operands, _per_frame_linear,
-                             _posteriors_jit)
+                             _online_operands, _posteriors_jit)
 from tpufeat.plda import Plda
 
 __all__ = ["sliding_windows", "segment_ivectors", "plda_affinity",
@@ -106,21 +107,32 @@ def _segment_ivectors_jit(T: int, window: int, period: int,
     def impl(x, mask, gconst, a, bq, P, U, q):
         post = _posteriors_jit(x, gconst, a, bq, min_post)
         post = post * mask[:, None] * scale                  # [T, G]
-        bframe = _per_frame_linear(post, x, P, q)            # [T, K]
+        # Window stats at BLOCK granularity — never per frame: the
+        # per-frame projected linear term would materialize a [T, G, D]
+        # intermediate (measured 2,964x RTFx for 30 min; the D-minor
+        # lane padding alone is ~10x HBM waste). Block first-order
+        # stats are one batched [D, period] @ [period, G] matmul per
+        # block with G on the 128-aligned minor axis, then the window
+        # linear term is a single [W, D*G] contraction.
         pad = nblk * period - T
         padded = lambda v: jnp.pad(v, ((0, pad), (0, 0)))
-        blkN = padded(post).reshape(nblk, period, -1).sum(axis=1)
-        blkb = padded(bframe).reshape(nblk, period, -1).sum(axis=1)
+        postp = padded(post).reshape(nblk, period, -1)       # [n, p, G]
+        xp = padded(x).reshape(nblk, period, -1)             # [n, p, D]
+        blkN = postp.sum(axis=1)                             # [n, G]
+        blkF = jnp.einsum("npd,npg->ndg", xp, postp,
+                          precision=_HI)                     # [n, D, G]
         inc = lambda v: jnp.cumsum(
             jnp.concatenate([jnp.zeros_like(v[:1]), v], axis=0), axis=0)
-        csN, csb = inc(blkN), inc(blkb)                      # [nblk+1, ·]
+        csN, csF = inc(blkN), inc(blkF)                      # [nblk+1, ·]
         if (ends - starts == mwin).all() and len(spans) == nblk - mwin + 1:
             # pure regular grid: two static slices, no indexing at all
             N = csN[mwin:] - csN[:-mwin]
-            b = csb[mwin:] - csb[:-mwin]
+            F = csF[mwin:] - csF[:-mwin]
         else:  # clamped tail windows: constant-index take on the tiny
-            N = csN[ends] - csN[starts]          # [nblk+1, G] cumsum —
-            b = csb[ends] - csb[starts]          # negligible vs the GEMMs
+            N = csN[ends] - csN[starts]          # [nblk+1, ·] cumsum —
+            F = csF[ends] - csF[starts]          # negligible vs the GEMMs
+        b = (jnp.einsum("wdg,gdk->wk", F, P, precision=_HI)
+             - jnp.einsum("wg,gk->wk", N, q, precision=_HI))
         return _damped_solve(N, b, U, 0.0)                   # [N, K]
 
     return jax.jit(impl)

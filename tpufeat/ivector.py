@@ -99,22 +99,31 @@ class DiagUbm:
                 (self.means * inv).astype(np.float32),
                 (-0.5 * inv).astype(np.float32))
 
+    def _device_operands(self):
+        """(gconst, a, b) as cached DEVICE arrays — avoids re-uploading
+        the GEMM operands on every call (see ivector._online_operands'
+        measurement note)."""
+        cached = self.__dict__.get("_device_ops")
+        if cached is None:
+            cached = tuple(jnp.asarray(v) for v in self._gemm_operands())
+            if not any(isinstance(v, jax.core.Tracer) for v in cached):
+                self.__dict__["_device_ops"] = cached
+        return cached
+
     def log_likes(self, feats) -> jnp.ndarray:
         """[..., T, D] frames -> [..., T, G] per-gaussian log-likelihoods
         (two MXU matmuls)."""
-        gconst, a, b = self._gemm_operands()
+        gconst, a, b = self._device_operands()
         return _log_likes_jit(jnp.asarray(feats, jnp.float32),
-                              jnp.asarray(gconst), jnp.asarray(a),
-                              jnp.asarray(b))
+                              gconst, a, b)
 
     def posteriors(self, feats, *, min_post: float = 0.0) -> jnp.ndarray:
         """[..., T, D] -> [..., T, G] responsibilities; entries below
         ``min_post`` are zeroed and the rest renormalized (Kaldi's
         posterior pruning, vectorized)."""
-        gconst, a, b = self._gemm_operands()
+        gconst, a, b = self._device_operands()
         return _posteriors_jit(jnp.asarray(feats, jnp.float32),
-                               jnp.asarray(gconst), jnp.asarray(a),
-                               jnp.asarray(b), float(min_post))
+                               gconst, a, b, float(min_post))
 
     def save(self, path: str) -> None:
         np.savez(path, weights=self.weights, means=self.means,
@@ -273,10 +282,10 @@ class IvectorExtractor:
     def estimate(self, n, f) -> jnp.ndarray:
         """Posterior-mean i-vector from ``stats`` output: [..., G] +
         [..., G, D] -> [..., K] (one batched K×K solve)."""
-        P, U, _ = self._operands
+        ops = _online_operands(self)        # cached device P / U
         return _estimate_from_nf_jit(jnp.asarray(n, jnp.float32),
                                      jnp.asarray(f, jnp.float32),
-                                     jnp.asarray(P), jnp.asarray(U))
+                                     ops[3], ops[4])
 
     def save(self, path: str) -> None:
         np.savez(path, weights=self.ubm.weights, means=self.ubm.means,
@@ -395,11 +404,25 @@ def _online_operands(extractor: IvectorExtractor):
     """f32 GEMM operands for the online paths: (gconst, a, b) for
     posteriors, (P [G,D,K], U [G,K,K], q [G,K]) for estimation — where
     the per-frame linear term is ``b_t = Σ_g γ_tg[(x_tᵀΣ_g⁻¹M_g) − q_g]``
-    so the carried state is only (N [G], b [K])."""
-    gconst, a, bq = extractor.ubm._gemm_operands()
-    P, U, q = extractor._operands
-    return (jnp.asarray(gconst), jnp.asarray(a), jnp.asarray(bq),
-            jnp.asarray(P), jnp.asarray(U), jnp.asarray(q))
+    so the carried state is only (N [G], b [K]).
+
+    Cached as DEVICE arrays per extractor: U alone is 20 MB at
+    G=512/K=100, and re-uploading the operands on every call measured
+    ~620 ms of a 670 ms segment_ivectors dispatch through the relay
+    (the jitted program itself is ~50 ms — `.bench/seg_bisect.py`)."""
+    cached = extractor.__dict__.get("_device_operands")
+    if cached is None:
+        gconst, a, bq = extractor.ubm._gemm_operands()
+        P, U, q = extractor._operands
+        cached = (jnp.asarray(gconst), jnp.asarray(a), jnp.asarray(bq),
+                  jnp.asarray(P), jnp.asarray(U), jnp.asarray(q))
+        # frozen dataclass: stash via __dict__ like cached_property
+        # does — but never cache TRACERS (a caller may wrap an
+        # estimate/extract path in its own jit; asarray then stages a
+        # constant whose tracer must not outlive that trace)
+        if not any(isinstance(v, jax.core.Tracer) for v in cached):
+            extractor.__dict__["_device_operands"] = cached
+    return cached
 
 
 def ivector_features(extractor: IvectorExtractor, feats, lengths=None, *,
