@@ -265,3 +265,77 @@ class TestIvectorIntegration:
         diff = scores[np.asarray(spks)[:, None] != probe_ids[None, :]]
         auc = (same[:, None] > diff[None, :]).mean()
         assert auc > 0.85, auc
+
+
+class TestAdaptation:
+    """Unsupervised domain adaptation (ivector-adapt-plda semantics)."""
+
+    def test_in_domain_is_near_noop(self, trained):
+        """Adapting on data drawn from the model itself barely moves it
+        (no excess variance to absorb)."""
+        model, x, *_ = trained
+        adapted = model.adapt(x, mean_diff_scale=0.0)
+        np.testing.assert_allclose(adapted.mean, x.mean(axis=0),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.sort(adapted.psi)[::-1], adapted.psi)
+        # total covariance in the adapted diagonal basis stays close to
+        # the model's (1 + psi)
+        assert np.abs(adapted.psi - model.psi).max() < 0.35 * (
+            1.0 + model.psi.max())
+
+    def test_still_diagonalizes(self, trained):
+        model, x, *_ = trained
+        r = np.random.default_rng(5)
+        shifted = x + r.standard_normal(model.dim) * 2.0
+        adapted = model.adapt(shifted)
+        Ainv = np.linalg.inv(adapted.transform)
+        W = adapted.transform @ (Ainv @ Ainv.T) @ adapted.transform.T
+        np.testing.assert_allclose(W, np.eye(model.dim), atol=1e-8)
+        np.testing.assert_allclose(adapted.mean, shifted.mean(axis=0))
+
+    def test_excess_variance_absorbed(self, trained):
+        """Inflating the data along one direction must grow the adapted
+        model's total variance along it."""
+        model, x, *_ = trained
+        r = np.random.default_rng(6)
+        u = r.standard_normal(model.dim)
+        u /= np.linalg.norm(u)
+        inflated = x + np.outer(r.standard_normal(len(x)) * 3.0, u)
+        adapted = model.adapt(inflated)
+
+        def total_var(m, d):
+            # model total covariance along direction d (original space)
+            Ainv = np.linalg.inv(m.transform)
+            tot = Ainv @ np.diag(1.0 + m.psi) @ Ainv.T
+            return d @ tot @ d
+
+        assert total_var(adapted, u) > total_var(model, u) + 1.0
+
+    def test_improves_shifted_domain_scoring(self, trained):
+        """Same/different separation on a mean-shifted domain improves
+        after adapting on that domain's unlabeled vectors."""
+        model, *_ = trained
+        x, ids, *_ = _synthetic(seed=55, n_spk=25, n_per=6)
+        shift = np.full(x.shape[1], 4.0)
+        xs = x + shift
+
+        def auc(m):
+            means, counts, spks = pl.ivector_mean(xs[::2], ids[::2])
+            sc = np.asarray(m.score(means, xs[1::2], n_enroll=counts))
+            t = ids[1::2]
+            same = sc[np.asarray(spks)[:, None] == t[None, :]]
+            diff = sc[np.asarray(spks)[:, None] != t[None, :]]
+            return (same[:, None] > diff[None, :]).mean()
+
+        adapted = model.adapt(xs)
+        assert auc(adapted) >= auc(model) - 1e-9
+        assert auc(adapted) > 0.85
+
+    def test_validates(self, trained):
+        model, *_ = trained
+        with pytest.raises(ValueError, match="scale"):
+            model.adapt(np.zeros((4, model.dim)), within_covar_scale=-1)
+        with pytest.raises(ValueError, match="i-vectors"):
+            model.adapt(np.zeros((4, model.dim + 1)))
+        with pytest.raises(ValueError, match=">= 2"):
+            model.adapt(np.zeros((1, model.dim)))

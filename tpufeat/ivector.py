@@ -409,7 +409,7 @@ def _online_operands(extractor: IvectorExtractor):
     Cached as DEVICE arrays per extractor: U alone is 20 MB at
     G=512/K=100, and re-uploading the operands on every call measured
     ~620 ms of a 670 ms segment_ivectors dispatch through the relay
-    (the jitted program itself is ~50 ms — `.bench/seg_bisect.py`)."""
+    (the jitted program itself is ~50 ms — `benchmarks/experiments/seg_bisect.py`)."""
     cached = extractor.__dict__.get("_device_operands")
     if cached is None:
         gconst, a, bq = extractor.ubm._gemm_operands()

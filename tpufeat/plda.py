@@ -157,6 +157,48 @@ class Plda:
         return Plda(self.mean, self.transform / np.sqrt(s)[:, None],
                     self.psi / s)
 
+    def adapt(self, vectors, *, mean_diff_scale: float = 1.0,
+              within_covar_scale: float = 0.3,
+              between_covar_scale: float = 0.7) -> "Plda":
+        """Unsupervised domain adaptation (Kaldi ``ivector-adapt-plda``,
+        ``PldaUnsupervisedAdaptor``): given UNLABELED in-domain
+        i-vectors, move the model mean to theirs (adding
+        ``mean_diff_scale`` times the shift as extra variance) and,
+        along every direction where the data shows MORE total variance
+        than the model predicts, split the excess between the within-
+        and between-class covariances by the two scale factors. Returns
+        a new re-diagonalized :class:`Plda`."""
+        for name, v in (("mean_diff_scale", mean_diff_scale),
+                        ("within_covar_scale", within_covar_scale),
+                        ("between_covar_scale", between_covar_scale)):
+            if v < 0:
+                raise ValueError(f"{name} must be >= 0")
+        x = np.asarray(vectors, np.float64)
+        if x.ndim != 2 or x.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] i-vectors, got "
+                             f"{x.shape}")
+        if x.shape[0] < 2:
+            raise ValueError("need >= 2 adaptation i-vectors")
+        mean = x.mean(axis=0)
+        xc = x - mean
+        var = xc.T @ xc / x.shape[0]
+        diff = mean - self.mean
+        var += mean_diff_scale * np.outer(diff, diff)
+        # project into the model's diagonalized space (within = I,
+        # between = diag(psi)); excess variance along eigdirections of
+        # the projected data covariance feeds the two covariances
+        var_p = self.transform @ var @ self.transform.T
+        evals, evecs = np.linalg.eigh(0.5 * (var_p + var_p.T))
+        W1 = np.eye(self.dim)
+        B1 = np.diag(self.psi).astype(np.float64)
+        for s, w in zip(evals, evecs.T):
+            excess = s - (1.0 + self.psi @ (w * w))
+            if excess > 0:
+                W1 += within_covar_scale * excess * np.outer(w, w)
+                B1 += between_covar_scale * excess * np.outer(w, w)
+        A2, psi2 = _diagonalize(W1, B1)
+        return Plda(mean, A2 @ self.transform, psi2)
+
     # --- persistence -----------------------------------------------------
 
     def save(self, path: str) -> None:
