@@ -997,3 +997,35 @@ class TestDiarizeOnChip:
         labels, _ = dz.diarize(ext, model, audio, window=150, period=75,
                                num_speakers=2)
         assert td._purity(labels, truth) > 0.85
+
+
+class TestXvectorOnChip:
+    """X-vector TDNN forward + one train step on hardware; embedding
+    padding invariance survives the chip's conv lowering."""
+
+    def test_forward_train_and_mask_on_chip(self):
+        import optax
+        from tpufeat.models import xvector as xv
+        r = np.random.default_rng(360)
+        feats = r.standard_normal((8, 40, 13)).astype(np.float32)
+        labels = jnp.asarray(np.arange(8) % 4, jnp.int32)
+        model = xv.xvector_model(4, embed_dim=16, channels=32)
+        mask = jnp.ones((8, 40), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), feats, mask)
+        tx = optax.adam(1e-3)
+        state = xv.XvectorState(params, tx.init(params),
+                                jnp.zeros((), jnp.int32))
+        step = jax.jit(lambda s, f, m, l: xv.xvector_train_step(
+            s, f, m, l, model=model, tx=tx))
+        s1, l1 = step(state, feats, mask, labels)
+        s2, l2 = step(s1, feats, mask, labels)
+        assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+        emb = np.asarray(xv.extract_xvectors(s2.params, model,
+                                             feats[:2],
+                                             num_frames=[40, 25]))
+        padded = np.concatenate(
+            [feats[:2], 77.0 * np.ones((2, 17, 13), np.float32)], axis=1)
+        emb_pad = np.asarray(xv.extract_xvectors(s2.params, model,
+                                                 padded,
+                                                 num_frames=[40, 25]))
+        np.testing.assert_allclose(emb_pad, emb, atol=5e-3)

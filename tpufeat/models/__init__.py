@@ -1,1 +1,1 @@
-from tpufeat.models import encoder, train  # noqa: F401
+from tpufeat.models import encoder, train, xvector  # noqa: F401
