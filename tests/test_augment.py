@@ -1,6 +1,7 @@
 """SpecAugment + energy VAD (tpufeat/augment.py)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -567,3 +568,67 @@ class TestStreamingEnergyVAD:
         b = np.asarray(v2.process(x[None, 7000:]))
         np.testing.assert_array_equal(a, b)
         assert out1.shape[1] + a.shape[1] == 1 + (16000 - 400) // 160
+
+
+class TestKaldiVad:
+    """Kaldi compute-vad (VadEnergyOptions) semantics."""
+
+    @staticmethod
+    def _oracle(e, n, thr, scale, ctx, prop):
+        e = np.asarray(e, np.float64)
+        out = np.zeros(e.shape, bool)
+        for b in range(e.shape[0]):
+            T = int(n[b])
+            if T == 0:
+                continue
+            t0 = thr + scale * e[b, :T].mean()
+            for t in range(T):
+                lo, hi = max(0, t - ctx), min(T - 1, t + ctx)
+                win = e[b, lo:hi + 1]
+                num = (win > t0).sum()
+                out[b, t] = num >= prop * (hi - lo + 1)
+        return out
+
+    @pytest.mark.parametrize("ctx,prop", [(0, 0.6), (2, 0.6), (5, 0.3)])
+    def test_matches_oracle(self, ctx, prop):
+        from tpufeat.augment import kaldi_vad
+        r = np.random.default_rng(ctx)
+        e = r.normal(3.0, 4.0, (3, 40)).astype(np.float32)
+        n = np.array([40, 25, 7])
+        got = np.asarray(kaldi_vad(e, n, frames_context=ctx,
+                                   proportion_threshold=prop))
+        want = self._oracle(e, n, 5.0, 0.5, ctx, prop)
+        np.testing.assert_array_equal(got, want)
+        assert not got[1, 25:].any() and not got[2, 7:].any()
+
+    def test_mean_scale_and_threshold(self):
+        from tpufeat.augment import kaldi_vad
+        e = np.array([[0.0, 10.0, 10.0, 0.0]])
+        # mean 5 -> threshold 5 + 0.5*5 = 7.5
+        np.testing.assert_array_equal(
+            np.asarray(kaldi_vad(e))[0], [False, True, True, False])
+        # mean_scale 0: fixed threshold 5.0 — same here
+        got = kaldi_vad(e, energy_mean_scale=0.0, energy_threshold=-1.0)
+        assert np.asarray(got).all()
+
+    def test_single_track_1d(self):
+        from tpufeat.augment import kaldi_vad
+        out = np.asarray(kaldi_vad(np.array([0.0, 10.0, 10.0, 0.0])))
+        assert out.shape == (4,)
+
+    def test_c0_from_extract(self):
+        """The documented usage: c0 of a kaldi-mode MFCC config."""
+        from tpufeat import features
+        from tpufeat.augment import kaldi_vad
+        from conftest import make_signal
+        import dataclasses
+        from tpufeat.config import MFCC13_HTK
+        sig = np.zeros((2, 8000), np.float32)
+        sig[0] = make_signal(8000, seed=1)
+        sig[1, :6400] = make_signal(6400, seed=2)
+        res = features.extract(sig, np.array([8000, 6400]),
+                               cfg=MFCC13_HTK)
+        v = np.asarray(kaldi_vad(np.asarray(res.features)[..., 0],
+                                 np.asarray(res.num_frames)))
+        assert v.shape == res.features.shape[:2]
+        assert v.any(axis=1).all()      # both utterances have speech

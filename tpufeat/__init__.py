@@ -12,7 +12,7 @@ out — designed TPU-first per SURVEY.md. Public API:
 
 from tpufeat.augment import (DEFAULT_ENDPOINT_RULES, EndpointRule,
                              StreamingEndpointer, StreamingEnergyVAD,
-                             add_noise, add_reverb, energy_vad,
+                             add_noise, add_reverb, energy_vad, kaldi_vad,
                              segments_to_samples, spec_augment,
                              speech_segments, speed_perturb)
 from tpufeat.pitch import (PitchConfig, StreamingPitch,
@@ -61,7 +61,7 @@ __all__ = [
     "sliding_cmvn",
     "OnlineCmvn", "online_cmvn",
     "resample", "StreamingResampler",
-    "spec_augment", "energy_vad", "StreamingEnergyVAD", "add_noise",
+    "spec_augment", "energy_vad", "kaldi_vad", "StreamingEnergyVAD", "add_noise",
     "add_reverb", "EndpointRule", "DEFAULT_ENDPOINT_RULES",
     "StreamingEndpointer", "speech_segments", "segments_to_samples",
     "speed_perturb", "PitchConfig", "pitch_config_for",

@@ -103,6 +103,62 @@ def spec_augment(feats: jnp.ndarray, num_frames: jnp.ndarray,
     return jnp.where(masked, fill_val, feats)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("energy_threshold",
+                                    "energy_mean_scale", "frames_context",
+                                    "proportion_threshold"))
+def kaldi_vad(log_energy: jnp.ndarray, num_frames=None, *,
+              energy_threshold: float = 5.0,
+              energy_mean_scale: float = 0.5,
+              frames_context: int = 0,
+              proportion_threshold: float = 0.6) -> jnp.ndarray:
+    """Kaldi ``compute-vad`` (``VadEnergyOptions`` semantics — the VAD
+    the i-vector/x-vector recipes train on): per-frame decisions from
+    the LOG ENERGY track (Kaldi uses MFCC c0; pass ``features[..., 0]``
+    of a ``kaldi_mode`` config, or a frame log-energy column).
+
+    threshold = ``energy_threshold`` + ``energy_mean_scale`` * (mean log
+    energy over the utterance's VALID frames); frame t is speech iff at
+    least ``proportion_threshold`` of the frames in its
+    ``[t - frames_context, t + frames_context]`` window (clipped to the
+    utterance) exceed the threshold. [B, T] (+ optional [B] frame
+    counts) -> [B, T] bool; padding frames are False. Windowed counts
+    are shifted cumulative sums (two static pads + slices — no gathers,
+    the sliding-CMVN trick)."""
+    e = jnp.asarray(log_energy, jnp.float32)
+    squeeze = e.ndim == 1
+    if squeeze:
+        e = e[None]
+    B, T = e.shape
+    if num_frames is None:
+        valid = jnp.ones((B, T), jnp.float32)
+    else:
+        valid = (jnp.arange(T)[None, :]
+                 < jnp.asarray(num_frames)[:, None]).astype(jnp.float32)
+    n = jnp.maximum(valid.sum(axis=1, keepdims=True), 1.0)
+    thresh = (energy_threshold
+              + energy_mean_scale * (e * valid).sum(axis=1,
+                                                    keepdims=True) / n)
+    above = ((e > thresh) & (valid > 0)).astype(jnp.float32)
+    c = int(frames_context)
+    if c == 0:
+        out = above > 0
+    else:
+        # windowed numerator/denominator over [t-c, t+c] clipped to the
+        # utterance: inclusive-cumsum differences on zero-padded tracks
+        def winsum(v):
+            cs = jnp.cumsum(
+                jnp.pad(v, ((0, 0), (1, 0))), axis=1)       # [B, T+1]
+            hi = jnp.pad(cs[:, 1:], ((0, 0), (0, c)),
+                         mode="edge")[:, c:]                # sum to t+c
+            lo = jnp.pad(cs[:, :-1], ((0, 0), (c, 0)))[:, :T]
+            return hi - lo
+        num = winsum(above)
+        den = jnp.maximum(winsum(valid), 1.0)
+        out = (num >= proportion_threshold * den) & (valid > 0)
+    return out[0] if squeeze else out
+
+
 @functools.partial(jax.jit, static_argnames=("frame_length", "hop_length",
                                              "threshold_db"))
 def energy_vad(signal: jnp.ndarray, lengths: jnp.ndarray,
