@@ -202,3 +202,70 @@ class TestVTLN:
         assert np.abs(got - want).max() < 1e-3
         un = gold.extract(sig.astype(np.float64), FBANK80)
         assert np.argmax(want[5]) != np.argmax(un[5])
+
+
+class TestGammatoneERB:
+    """ERB-rate scale + gammatone magnitude bank (preset gfcc13)."""
+
+    def test_erb_scale_invertible_and_known_point(self):
+        f = np.linspace(20, 8000, 200)
+        np.testing.assert_allclose(
+            matrices.mel_to_hz(matrices.hz_to_mel(f, "erb"), "erb"), f,
+            rtol=1e-10)
+        # Glasberg & Moore: E(1 kHz) = 21.4 log10(1 + 4.37) ~ 15.59
+        assert abs(matrices.hz_to_mel(1000.0, "erb") - 15.621) < 1e-2
+        assert (np.diff(matrices.hz_to_mel(f, "erb")) > 0).all()
+
+    def test_gammatone_bank_shape_and_peaks(self):
+        fb = matrices.mel_filterbank(16000, 512, 64, 50.0, 8000.0,
+                                     "erb", None, "gammatone")
+        assert fb.shape == (257, 64)
+        # unit peak AT the center frequency (bin grid gets close)
+        assert fb.max(axis=0).min() > 0.7
+        assert fb.max() <= 1.0 + 1e-12
+        # half-power-ish point: at f = fc +- b the response is 0.25
+        pts = np.linspace(matrices.hz_to_mel(50.0, "erb"),
+                          matrices.hz_to_mel(8000.0, "erb"), 66)
+        fc = matrices.mel_to_hz(pts[1:-1], "erb")
+        b = 1.019 * 24.7 * (4.37 * fc / 1000.0 + 1.0)
+        fft_freqs = np.arange(257) * 16000 / 512
+        m = 40                          # a filter wide enough to sample
+        k = np.argmin(np.abs(fft_freqs - (fc[m] + b[m])))
+        assert abs(fb[k, m] - 0.25) < 0.05
+
+    def test_gfcc_extract_matches_golden_all_paths(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from tpufeat import features
+        from tpufeat.config import GFCC13
+        from tpufeat.reference import cpu
+        from conftest import make_signal
+        sig = make_signal(12000, seed=31)
+        want = cpu.extract(sig.astype(np.float64), GFCC13)
+        got = np.asarray(features.extract(sig, cfg=GFCC13).features)
+        assert got.shape[1] == 13
+        np.testing.assert_allclose(got, want, atol=5e-5)
+        fused = dataclasses.replace(GFCC13, use_pallas=True,
+                                    gemm_dft=True, fused_framing=True)
+        got2 = np.asarray(features.extract(sig, cfg=fused).features)
+        np.testing.assert_allclose(got2, want, atol=5e-5)
+
+    def test_gfcc_streams_bit_exact(self):
+        from tpufeat import streaming
+        from tpufeat.config import GFCC13
+        from conftest import make_signal
+        sig = make_signal(8000, seed=32)
+        want = np.asarray(streaming.extract_scan(sig[None], GFCC13))
+        fe = streaming.StreamingFrontend(GFCC13, batch_size=1)
+        outs = [np.asarray(fe.process(sig[None, i:i + 1600])[0])
+                for i in range(0, 8000, 1600)]
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_array_equal(got, want[:, :got.shape[1]])
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="bin_style"):
+            matrices.mel_filterbank(16000, 512, 26, 0.0, 8000.0,
+                                    "htk", None, "nope")
+        from tpufeat.config import FeatureConfig
+        with pytest.raises(ValueError, match="mel_scale"):
+            FeatureConfig(mel_scale="bark")

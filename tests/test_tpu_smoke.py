@@ -1029,3 +1029,20 @@ class TestXvectorOnChip:
                                                  padded,
                                                  num_frames=[40, 25]))
         np.testing.assert_allclose(emb_pad, emb, atol=5e-3)
+
+
+class TestGfccOnChip:
+    """Gammatone/ERB bank (preset gfcc13) on hardware: XLA and fused
+    signal-kernel paths vs the float64 golden."""
+
+    def test_gfcc_golden_parity_on_chip(self):
+        from tpufeat.config import GFCC13
+        sig = make_signal(3 * 16000, seed=370)
+        gold = cpu.extract(sig.astype(np.float64), GFCC13)
+        got = np.asarray(features.extract(sig, cfg=GFCC13).features)
+        assert np.abs(got - gold).max() < 2e-3
+        fused = dataclasses.replace(GFCC13, use_pallas=True,
+                                    gemm_dft=True, fused_framing=True,
+                                    matmul_precision="bf16x3")
+        got2 = np.asarray(features.extract(sig, cfg=fused).features)
+        assert np.abs(got2 - gold).max() < 5e-3

@@ -156,9 +156,10 @@ class FeatureConfig:
                 f"frame_length {self.frame_length} > n_fft {self.n_fft}")
         if self.window not in ("hamming", "hann_periodic", "povey", "rect"):
             raise ValueError(f"unknown window {self.window!r}")
-        if self.mel_scale not in ("htk", "slaney"):
+        if self.mel_scale not in ("htk", "slaney", "erb"):
             raise ValueError(f"unknown mel_scale {self.mel_scale!r}")
-        if self.mel_bin_style not in ("bin", "continuous"):
+        if self.mel_bin_style not in ("bin", "continuous",
+                                      "gammatone"):
             raise ValueError(f"unknown mel_bin_style {self.mel_bin_style!r}")
         if self.log not in ("natural", "log10", "whisper", "none"):
             raise ValueError(f"unknown log {self.log!r}")
@@ -340,8 +341,18 @@ PLP13 = FeatureConfig(n_mels=23, n_mfcc=0, log="none", plp_order=12)
 SPEC257 = FeatureConfig(n_mels=0, n_mfcc=0, kaldi_mode=True, dc_offset=True,
                         window="povey", use_energy=True)
 
+#: Gammatone cepstral coefficients (beyond the reference's feature
+#: families): 64 fourth-order gammatone magnitude filters at ERB-rate
+#: spacing (Glasberg & Moore), log compression, DCT-II keep 13 — the
+#: spectral-domain GFCC construction used in robust speaker-ID. Shares
+#: every kernel with the mel path (the bank is just a different
+#: precomputed matrix).
+GFCC13 = FeatureConfig(n_mels=64, n_mfcc=13, mel_scale="erb",
+                       mel_bin_style="gammatone", fmin=50.0)
+
 PRESETS = {
     "mfcc13": MFCC13_HTK,
+    "gfcc13": GFCC13,
     "whisper80": WHISPER80,
     "kaldi39": KALDI39,
     "streaming160": STREAMING160,

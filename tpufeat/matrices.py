@@ -58,6 +58,10 @@ def hz_to_mel(f, scale: str = "htk"):
     f = np.asarray(f, dtype=np.float64)
     if scale == "htk":
         return 2595.0 * np.log10(1.0 + f / 700.0)
+    if scale == "erb":
+        # Glasberg & Moore ERB-rate scale (the gammatone/GFCC spacing):
+        # E(f) = 21.4 log10(1 + 0.00437 f)
+        return 21.4 * np.log10(1.0 + 0.00437 * f)
     if scale == "slaney":
         f_sp = 200.0 / 3.0
         min_log_hz = 1000.0
@@ -78,6 +82,8 @@ def mel_to_hz(m, scale: str = "htk"):
     m = np.asarray(m, dtype=np.float64)
     if scale == "htk":
         return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    if scale == "erb":
+        return (10.0 ** (m / 21.4) - 1.0) / 0.00437
     if scale == "slaney":
         f_sp = 200.0 / 3.0
         min_log_hz = 1000.0
@@ -157,6 +163,13 @@ def mel_filterbank(
         (SURVEY.md §2 C7 names exactly this mapping).
       - ``continuous``: librosa-style — triangles evaluated at exact bin
         center frequencies ``k*sr/n_fft`` (Whisper's filterbank).
+      - ``gammatone``: 4th-order gammatone MAGNITUDE-response weights at
+        the scale's center points (pair with ``scale="erb"`` for the
+        classic GFCC bank): ``w(f) = (1 + ((f - fc)/b)^2)^-2`` with
+        ``b = 1.019 * ERB(fc)`` (Glasberg & Moore), unit peak at fc —
+        the standard spectral-domain gammatone approximation
+        (Patterson/Ellis fft-to-gammatone construction). Rides the same
+        MXU matmul as the triangles.
     """
     n_bins = n_fft // 2 + 1
     mel_pts = np.linspace(
@@ -182,7 +195,14 @@ def mel_filterbank(
             for k in range(ctr, hi):
                 if hi > ctr:
                     weights[k, m] = (hi - k) / (hi - ctr)
-    else:  # continuous
+    elif bin_style == "gammatone":
+        fft_freqs = np.arange(n_bins, dtype=np.float64) * sample_rate / n_fft
+        fc = hz_pts[1: n_mels + 1]                       # center points
+        erb = 24.7 * (4.37 * fc / 1000.0 + 1.0)
+        b = 1.019 * erb
+        rel = (fft_freqs[:, None] - fc[None, :]) / b[None, :]
+        weights = (1.0 + rel * rel) ** -2.0
+    elif bin_style == "continuous":
         fft_freqs = np.arange(n_bins, dtype=np.float64) * sample_rate / n_fft
         fdiff = np.diff(hz_pts)
         ramps = hz_pts.reshape(-1, 1) - fft_freqs.reshape(1, -1)
@@ -190,6 +210,8 @@ def mel_filterbank(
             lower = -ramps[m] / fdiff[m]
             upper = ramps[m + 2] / fdiff[m + 1]
             weights[:, m] = np.maximum(0.0, np.minimum(lower, upper))
+    else:
+        raise ValueError(f"unknown bin_style {bin_style!r}")
 
     if norm == "slaney":
         enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
