@@ -604,3 +604,47 @@ class TestIvectorComposition:
     def test_rejects_wrong_type(self):
         with pytest.raises(TypeError, match="IvectorExtractor"):
             streaming.StreamingPipeline(KALDI39_NOCMVN, ivector=object())
+
+
+class TestOnlineTransform:
+    """transform= (Kaldi online2 OnlineTransform: LDA/fMLLR applied to
+    the assembled post-CMVN spectral rows)."""
+
+    def test_matches_offline_apply(self):
+        from tpufeat.data import apply_transform
+        r = np.random.default_rng(42)
+        W = np.concatenate([r.standard_normal((20, 39)) * 0.3,
+                            r.standard_normal((20, 1))], axis=1)
+        b, n = 2, 16000
+        x = _sig(b, n, 43)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=b,
+                                           transform=W)
+        assert pipe.out_dim == 20
+        got = _run(pipe, x, [4800, 3200, 8000])
+        base = np.asarray(features.extract(x, cfg=KALDI39_NOCMVN).features)
+        want = np.asarray(apply_transform(base[:, :got.shape[1]], W))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_composes_with_ivector_columns(self):
+        from tpufeat import ivector as iv
+        r = np.random.default_rng(44)
+        frames = r.standard_normal((400, 13)).astype(np.float32)
+        ubm = iv.train_diag_ubm(frames, 2, iters=1, final_iters=2, seed=0)
+        ext = iv.train_ivector_extractor(ubm, [frames], ivector_dim=4,
+                                         iters=1, seed=0)
+        W = np.eye(39, dtype=np.float32) * 2.0
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=1,
+                                           transform=W, ivector=ext)
+        assert pipe.out_dim == 39 + 4
+        x = _sig(1, 8000, 45)
+        out = _run(pipe, x, [8000])
+        # spectral columns transformed, i-vector columns appended raw
+        base = np.asarray(features.extract(x, cfg=KALDI39_NOCMVN).features)
+        np.testing.assert_allclose(out[..., :39],
+                                   2.0 * base[:, :out.shape[1]],
+                                   atol=2e-5)
+
+    def test_validates_shape(self):
+        with pytest.raises(ValueError, match="transform"):
+            streaming.StreamingPipeline(KALDI39_NOCMVN,
+                                        transform=np.zeros((20, 7)))

@@ -1091,6 +1091,7 @@ class StreamingPipeline:
                  pitch=False, pitch_lookahead: int = 15,
                  input_rate: int | None = None,
                  online_cmvn: "OnlineCmvn | None" = None,
+                 transform=None,
                  ivector=None, ivector_period: int = 10,
                  ivector_scale: float = 0.1,
                  ivector_max_count: float = 0.0):
@@ -1164,6 +1165,25 @@ class StreamingPipeline:
             self._main_fifo = jnp.zeros((batch_size, 0, cfg.feature_dim),
                                         jnp.float32)
             self._pfeat_fifo = jnp.zeros((batch_size, 0, 3), jnp.float32)
+        # Kaldi online2 OnlineTransform: a feature-space matrix (fMLLR
+        # from tpufeat.fmllr, or an LDA/MLLT estimate) applied to the
+        # assembled-and-normalized spectral rows — Kaldi's online nnet
+        # input order (feats -> CMVN -> deltas -> LDA/fMLLR). [Do, Di]
+        # linear or [Do, Di+1] affine over cfg.feature_dim columns;
+        # pitch/ivector columns append AFTER it, untransformed.
+        self._transform = None
+        if transform is not None:
+            t = jnp.asarray(transform, jnp.float32)
+            if t.ndim != 2 or t.shape[1] not in (cfg.feature_dim,
+                                                 cfg.feature_dim + 1):
+                raise ValueError(
+                    f"transform {t.shape} does not apply to "
+                    f"{cfg.feature_dim}-dim rows (want [Do, "
+                    f"{cfg.feature_dim}] or [Do, {cfg.feature_dim + 1}])")
+            self._transform = t
+            if self._pitch is not None:   # spectral rows now Do wide
+                self._main_fifo = jnp.zeros(
+                    (batch_size, 0, t.shape[0]), jnp.float32)
         # Kaldi online2 OnlineIvectorFeature composition: per-frame
         # i-vectors estimated from the BASE (pre-delta, pre-CMVN) rows —
         # Kaldi likewise feeds its i-vector UBM a non-CMVN feature
@@ -1191,9 +1211,12 @@ class StreamingPipeline:
 
     @property
     def out_dim(self) -> int:
-        """Emitted row width: cfg.feature_dim (+3 with pitch, +K with
-        ivector)."""
-        return (self.cfg.feature_dim
+        """Emitted row width: cfg.feature_dim (or the transform's output
+        rows) +3 with pitch, +K with ivector."""
+        spectral = (self._transform.shape[0]
+                    if self._transform is not None
+                    else self.cfg.feature_dim)
+        return (spectral
                 + (3 if self._pitch is not None else 0)
                 + (self._ivector.dim if self._ivector is not None else 0))
 
@@ -1214,6 +1237,9 @@ class StreamingPipeline:
             out = self._scmvn.process(out)
         elif self._ocmvn is not None and n:
             out = self._ocmvn.process(out)
+        if self._transform is not None and n:
+            from tpufeat.data import apply_transform
+            out = apply_transform(out, self._transform)
         return out
 
     def _join(self, main: jnp.ndarray, prows: jnp.ndarray) -> jnp.ndarray:
