@@ -339,3 +339,63 @@ class TestAdaptation:
             model.adapt(np.zeros((4, model.dim + 1)))
         with pytest.raises(ValueError, match=">= 2"):
             model.adapt(np.zeros((1, model.dim)))
+
+
+class TestScoringCli:
+    def test_trials_flow(self, trained, tmp_path, capsys):
+        from tpufeat import feats_io
+        model, x, ids, *_ = trained
+        means, counts, spks = pl.ivector_mean(x[:30], ids[:30])
+        enroll_p = str(tmp_path / "spk.ark")
+        test_p = str(tmp_path / "utt.ark")
+        feats_io.write_kaldi_vec_ark(
+            enroll_p, {f"spk{s}": means[i].astype(np.float32)
+                       for i, s in enumerate(spks)})
+        feats_io.write_kaldi_vec_ark(
+            test_p, {f"utt{j}": x[30 + j].astype(np.float32)
+                     for j in range(6)})
+        trials = tmp_path / "trials"
+        trials.write_text("spk0 utt0\nspk0 utt3\nspk1 utt1\n")
+        nutts = tmp_path / "num_utts"
+        nutts.write_text("".join(f"spk{s} {int(counts[i])}\n"
+                                 for i, s in enumerate(spks)))
+        scores_p = str(tmp_path / "scores")
+        rc = pl.main([str(trials), scores_p, "--plda",
+                      self._save(model, tmp_path), "--enroll", enroll_p,
+                      "--test", test_p, "--num-utts", str(nutts)])
+        assert rc == 0
+        lines = open(scores_p).read().strip().split("\n")
+        assert len(lines) == 3
+        # entries match direct score() on float32-roundtripped vectors
+        want = np.asarray(model.score(
+            means[:2].astype(np.float32).astype(np.float64),
+            x[30:34].astype(np.float32).astype(np.float64),
+            n_enroll=counts[:2]))
+        got0 = float(lines[0].split()[2])
+        np.testing.assert_allclose(got0, want[0, 0], atol=1e-3)
+
+    @staticmethod
+    def _save(model, tmp_path):
+        p = str(tmp_path / "plda.npz")
+        model.save(p)
+        return p
+
+    def test_cli_validates(self, trained, tmp_path):
+        from tpufeat import feats_io
+        model, x, ids, *_ = trained
+        enroll_p = str(tmp_path / "e.ark")
+        test_p = str(tmp_path / "t.ark")
+        feats_io.write_kaldi_vec_ark(
+            enroll_p, {"spkA": x[0].astype(np.float32)})
+        feats_io.write_kaldi_vec_ark(
+            test_p, {"utt1": x[1].astype(np.float32)})
+        plda_p = self._save(model, tmp_path)
+        bad = tmp_path / "trials"
+        bad.write_text("spkB utt1\n")
+        with pytest.raises(ValueError, match="speaker"):
+            pl.main([str(bad), "-", "--plda", plda_p,
+                     "--enroll", enroll_p, "--test", test_p])
+        bad.write_text("spkA\n")
+        with pytest.raises(ValueError, match="want"):
+            pl.main([str(bad), "-", "--plda", plda_p,
+                     "--enroll", enroll_p, "--test", test_p])

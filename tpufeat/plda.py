@@ -448,3 +448,102 @@ class _KaldiReader:
             raise ValueError(f"implausible matrix dims {r}x{c}")
         return (np.frombuffer(self.take(8 * r * c), "<f8")
                 .reshape(r, c).astype(np.float64))
+
+
+# ---------------------------------------------------------------------------
+# CLI (python -m tpufeat.plda): the ivector-plda-scoring tool
+# ---------------------------------------------------------------------------
+
+def main(argv=None) -> int:
+    """Score a Kaldi-style trials list: enrollment + test i-vector
+    archives in, ``<spk> <utt> <score>`` lines out. The whole unique
+    [speakers x utterances] LLR matrix is ONE scoring dispatch; trials
+    pick their entries from it."""
+    import argparse
+    import sys
+
+    from tpufeat import feats_io
+
+    p = argparse.ArgumentParser(
+        prog="tpufeat.plda",
+        description="PLDA trial scoring (ivector-plda-scoring analogue)")
+    p.add_argument("trials", help="'<spk> <utt>' per line")
+    p.add_argument("scores", help="output: '<spk> <utt> <score>' per "
+                                  "line ('-' for stdout)")
+    p.add_argument("--plda", required=True,
+                   help="Plda.save() npz or Kaldi binary <Plda> object")
+    p.add_argument("--enroll", required=True, metavar="ARK",
+                   help="Kaldi FV/DV vector archive of per-speaker mean "
+                        "i-vectors (ivector-mean output), keyed by spk")
+    p.add_argument("--test", required=True, metavar="ARK",
+                   help="Kaldi FV/DV vector archive of per-utterance "
+                        "i-vectors, keyed by utt")
+    p.add_argument("--num-utts", default=None, metavar="FILE",
+                   help="'<spk> <count>' per line: utterance counts "
+                        "behind each enrollment mean (default 1)")
+    p.add_argument("--no-length-norm", action="store_true",
+                   help="skip the transform-time length normalization")
+    args = p.parse_args(argv)
+
+    try:
+        model = Plda.load(args.plda)
+    except Exception:
+        model = Plda.load_kaldi(args.plda)
+    enroll = feats_io.read_kaldi_vec_ark(args.enroll)
+    test = feats_io.read_kaldi_vec_ark(args.test)
+
+    counts = {}
+    if args.num_utts:
+        with open(args.num_utts) as f:
+            for ln, line in enumerate(f, 1):
+                parts = line.split()
+                if not parts:
+                    continue
+                if len(parts) != 2 or not parts[1].isdigit():
+                    raise ValueError(f"{args.num_utts}:{ln}: want "
+                                     f"'<spk> <count>', got {line!r}")
+                counts[parts[0]] = int(parts[1])
+
+    pairs = []
+    with open(args.trials) as f:
+        for ln, line in enumerate(f, 1):
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) < 2:
+                raise ValueError(f"{args.trials}:{ln}: want '<spk> "
+                                 f"<utt>', got {line!r}")
+            spk, utt = parts[0], parts[1]
+            if spk not in enroll:
+                raise ValueError(f"{args.trials}:{ln}: speaker {spk!r} "
+                                 f"not in {args.enroll}")
+            if utt not in test:
+                raise ValueError(f"{args.trials}:{ln}: utterance "
+                                 f"{utt!r} not in {args.test}")
+            pairs.append((spk, utt))
+
+    spks = sorted({s for s, _ in pairs})
+    utts = sorted({u for _, u in pairs})
+    e = np.stack([enroll[s] for s in spks]).astype(np.float64)
+    t = np.stack([test[u] for u in utts]).astype(np.float64)
+    n = np.array([counts.get(s, 1) for s in spks], np.float64)
+    scores = np.asarray(model.score(
+        e, t, n_enroll=n,
+        normalize_length=not args.no_length_norm))
+    si = {s: i for i, s in enumerate(spks)}
+    ui = {u: i for i, u in enumerate(utts)}
+    out = sys.stdout if args.scores == "-" else open(args.scores, "w")
+    try:
+        for spk, utt in pairs:
+            out.write(f"{spk} {utt} {scores[si[spk], ui[utt]]:.6f}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    print(f"scored {len(pairs)} trials ({len(spks)} speakers x "
+          f"{len(utts)} utterances)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
