@@ -91,3 +91,34 @@ class TestPldaComposition:
         diff = sc[np.asarray(spks)[:, None] != truth[None, :]]
         auc = (same[:, None] > diff[None, :]).mean()
         assert auc > 0.95, auc
+
+
+class TestDataParallel:
+    def test_dp_sharded_train_step_matches(self, trained):
+        """The train step is a pure function -> dp sharding is an
+        annotation: batch rows sharded over the mesh produce the same
+        loss and params as unsharded (8 fake devices, conftest)."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpufeat.sharding import default_mesh
+        model, state, feats, labels, _ = trained
+        mesh = default_mesh()
+        mask = jnp.ones(feats.shape[:2], jnp.float32)
+        tx = optax.adam(1e-3)
+        s0 = xv.XvectorState(state.params, tx.init(state.params),
+                             jnp.zeros((), jnp.int32))
+        step = jax.jit(lambda s, f, m, l: xv.xvector_train_step(
+            s, f, m, l, model=model, tx=tx))
+        want_state, want_loss = step(s0, feats, mask, labels)
+        shard = NamedSharding(mesh, P("dp"))
+        fs = jax.device_put(feats, shard)
+        ms = jax.device_put(mask, shard)
+        ls = jax.device_put(jnp.asarray(labels), shard)
+        got_state, got_loss = step(s0, fs, ms, ls)
+        np.testing.assert_allclose(float(got_loss), float(want_loss),
+                                   rtol=1e-5)
+        leaves = zip(jax.tree_util.tree_leaves(got_state.params),
+                     jax.tree_util.tree_leaves(want_state.params))
+        for a, b in leaves:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
