@@ -1046,3 +1046,21 @@ class TestGfccOnChip:
                                     matmul_precision="bf16x3")
         got2 = np.asarray(features.extract(sig, cfg=fused).features)
         assert np.abs(got2 - gold).max() < 5e-3
+
+
+class TestPnccOnChip:
+    """PNCC chain on hardware (XLA + fused gammatone front halves) vs
+    the float64 golden; scan recursions and mask-aware windows survive
+    the chip lowering."""
+
+    def test_pncc_golden_parity_on_chip(self):
+        from tpufeat.config import PNCC13
+        sig = make_signal(2 * 16000, seed=380)
+        gold = cpu.extract(sig.astype(np.float64), PNCC13)
+        got = np.asarray(features.extract(sig, cfg=PNCC13).features)
+        assert np.abs(got - gold).max() < 2e-3
+        fused = dataclasses.replace(PNCC13, use_pallas=True,
+                                    gemm_dft=True, fused_framing=True,
+                                    matmul_precision="bf16x3")
+        got2 = np.asarray(features.extract(sig, cfg=fused).features)
+        assert np.abs(got2 - gold).max() < 5e-3

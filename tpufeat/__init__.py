@@ -20,8 +20,8 @@ from tpufeat.pitch import (PitchConfig, StreamingPitch,
                            config_for as pitch_config_for, pitch_features,
                            track as track_pitch)
 from tpufeat.config import (FBANK80, FeatureConfig, GFCC13, KALDI39,
-                            MFCC13_HTK, PLP13, PRESETS, STREAMING160,
-                            WHISPER80)
+                            MFCC13_HTK, PLP13, PNCC13, PRESETS,
+                            STREAMING160, WHISPER80)
 from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               frames, logmel, make_extractor,
                               mel_spectrogram, mfcc, online_cmvn,
@@ -51,7 +51,7 @@ __version__ = "0.2.0"
 
 __all__ = [
     "FeatureConfig", "MFCC13_HTK", "WHISPER80", "KALDI39", "STREAMING160",
-    "FBANK80", "PLP13", "GFCC13",
+    "FBANK80", "PLP13", "GFCC13", "PNCC13",
     "PRESETS", "FeatureResult", "extract", "extract_chunked", "frames",
     "spectrogram",
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",

@@ -104,6 +104,10 @@ class FeatureConfig:
     #                                  c0 = ln(residual energy). Requires
     #                                  log="none", n_mfcc=0, use_energy off.
     plp_compress: float = 1.0 / 3.0  # intensity-loudness power law
+    pncc: bool = False               # PNCC chain (Kim & Stern 2012) on the
+    #                                  filterbank power (tpufeat/pncc.py);
+    #                                  requires log="none", n_mfcc=0
+    pncc_ceps: int = 13              # DCT coefficients kept by the chain
 
     # --- post (reference C16, config 3) ---
     deltas: bool = False             # append delta + delta-delta
@@ -203,6 +207,21 @@ class FeatureConfig:
                 raise ValueError(
                     f"plp_compress must be in (0, 1], got "
                     f"{self.plp_compress}")
+        if self.pncc:
+            if (self.log != "none" or self.n_mfcc != 0
+                    or self.use_energy or self.plp_order > 0
+                    or self.n_mels == 0):
+                raise ValueError(
+                    "PNCC configs define their own compression/cepstrum: "
+                    "set log='none', n_mfcc=0, use_energy=False, "
+                    "plp_order=0 on a filterbank config (got "
+                    f"log={self.log!r}, n_mfcc={self.n_mfcc}, "
+                    f"use_energy={self.use_energy}, "
+                    f"plp_order={self.plp_order}, n_mels={self.n_mels})")
+            if not 1 <= self.pncc_ceps <= self.n_mels:
+                raise ValueError(
+                    f"pncc_ceps must be in [1, n_mels], got "
+                    f"{self.pncc_ceps}")
         if self.vtln_warp != 1.0:
             if not 0.25 <= self.vtln_warp <= 4.0:
                 raise ValueError(
@@ -268,6 +287,8 @@ class FeatureConfig:
     def feature_dim(self) -> int:
         if self.plp_order > 0:
             base = self.plp_order + 1
+        elif self.pncc:
+            base = self.pncc_ceps
         elif self.n_mels == 0:
             base = self.n_bins          # spectrogram features
         elif self.n_mfcc > 0:
@@ -350,9 +371,18 @@ SPEC257 = FeatureConfig(n_mels=0, n_mfcc=0, kaldi_mode=True, dc_offset=True,
 GFCC13 = FeatureConfig(n_mels=64, n_mfcc=13, mel_scale="erb",
                        mel_bin_style="gammatone", fmin=50.0)
 
+#: PNCC (Kim & Stern 2012) — robust-ASR cepstra (beyond the reference's
+#: feature families): 40 gammatone-ERB power channels -> asymmetric
+#: noise suppression + temporal masking + mean power normalization ->
+#: 1/15 power law -> DCT-II keep 13 (tpufeat/pncc.py).
+PNCC13 = FeatureConfig(n_mels=40, n_mfcc=0, mel_scale="erb",
+                       mel_bin_style="gammatone", fmin=200.0,
+                       log="none", pncc=True)
+
 PRESETS = {
     "mfcc13": MFCC13_HTK,
     "gfcc13": GFCC13,
+    "pncc13": PNCC13,
     "whisper80": WHISPER80,
     "kaldi39": KALDI39,
     "streaming160": STREAMING160,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpufeat import framing, matrices, plp, spectrum
+from tpufeat import framing, matrices, plp, pncc, spectrum
 from tpufeat.config import MFCC13_HTK, FeatureConfig
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -388,6 +388,8 @@ def spectro_pipeline(frames: jnp.ndarray, mask: jnp.ndarray,
         # produced (log="none" is enforced by the config); the tail is
         # frame-local VPU work, negligible next to the spectro stage
         feat = plp.plp_from_energies(feat, cfg)
+    if cfg.pncc:
+        feat = pncc.pncc_from_power(feat, mask, cfg)
     if cfg.use_energy:
         # MFCC / spectrogram: substitute element 0; fbank: prepend
         feat = _apply_energy(feat, frames, cfg)
@@ -438,6 +440,8 @@ def features_impl(x: jnp.ndarray, lengths: jnp.ndarray,
                 feat = dct_lifter(feat, cfg)
         if cfg.plp_order > 0:
             feat = plp.plp_from_energies(feat, cfg)
+        if cfg.pncc:
+            feat = pncc.pncc_from_power(feat, mask, cfg)
         if cfg.use_energy:
             frames = framing.frames_from_buffer(
                 buf, F, cfg.frame_length, cfg.hop_length)

@@ -108,6 +108,12 @@ def _check_streamable(cfg: FeatureConfig) -> None:
         raise ValueError("dither is a training-time augmentation with no "
                          "cross-chunk PRNG state; disable it for streaming "
                          "(or add noise to the chunks yourself)")
+    if cfg.pncc:
+        raise ValueError(
+            "PNCC's noise-floor/peak/power-mean recursions carry state "
+            "across the whole utterance and its medium-time window looks "
+            "2 frames ahead — a per-chunk step would silently reset them; "
+            "use one-shot extract()")
 
 
 def init_state(batch_size: int = 1,
