@@ -648,3 +648,56 @@ class TestOnlineTransform:
         with pytest.raises(ValueError, match="transform"):
             streaming.StreamingPipeline(KALDI39_NOCMVN,
                                         transform=np.zeros((20, 7)))
+
+
+class TestOnlineTransformComposition:
+    """Round-3 review fixes: transform= must survive reset(), cover the
+    sliding-CMVN flush rows, and keep zero-row chunks at the transformed
+    width."""
+
+    W = None
+
+    @classmethod
+    def _w(cls):
+        if cls.W is None:
+            r = np.random.default_rng(77)
+            cls.W = np.concatenate([r.standard_normal((20, 39)) * 0.3,
+                                    r.standard_normal((20, 1))], axis=1)
+        return cls.W
+
+    def test_survives_reset(self):
+        W = self._w()
+        x = _sig(1, 8000, 78)
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=1,
+                                           transform=W)
+        want = _run(pipe, x, [8000])
+        pipe.reset()
+        assert pipe.out_dim == 20
+        got = _run(pipe, x, [8000])
+        np.testing.assert_array_equal(got, want)
+
+    def test_sliding_cmvn_flush_rows_transformed(self):
+        """A stream shorter than cmvn_min_window emits every row at
+        flush — those rows must be transformed too (non-square W would
+        crash, and square W would silently skip the matrix)."""
+        import dataclasses
+        from tpufeat.data import apply_transform
+        from tpufeat import features
+        W = self._w()
+        cfg = dataclasses.replace(KALDI39_NOCMVN, cmvn="sliding",
+                                  cmvn_window=120, cmvn_min_window=100)
+        x = _sig(1, 8000, 79)       # ~48 frames < min_window: all flush
+        pipe = streaming.StreamingPipeline(cfg, batch_size=1,
+                                           transform=W)
+        got = _run(pipe, x, [4800, 3200])
+        assert got.shape[-1] == 20
+        base = np.asarray(features.extract(x, cfg=cfg).features)
+        want = np.asarray(apply_transform(base[:, :got.shape[1]], W))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_zero_row_chunk_width(self):
+        W = self._w()
+        pipe = streaming.StreamingPipeline(KALDI39_NOCMVN, batch_size=1,
+                                           transform=W)
+        out = pipe.process(np.zeros((1, 100), np.float32))  # < 1 frame
+        assert out.shape == (1, 0, 20)

@@ -42,3 +42,20 @@ def make_signal(n: int, seed: int = 0, kind: str = "mix") -> np.ndarray:
         + 0.1 * r.standard_normal(n)
     )
     return (sig / np.abs(sig).max() * 0.9).astype(np.float32)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test MODULES.
+
+    XLA:CPU's LLVM segfaults inside backend_compile once enough compiled
+    programs have accumulated in one process — the crash lands on
+    whichever large streaming compile crosses the threshold (three
+    different tests across 2026-08-18/19 as the suite grew; every one
+    passes in a fresh process). Per-file subprocess shims are
+    whack-a-mole; dropping the jit caches after each module keeps the
+    in-process LLVM state bounded instead. Costs cross-module recompiles
+    of shared configs (~minutes over the full suite)."""
+    yield
+    import jax
+    jax.clear_caches()

@@ -531,8 +531,12 @@ class TestFmllr:
             per_spk["spkA" if rel in ("u0.wav", "u2.wav")
                     else "spkB"].append(f)
         for spk, fs in per_spk.items():
-            # exactly the pipeline's accumulation: per-utterance stats
-            # summed in f64, then one estimate
+            # per-utterance stats summed, then one estimate — CLOSE, not
+            # bitwise: the pipeline accumulates via padded per-row
+            # batched dispatches (one compile per length bucket, review
+            # fix), whose f32 summation order differs, and the tiny
+            # per-speaker corpus leaves G_d barely determined so stat
+            # noise moves the (flat) optimum
             b_, K_, G_ = fm.fmllr_stats(ubm, fs[0])
             for f in fs[1:]:
                 b2, K2, G2 = fm.fmllr_stats(ubm, f)
@@ -540,11 +544,7 @@ class TestFmllr:
             want = fm.estimate_fmllr(b_, K_, G_, min_count=1.0)
             np.testing.assert_allclose(ark[spk],
                                        want.astype(np.float32),
-                                       rtol=1e-6, atol=1e-6)
-            # and mathematically equivalent (stats are additive) to the
-            # one-shot estimate — loose: the tiny per-speaker corpus
-            # leaves G_d barely determined, so f32 stat noise moves the
-            # (flat) optimum
+                                       atol=0.05)
             direct = fm.est_fmllr(ubm, np.concatenate(fs), min_count=1.0)
             np.testing.assert_allclose(ark[spk], direct, atol=0.1)
         # apply pass: adapted features == apply_transform of the originals

@@ -164,7 +164,10 @@ class TestScoring:
         same = scores[np.asarray(spks)[:, None] == probe_ids[None, :]]
         diff = scores[np.asarray(spks)[:, None] != probe_ids[None, :]]
         auc = (same[:, None] > diff[None, :]).mean()
-        assert auc > 0.9, auc
+        # 0.86 observed with Kaldi-exact count-aware length norm (the
+        # norm is pooled-score calibration, not per-trial Bayes; the
+        # pre-round-3 >0.9 came from the non-Kaldi psi+1 normalization)
+        assert auc > 0.8, auc
 
     def test_more_enroll_sharpens(self, trained):
         """With the same enrollment mean, more utterances behind it must

@@ -198,9 +198,15 @@ def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
     labels = cluster_affinity(aff, num_speakers=num_speakers,
                               threshold=threshold)
     T = np.shape(feats)[0]
-    centers = spans.mean(axis=1)                     # [N]
-    nearest = np.abs(np.arange(T)[:, None]
-                     - centers[None, :]).argmin(axis=1)
+    centers = spans.mean(axis=1)                     # [N], sorted
+    # nearest center by bisection — a dense [T, N] |t - c| matrix would
+    # be ~7 GB for 30 min of audio (review finding); centers are sorted
+    # so two candidates suffice
+    t = np.arange(T)
+    hi = np.clip(np.searchsorted(centers, t), 0, len(centers) - 1)
+    lo = np.maximum(hi - 1, 0)
+    nearest = np.where(np.abs(t - centers[lo]) <= np.abs(t - centers[hi]),
+                       lo, hi)
     frame_labels = labels[nearest]
     if mask is not None:
         frame_labels = np.where(np.asarray(mask) > 0, frame_labels, -1)

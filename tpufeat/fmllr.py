@@ -48,12 +48,20 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def fmllr_stats(ubm: DiagUbm, feats, mask=None, *,
-                min_post: float = 0.0):
+                min_post: float = 0.0, per_row: bool = False):
     """Accumulate fMLLR sufficient statistics for one speaker's
     adaptation data: [T, D] frames or a padded batch [B, T, D] (+ [B, T]
     or [B] ``mask``/lengths) -> ``(beta, K [D, D+1], G [D, D+1, D+1])``
     as float64 NumPy (ready for :func:`estimate_fmllr`). One jitted
-    program; posteriors and both per-gaussian reductions are GEMMs."""
+    program; posteriors and both per-gaussian reductions are GEMMs.
+
+    ``per_row=True`` keeps the batch axis — ``(beta [B], K [B, D, D+1],
+    G [B, D, D+1, D+1])`` — so a caller grouping utterances by speaker
+    (the corpus pipeline) gets every row's statistics from ONE padded
+    dispatch instead of a recompile per utterance length. The GEMM
+    operands ride the UBM's device cache either way (re-uploading them
+    per call was the 620 ms relay tax the i-vector paths fixed —
+    BASELINE.md 2026-08-19)."""
     x = jnp.asarray(feats, jnp.float32)
     if x.ndim == 2:
         x = x[None]
@@ -71,28 +79,38 @@ def fmllr_stats(ubm: DiagUbm, feats, mask=None, *,
             m = m.astype(jnp.float32)
         if m.shape != (B, T):
             raise ValueError(f"mask {m.shape} vs frames {(B, T)}")
-    gconst, a, b = ubm._gemm_operands()
-    inv = (1.0 / ubm.vars).astype(np.float32)            # [G, D]
-    muinv = (ubm.means / ubm.vars).astype(np.float32)    # [G, D]
-    beta, K, G = _fmllr_stats_jit(x, m, jnp.asarray(gconst),
-                                  jnp.asarray(a), jnp.asarray(b),
-                                  jnp.asarray(muinv), jnp.asarray(inv),
-                                  float(min_post))
+    gconst, a, b = ubm._device_operands()
+    cached = ubm.__dict__.get("_fmllr_ops")
+    if cached is None:
+        import jax.core
+        cached = (jnp.asarray((ubm.means / ubm.vars).astype(np.float32)),
+                  jnp.asarray((1.0 / ubm.vars).astype(np.float32)))
+        if not any(isinstance(v, jax.core.Tracer) for v in cached):
+            ubm.__dict__["_fmllr_ops"] = cached
+    muinv, inv = cached
+    beta, K, G = _fmllr_stats_jit(x, m, gconst, a, b, muinv, inv,
+                                  float(min_post), bool(per_row))
+    if per_row:
+        return (np.asarray(beta, np.float64),
+                np.asarray(K, np.float64), np.asarray(G, np.float64))
     return (float(beta), np.asarray(K, np.float64),
             np.asarray(G, np.float64))
 
 
-@functools.partial(jax.jit, static_argnums=7)
-def _fmllr_stats_jit(x, mask, gconst, a, b, muinv, inv, min_post):
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _fmllr_stats_jit(x, mask, gconst, a, b, muinv, inv, min_post,
+                     per_row):
     post = _posteriors_jit(x, gconst, a, b, min_post)
     post = post * mask[..., None]                        # [B, T, G]
     ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
     xe = jnp.concatenate([x, ones], axis=-1)             # [B, T, D+1]
     wk = jnp.einsum("btg,gd->btd", post, muinv, precision=_HI)
     wg = jnp.einsum("btg,gd->btd", post, inv, precision=_HI)
-    K = jnp.einsum("btd,bte->de", wk, xe, precision=_HI)
-    G = jnp.einsum("btd,bte,btf->def", wg, xe, xe, precision=_HI)
-    beta = post.sum()
+    kspec = "btd,bte->bde" if per_row else "btd,bte->de"
+    gspec = "btd,bte,btf->bdef" if per_row else "btd,bte,btf->def"
+    K = jnp.einsum(kspec, wk, xe, precision=_HI)
+    G = jnp.einsum(gspec, wg, xe, xe, precision=_HI)
+    beta = post.sum(axis=(1, 2)) if per_row else post.sum()
     return beta, K, G
 
 

@@ -163,13 +163,16 @@ def mel_filterbank(
         (SURVEY.md §2 C7 names exactly this mapping).
       - ``continuous``: librosa-style — triangles evaluated at exact bin
         center frequencies ``k*sr/n_fft`` (Whisper's filterbank).
-      - ``gammatone``: 4th-order gammatone MAGNITUDE-response weights at
+      - ``gammatone``: 4th-order gammatone POWER-response weights at
         the scale's center points (pair with ``scale="erb"`` for the
-        classic GFCC bank): ``w(f) = (1 + ((f - fc)/b)^2)^-2`` with
-        ``b = 1.019 * ERB(fc)`` (Glasberg & Moore), unit peak at fc —
-        the standard spectral-domain gammatone approximation
-        (Patterson/Ellis fft-to-gammatone construction). Rides the same
-        MXU matmul as the triangles.
+        classic GFCC bank): ``w(f) = |H(f)|^2 = (1 + ((f - fc)/b)^2)^-4``
+        with ``|H| = (1 + x^2)^-(order/2)`` and ``b = 1.019 * ERB(fc)``
+        (Glasberg & Moore), unit peak at fc. The SQUARED magnitude is
+        the right weight because this matrix multiplies the POWER
+        spectrum (Kim & Stern 2012 define channel power as
+        sum_k |X_k|^2 |H_m(k)|^2 — review fix; the earlier |H| weights
+        under-rolled the skirts by half). Rides the same MXU matmul as
+        the triangles.
     """
     n_bins = n_fft // 2 + 1
     mel_pts = np.linspace(
@@ -201,7 +204,7 @@ def mel_filterbank(
         erb = 24.7 * (4.37 * fc / 1000.0 + 1.0)
         b = 1.019 * erb
         rel = (fft_freqs[:, None] - fc[None, :]) / b[None, :]
-        weights = (1.0 + rel * rel) ** -2.0
+        weights = (1.0 + rel * rel) ** -4.0     # |H|^2, 4th order
     elif bin_style == "continuous":
         fft_freqs = np.arange(n_bins, dtype=np.float64) * sample_rate / n_fft
         fdiff = np.diff(hz_pts)

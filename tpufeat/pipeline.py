@@ -547,6 +547,7 @@ def main(argv=None) -> int:
         stats = {}
         ivecs = {}
         fmllr_acc: dict = {}
+        fmllr_rows: list = []
         cmvn_acc = (({} if utt2spk else data.CmvnStats(cfg.feature_dim))
                     if args.global_cmvn else None)
         for key, feats in extract_corpus(args.wav_dir, cfg, args.batch,
@@ -581,16 +582,8 @@ def main(argv=None) -> int:
                         f"{rel!r})")
                 feats = np.asarray(data.apply_transform(feats, W))
             if fmllr_ubm is not None:
-                from tpufeat import fmllr as fmllr_mod
-                b_, K_, G_ = fmllr_mod.fmllr_stats(fmllr_ubm, feats)
-                acc = fmllr_acc.get(spk if spk is not None else "global")
-                if acc is None:
-                    fmllr_acc[spk if spk is not None else "global"] = \
-                        [b_, K_, G_]
-                else:
-                    acc[0] += b_
-                    acc[1] += K_
-                    acc[2] += G_
+                fmllr_rows.append((spk if spk is not None else "global",
+                                   feats.shape[0]))
             out[rel] = feats
         passes.append(time.perf_counter() - t0)   # extraction wall
     if cmvn_acc is not None:
@@ -605,6 +598,29 @@ def main(argv=None) -> int:
     if fmllr_ubm is not None:
         from tpufeat import feats_io
         from tpufeat import fmllr as fmllr_mod
+        # one padded per-row dispatch per bucketed frame count (a call
+        # per utterance recompiles per distinct length and re-uploads
+        # the operands — review finding); rows then sum into speakers
+        by_bucket: dict = {}
+        for (spk, _nf), (rel, feats) in zip(fmllr_rows, out.items()):
+            nb = data.bucket_length(max(feats.shape[0], 1))
+            by_bucket.setdefault(nb, []).append((spk, feats))
+        for nb, rows in by_bucket.items():
+            pad = np.zeros((len(rows), nb, cfg.feature_dim), np.float32)
+            nf = np.zeros(len(rows), np.int32)
+            for i, (_s, f) in enumerate(rows):
+                pad[i, : f.shape[0]] = f
+                nf[i] = f.shape[0]
+            bs, Ks, Gs = fmllr_mod.fmllr_stats(fmllr_ubm, pad, nf,
+                                               per_row=True)
+            for i, (spk, _f) in enumerate(rows):
+                acc = fmllr_acc.get(spk)
+                if acc is None:
+                    fmllr_acc[spk] = [bs[i], Ks[i], Gs[i]]
+                else:
+                    acc[0] += bs[i]
+                    acc[1] += Ks[i]
+                    acc[2] += Gs[i]
         trans = {
             s: fmllr_mod.estimate_fmllr(
                 b_, K_, G_, min_count=args.fmllr_min_count

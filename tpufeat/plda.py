@@ -98,17 +98,27 @@ class Plda:
     def dim(self) -> int:
         return self.mean.shape[0]
 
-    def transform_ivector(self, x, *, normalize_length: bool = True):
+    def transform_ivector(self, x, n_examples=1, *,
+                          normalize_length: bool = True):
         """Project raw i-vectors into the diagonalized PLDA space:
-        ``y = A (x - mean)``, then (Kaldi ``Plda::TransformIvector``)
-        scale each row so its squared norm under the total covariance
-        matches its expectation: ``y *= sqrt(K / sum(y^2 / (psi + 1)))``.
-        [..., K] -> [..., K] float64 (host-side prep; scoring is the
-        jitted hot path)."""
+        ``y = A (x - mean)``, then (Kaldi ``Plda::TransformIvector`` /
+        ``GetNormalizationFactor``) scale each row so its squared norm
+        under its OWN covariance matches expectation: ``y *= sqrt(K /
+        sum(y^2 / (psi + 1/n)))`` — an average of ``n_examples``
+        utterance i-vectors has within-class variance 1/n, so
+        enrollment means normalize with their count (Kaldi's default
+        ``--simple-length-norm=false`` behaviour). ``n_examples`` is a
+        scalar or per-row [...] array. [..., K] -> [..., K] float64
+        (host-side prep; scoring is the jitted hot path)."""
         x = np.asarray(x, np.float64)
         y = (x - self.mean) @ self.transform.T
         if normalize_length:
-            inv_tot = 1.0 / (self.psi + 1.0)
+            n = np.asarray(n_examples, np.float64)
+            if (n < 1).any():
+                raise ValueError("n_examples must be >= 1")
+            if n.ndim:                      # per-row counts [E]
+                n = n[:, None]
+            inv_tot = 1.0 / (self.psi + 1.0 / n)
             sq = (y * y * inv_tot).sum(axis=-1, keepdims=True)
             y = y * np.sqrt(self.dim / np.where(sq > 0, sq, 1.0))
         return y
@@ -137,9 +147,11 @@ class Plda:
         sides (:meth:`transform_ivector`) then score every [E, T] pair.
         ``enroll`` rows are per-speaker means of (length-normalized)
         utterance i-vectors; pass their counts as ``n_enroll`` (Kaldi
-        ``ivector-plda-scoring --num-utts``)."""
+        ``ivector-plda-scoring --num-utts``); the enrollment side
+        normalizes with its count (psi + 1/n), the test side with 1 —
+        Kaldi's default ``--simple-length-norm=false``."""
         return self.log_likelihood_ratio(
-            self.transform_ivector(enroll,
+            self.transform_ivector(enroll, n_enroll,
                                    normalize_length=normalize_length),
             self.transform_ivector(test,
                                    normalize_length=normalize_length),
@@ -207,6 +219,9 @@ class Plda:
 
     @classmethod
     def load(cls, path: str) -> "Plda":
+        import os
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path += ".npz"      # np.savez appends the suffix on save()
         z = np.load(path)
         return cls(z["mean"], z["transform"], z["psi"])
 

@@ -666,16 +666,21 @@ def delay_and_sum(x: np.ndarray, max_delay: int = 64, ref: int = 0,
 
 # --- PLDA (goldens for tpufeat.plda; SURVEY.md §4 parity row) ---
 
-def plda_transform_ivector(mean, transform, psi, x,
+def plda_transform_ivector(mean, transform, psi, x, n_examples=1,
                            normalize_length: bool = True) -> np.ndarray:
     """Float64 golden for :meth:`tpufeat.plda.Plda.transform_ivector`:
-    y = A(x - mean), optionally scaled so sum(y^2/(psi+1)) == dim."""
+    y = A(x - mean), optionally scaled so sum(y^2/(psi + 1/n)) == dim
+    (Kaldi GetNormalizationFactor: a mean of n utterances has
+    within-class variance 1/n)."""
     mean = np.asarray(mean, np.float64)
     a = np.asarray(transform, np.float64)
     psi = np.asarray(psi, np.float64)
     y = (np.asarray(x, np.float64) - mean) @ a.T
     if normalize_length:
-        sq = (y * y / (psi + 1.0)).sum(axis=-1, keepdims=True)
+        n = np.broadcast_to(np.asarray(n_examples, np.float64),
+                            y.shape[:-1])
+        sq = (y * y / (psi[None, :] + 1.0 / n[..., None])).sum(
+            axis=-1, keepdims=True)
         y = y * np.sqrt(mean.size / np.where(sq > 0, sq, 1.0))
     return y
 
@@ -687,11 +692,12 @@ def plda_log_likelihood_ratio(mean, transform, psi, enroll, n_enroll,
     per-pair Kaldi LogLikelihoodRatio loop over [E, K] x [T, K] raw
     i-vectors -> [E, T]."""
     psi = np.asarray(psi, np.float64)
-    u = plda_transform_ivector(mean, transform, psi, enroll,
-                               normalize_length)
+    n = np.broadcast_to(np.asarray(n_enroll, np.float64),
+                        (np.shape(enroll)[0],))
+    u = plda_transform_ivector(mean, transform, psi, enroll, n,
+                               normalize_length=normalize_length)
     v = plda_transform_ivector(mean, transform, psi, test,
-                               normalize_length)
-    n = np.broadcast_to(np.asarray(n_enroll, np.float64), (u.shape[0],))
+                               normalize_length=normalize_length)
     out = np.empty((u.shape[0], v.shape[0]))
     vn = 1.0 + psi
     for e in range(u.shape[0]):

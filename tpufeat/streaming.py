@@ -1243,10 +1243,16 @@ class StreamingPipeline:
             out = self._scmvn.process(out)
         elif self._ocmvn is not None and n:
             out = self._ocmvn.process(out)
-        if self._transform is not None and n:
-            from tpufeat.data import apply_transform
-            out = apply_transform(out, self._transform)
-        return out
+        # no `n` guard: a zero-row chunk must still emit the
+        # TRANSFORMED width or callers concatenating chunk outputs
+        # (and the pitch _join fifo) hit shape mismatches
+        return self._apply_tf(out)
+
+    def _apply_tf(self, out: jnp.ndarray) -> jnp.ndarray:
+        if self._transform is None:
+            return out
+        from tpufeat.data import apply_transform
+        return apply_transform(out, self._transform)
 
     def _join(self, main: jnp.ndarray, prows: jnp.ndarray) -> jnp.ndarray:
         """Align completed spectral rows with completed pitch rows and
@@ -1319,7 +1325,11 @@ class StreamingPipeline:
             pending = rows
         out = self._emit(pending)
         if self._scmvn is not None:
-            out = jnp.concatenate([out, self._scmvn.flush()], axis=1)
+            # _emit already transformed its rows; the CMVN flush emits
+            # RAW-width rows that need the same transform (a short
+            # stream can emit EVERY row here)
+            out = jnp.concatenate(
+                [out, self._apply_tf(self._scmvn.flush())], axis=1)
         assert all(f.shape[1] == 0 for f in self._fifos), \
             "FIFO accounting bug: rows left after flush"
         if self._pitch is not None:
@@ -1349,6 +1359,7 @@ class StreamingPipeline:
                       pitch_lookahead=self._pitch_lookahead,
                       input_rate=self._input_rate,
                       online_cmvn=self._ocmvn,
+                      transform=self._transform,
                       ivector=(self._ivector.extractor
                                if self._ivector is not None else None),
                       ivector_period=self._iv_args[0],
