@@ -46,6 +46,21 @@ def test_whisper80_matches_transformers_full_window(whisper_fe):
     np.testing.assert_allclose(ours, ref, atol=5e-5)
 
 
+def test_whisper128_matches_transformers_v3(whisper_fe):
+    # Whisper large-v3: same pipeline, 128 mel bins
+    from tpufeat.config import WHISPER128
+    fe128 = transformers.WhisperFeatureExtractor(feature_size=128)
+    rng = np.random.default_rng(3)
+    sig = (rng.standard_normal(16000 * 5) * 0.3).astype(np.float32)
+    ref = fe128(sig, sampling_rate=16000, return_tensors="np",
+                padding="max_length").input_features[0].T
+    padded = np.zeros(16000 * 30, np.float32)
+    padded[: sig.size] = sig
+    ours = np.asarray(tpufeat.extract(padded, cfg=WHISPER128).features)
+    assert ours.shape == ref.shape == (3000, 128)
+    np.testing.assert_allclose(ours, ref, atol=5e-5)
+
+
 def test_whisper80_matches_transformers_padded_short_utterance(whisper_fe):
     # transformers zero-pads to 30 s and takes the normalization max over
     # ALL 3000 frames (padding included).  Reproduce that exact semantic by

@@ -21,7 +21,7 @@ from tpufeat.pitch import (PitchConfig, StreamingPitch,
                            track as track_pitch)
 from tpufeat.config import (FBANK80, FeatureConfig, GFCC13, KALDI39,
                             MFCC13_HTK, PLP13, PNCC13, PRESETS,
-                            STREAMING160, WHISPER80)
+                            STREAMING160, WHISPER80, WHISPER128)
 from tpufeat.features import (FeatureResult, extract, extract_chunked,
                               frames, logmel, make_extractor,
                               mel_spectrogram, mfcc, online_cmvn,
@@ -51,7 +51,7 @@ __version__ = "0.2.0"
 
 __all__ = [
     "FeatureConfig", "MFCC13_HTK", "WHISPER80", "KALDI39", "STREAMING160",
-    "FBANK80", "PLP13", "GFCC13", "PNCC13",
+    "FBANK80", "PLP13", "GFCC13", "PNCC13", "WHISPER128",
     "PRESETS", "FeatureResult", "extract", "extract_chunked", "frames",
     "spectrogram",
     "mel_spectrogram", "logmel", "mfcc", "make_extractor", "read_wav",

@@ -362,6 +362,11 @@ PLP13 = FeatureConfig(n_mels=23, n_mfcc=0, log="none", plp_order=12)
 SPEC257 = FeatureConfig(n_mels=0, n_mfcc=0, kaldi_mode=True, dc_offset=True,
                         window="povey", use_energy=True)
 
+#: Whisper-large-v3 front-end: identical to WHISPER80 but 128 mel bins
+#: (the only change OpenAI made for v3; parity-tested vs transformers'
+#: WhisperFeatureExtractor(feature_size=128)).
+WHISPER128 = dataclasses.replace(WHISPER80, n_mels=128)
+
 #: Gammatone cepstral coefficients (beyond the reference's feature
 #: families): 64 fourth-order gammatone magnitude filters at ERB-rate
 #: spacing (Glasberg & Moore), log compression, DCT-II keep 13 — the
@@ -384,6 +389,7 @@ PRESETS = {
     "gfcc13": GFCC13,
     "pncc13": PNCC13,
     "whisper80": WHISPER80,
+    "whisper128": WHISPER128,
     "kaldi39": KALDI39,
     "streaming160": STREAMING160,
     "fbank80": FBANK80,
