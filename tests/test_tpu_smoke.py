@@ -1064,3 +1064,16 @@ class TestPnccOnChip:
                                     matmul_precision="bf16x3")
         got2 = np.asarray(features.extract(sig, cfg=fused).features)
         assert np.abs(got2 - gold).max() < 5e-3
+
+
+class TestWhisper128OnChip:
+    def test_whisper128_fused_parity_on_chip(self):
+        from tpufeat.config import WHISPER128
+        cfg = dataclasses.replace(WHISPER128, use_pallas=True,
+                                  gemm_dft=True, fused_framing=True,
+                                  matmul_precision="bf16x3")
+        sig = make_signal(2 * 16000, seed=390)
+        gold = cpu.extract(sig.astype(np.float64), WHISPER128)
+        got = np.asarray(features.extract(sig, cfg=cfg).features)
+        assert got.shape[1] == 128
+        assert np.abs(got - gold).max() < 2e-3
