@@ -368,7 +368,7 @@ SPEC257 = FeatureConfig(n_mels=0, n_mfcc=0, kaldi_mode=True, dc_offset=True,
 WHISPER128 = dataclasses.replace(WHISPER80, n_mels=128)
 
 #: Gammatone cepstral coefficients (beyond the reference's feature
-#: families): 64 fourth-order gammatone magnitude filters at ERB-rate
+#: families): 64 fourth-order gammatone |H|^2 power filters at ERB-rate
 #: spacing (Glasberg & Moore), log compression, DCT-II keep 13 — the
 #: spectral-domain GFCC construction used in robust speaker-ID. Shares
 #: every kernel with the mel path (the bank is just a different
