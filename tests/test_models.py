@@ -203,3 +203,103 @@ class TestErrorRate:
         hyp = train_lib.greedy_ctc_decode(jnp.asarray(logits),
                                       np.ones((1, 6), bool))
         assert train_lib.token_error_rate([[1, 2, 3]], hyp)["ter"] == 0.0
+
+
+class TestTransducerLoss:
+    """RNN-T loss vs brute-force alignment enumeration + autodiff."""
+
+    @staticmethod
+    def _brute(lp, labels, T, U, blank=0):
+        """-log sum over all monotonic alignments, tiny shapes."""
+        import functools
+        e = np.asarray(lp, np.float64)
+
+        @functools.lru_cache(maxsize=None)
+        def p(t, u):
+            if t == T - 1 and u == U:
+                return e[t, u, blank]
+            outs = []
+            if t < T - 1:
+                outs.append(e[t, u, blank] + p(t + 1, u))
+            if u < U:
+                outs.append(e[t, u, labels[u]] + p(t, u + 1))
+            m = max(outs)
+            return m + np.log(sum(np.exp(o - m) for o in outs))
+
+        return -p(0, 0)
+
+    def _case(self, seed, B=3, T=4, U=2, V=5):
+        import jax
+        r = np.random.default_rng(seed)
+        logits = r.standard_normal((B, T, U + 1, V)).astype(np.float32)
+        labels = r.integers(1, V, (B, U)).astype(np.int32)
+        tlen = np.array([T, T - 1, T])[:B]
+        llen = np.array([U, U, U - 1])[:B]
+        return logits, labels, tlen, llen
+
+    def test_matches_brute_force(self):
+        import jax
+        from tpufeat.models import train
+        logits, labels, tlen, llen = self._case(0)
+        got = np.asarray(train.transducer_loss(logits, tlen, labels,
+                                               llen))
+        lp = np.asarray(jax.nn.log_softmax(
+            np.asarray(logits, np.float64), axis=-1))
+        for b in range(3):
+            want = self._brute(lp[b], tuple(labels[b]), int(tlen[b]),
+                               int(llen[b]))
+            np.testing.assert_allclose(got[b], want, rtol=1e-5)
+
+    def test_padding_invariance(self):
+        from tpufeat.models import train
+        logits, labels, tlen, llen = self._case(1)
+        base = np.asarray(train.transducer_loss(logits, tlen, labels,
+                                                llen))
+        r = np.random.default_rng(2)
+        padded = np.concatenate(
+            [logits, r.standard_normal((3, 2, 3, 5)).astype(np.float32)],
+            axis=1)                              # extra frames
+        np.testing.assert_allclose(
+            np.asarray(train.transducer_loss(padded, tlen, labels,
+                                             llen)), base, rtol=1e-5)
+
+    def test_gradients_match_finite_differences(self):
+        import jax
+        from tpufeat.models import train
+        logits, labels, tlen, llen = self._case(3, B=2)
+        tlen, llen = tlen[:2], llen[:2]
+
+        def f(lg):
+            return train.transducer_loss(lg, tlen, labels[:2],
+                                         llen).sum()
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+        eps = 1e-3
+        r = np.random.default_rng(4)
+        for _ in range(6):
+            ix = tuple(r.integers(0, s) for s in logits.shape)
+            lp, lm = logits.copy(), logits.copy()
+            lp[ix] += eps
+            lm[ix] -= eps
+            fd = (float(f(jnp.asarray(lp))) - float(f(jnp.asarray(lm))))\
+                / (2 * eps)
+            np.testing.assert_allclose(g[ix], fd, atol=2e-3)
+
+    def test_greedy_decode_roundtrip(self):
+        """A joint that deterministically prefers the reference labels
+        once per frame decodes them back."""
+        from tpufeat.models import train
+        V, T = 6, 4
+        ref = [2, 5, 1]
+
+        def joint(frame, history):
+            v = np.full(V, -10.0)
+            if len(history) < len(ref) and len(history) <= int(frame[0]):
+                v[ref[len(history)]] = 5.0   # emit next label
+            v[0] = 0.0                       # then blank
+            return v
+
+        enc = np.arange(T, dtype=np.float32)[:, None]
+        out = train.greedy_transducer_decode(joint, enc,
+                                             np.ones(T, bool))
+        assert out == ref

@@ -209,3 +209,99 @@ def token_error_rate(refs, hyps) -> dict:
         ter = errors / n_ref
     return {"ter": ter, "errors": errors, "sub": sub, "ins": ins,
             "del": dele, "ref_tokens": n_ref, "utterances": len(refs)}
+
+
+# --- RNN-T / transducer objective (beyond-reference training tier) ---
+
+def transducer_loss(logits: jnp.ndarray, logit_lengths, labels,
+                    label_lengths, *, blank: int = 0) -> jnp.ndarray:
+    """RNN-T loss (Graves 2012): ``logits`` [B, T, U+1, V] joint-network
+    outputs over T encoder frames x U+1 prediction states, ``labels``
+    [B, U] (+ per-sequence valid lengths) -> per-sequence negative log
+    marginal over all monotonic alignments, [B].
+
+    TPU formulation: the standard alpha recursion runs as ONE
+    ``lax.scan`` over T with an [B, U+1] log-space carry — per step,
+    "emit blank from t-1" is an elementwise add and "emit label u-1"
+    is a one-position shift (static pad+slice, no gathers). Padded
+    frames freeze alpha; padded label positions carry -inf emit scores,
+    so ragged batches need no bucketing inside the loss. Gradients come
+    from autodiff through the scan (the usual alpha-beta hand gradient
+    is an optimization, not a requirement — verified against finite
+    differences in tests/test_models.py)."""
+    lp = jax.nn.log_softmax(logits, axis=-1)           # [B, T, U+1, V]
+    B, T, U1, V = lp.shape
+    U = U1 - 1
+    labels = jnp.asarray(labels, jnp.int32)
+    if labels.shape != (B, U):
+        raise ValueError(f"labels {labels.shape} vs logits U={U}")
+    llen = jnp.asarray(label_lengths, jnp.int32)
+    tlen = jnp.asarray(logit_lengths, jnp.int32)
+    neg = jnp.asarray(-1e30, lp.dtype)
+
+    blank_lp = lp[..., blank]                          # [B, T, U+1]
+    # emit score at state u: log P(labels[u] | t, u), -inf past llen
+    emit_lp = jnp.take_along_axis(
+        lp[:, :, :U, :], labels[:, None, :, None], axis=-1)[..., 0]
+    u_ix = jnp.arange(U)[None, :]
+    emit_lp = jnp.where(u_ix[:, None, :] < llen[:, None, None],
+                        emit_lp, neg)                  # [B, T, U]
+
+    # alpha over label states for t=0: only label emissions advance u
+    a0 = jnp.concatenate(
+        [jnp.zeros((B, 1), lp.dtype),
+         jnp.cumsum(emit_lp[:, 0, :], axis=-1)], axis=-1)  # [B, U+1]
+    mask_u = (jnp.arange(U1)[None, :]
+              <= llen[:, None]).astype(lp.dtype)
+    a0 = jnp.where(mask_u > 0, a0, neg)
+
+    def step(alpha, inp):
+        blp, elp, t = inp                              # [B,U+1],[B,U],[]
+        stay = alpha + blp                             # blank from t-1
+        # within-frame label chain: a[u] = logsumexp(stay[u],
+        # a[u-1] + emit[u-1]); sequential in u — U is small (labels per
+        # utterance), so a fori over U states is fine
+        def body(u, a):
+            cand = a[:, u] .astype(lp.dtype)
+            prev = a[:, u - 1] + elp[:, u - 1]
+            return a.at[:, u].set(jnp.logaddexp(cand, prev))
+        a = jax.lax.fori_loop(1, U1, body, stay)
+        valid_t = (t < tlen).astype(lp.dtype)[:, None]
+        a = jnp.where(valid_t > 0, a, alpha)
+        return a, None
+
+    ts = jnp.arange(1, T)
+    # step t computes alpha(t, .): blank consumed at frame t-1, label
+    # emissions within frame t
+    alpha, _ = jax.lax.scan(
+        step, a0, (jnp.swapaxes(blank_lp[:, :-1], 0, 1),
+                   jnp.swapaxes(emit_lp[:, 1:], 0, 1), ts))
+    # final blank from (tlen-1, llen): pick alpha[llen] + blank at tlen-1
+    sel_u = jax.nn.one_hot(llen, U1, dtype=lp.dtype)
+    a_fin = jnp.sum(alpha * sel_u, axis=-1)
+    sel_t = jax.nn.one_hot(tlen - 1, T, dtype=lp.dtype)
+    b_fin = jnp.einsum("bt,btu->bu", sel_t, blank_lp)
+    b_fin = jnp.sum(b_fin * sel_u, axis=-1)
+    return -(a_fin + b_fin)
+
+
+def greedy_transducer_decode(joint_fn, enc: jnp.ndarray, mask,
+                             max_symbols: int = 200, *,
+                             blank: int = 0):
+    """Greedy RNN-T decoding on host (per utterance; the joint is a
+    caller-supplied ``joint_fn(enc_frame [D], history list) -> [V]``
+    callable — model-agnostic). Returns the emitted label list."""
+    out = []
+    m = np.asarray(mask).astype(bool)
+    for t in range(enc.shape[0]):
+        if not m[t]:
+            break
+        emitted = 0
+        while emitted < max_symbols:
+            v = np.asarray(joint_fn(enc[t], out))
+            k = int(v.argmax())
+            if k == blank:
+                break
+            out.append(k)
+            emitted += 1
+    return out
