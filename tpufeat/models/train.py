@@ -305,3 +305,66 @@ def greedy_transducer_decode(joint_fn, enc: jnp.ndarray, mask,
             out.append(k)
             emitted += 1
     return out
+
+
+def make_transducer(dim: int = 128, layers: int = 2, heads: int = 4,
+                    vocab: int = 64, context: int = 2,
+                    arch: str = "conformer"):
+    """Streaming-ASR transducer (encoder + STATELESS prediction network
+    + joint): the prediction net is an embedding over the last
+    ``context`` labels (Ghodsi et al. 2020 "stateless transducer") so
+    the whole model stays a pure feed-forward jit — no recurrent carry.
+    Returns a flax module whose ``__call__(mel, mask, labels)`` yields
+    [B, T, U+1, V] joint logits for :func:`transducer_loss` (the label
+    axis is blank-prepended history positions)."""
+    import flax.linen as nn
+
+    class Transducer(nn.Module):
+        @nn.compact
+        def __call__(self, mel, mask, labels):
+            if arch == "whisper":
+                enc = enc_lib.WhisperEncoder(dim=dim, layers=layers,
+                                             heads=heads)
+            else:
+                enc = enc_lib.ConformerEncoder(dim=dim, layers=layers,
+                                               heads=heads)
+            x, m2 = enc(mel, mask)                       # [B, T, D]
+            B, U = labels.shape
+            # prediction input u: the context labels BEFORE position u
+            # (u=0 sees only padding) — embeddings summed, the stateless
+            # predictor
+            emb = nn.Embed(vocab + 2, dim, name="pred_embed")
+            hist = jnp.zeros((B, U + 1, dim))
+            padded = jnp.pad(labels + 1, ((0, 0), (context, 0)))
+            for c in range(context):
+                hist = hist + emb(padded[:, context - 1 - c:
+                                         context - 1 - c + U + 1])
+            g = nn.relu(nn.LayerNorm(name="pred_ln")(
+                nn.Dense(dim, name="pred_proj")(hist)))  # [B, U+1, D]
+            j = (nn.Dense(dim, name="joint_enc")(x)[:, :, None, :]
+                 + nn.Dense(dim, name="joint_pred")(g)[:, None, :, :])
+            logits = nn.Dense(vocab, name="joint_out")(jnp.tanh(j))
+            return logits, m2
+
+    return Transducer()
+
+
+def transducer_train_step(state: TrainState, audio, lengths, labels,
+                          label_lengths, *, model, tx,
+                          cfg: FeatureConfig):
+    """One RNN-T training step (pure function of (state, batch), like
+    :func:`ctc_train_step`): raw audio -> front-end -> encoder ->
+    stateless prediction/joint -> :func:`transducer_loss`."""
+
+    def loss_fn(params):
+        res = features.extract_impl(audio, lengths, cfg)
+        logits, mask = model.apply(params, res.features, res.mask,
+                                   labels)
+        tlen = mask.astype(jnp.int32).sum(axis=-1)
+        return jnp.mean(transducer_loss(logits, tlen, labels,
+                                        label_lengths))
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
