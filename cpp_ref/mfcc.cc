@@ -729,6 +729,31 @@ void tpufeat_online_cmvn_f64(const double* feat, long n_frames, int dim,
   }
 }
 
+
+// Gammatone/ERB filterbank (GFCC stage math; third independent
+// implementation next to tpufeat.matrices.mel_filterbank's gammatone
+// branch and its float64 use in reference/cpu.py): 4th-order |H|^2
+// power-response weights at ERB-rate-spaced centers (Glasberg & Moore:
+// E(f) = 21.4 log10(1 + 0.00437 f); b = 1.019 * 24.7 (4.37 fc/1000+1)).
+// `out` must hold (n_fft/2 + 1) * n_out doubles, row-major [bin, band].
+void tpufeat_gammatone_fb_f64(int sample_rate, int n_fft, int n_out,
+                              double fmin, double fmax, double* out) {
+  const int n_bins = n_fft / 2 + 1;
+  const double elo = 21.4 * std::log10(1.0 + 0.00437 * fmin);
+  const double ehi = 21.4 * std::log10(1.0 + 0.00437 * fmax);
+  for (int m = 0; m < n_out; ++m) {
+    const double e = elo + (ehi - elo) * (m + 1) / (n_out + 1);
+    const double fc = (std::pow(10.0, e / 21.4) - 1.0) / 0.00437;
+    const double b = 1.019 * 24.7 * (4.37 * fc / 1000.0 + 1.0);
+    for (int k = 0; k < n_bins; ++k) {
+      const double f = static_cast<double>(k) * sample_rate / n_fft;
+      const double x = (f - fc) / b;
+      const double h = 1.0 + x * x;          // |H|^2 = (1+x^2)^-4
+      out[static_cast<size_t>(k) * n_out + m] = 1.0 / (h * h * h * h);
+    }
+  }
+}
+
 }  // extern "C"
 
 // ---- multithreaded batch WAV loader (native data-loading path) ----

@@ -632,3 +632,10 @@ class TestKaldiVad:
                                  np.asarray(res.num_frames)))
         assert v.shape == res.features.shape[:2]
         assert v.any(axis=1).all()      # both utterances have speech
+
+    def test_scalar_count_for_single_track(self):
+        from tpufeat.augment import kaldi_vad
+        e = np.array([0.0, 10.0, 10.0, 0.0, 5.0])
+        got = np.asarray(kaldi_vad(e, 4))
+        assert got.shape == (5,)
+        assert not got[4]                    # beyond the scalar count

@@ -252,3 +252,17 @@ class TestOnlineCmvnThreeWay:
         c = features.online_cmvn(jnp.asarray(f, jnp.float32)[None], None,
                                  **jkw)[0]
         np.testing.assert_allclose(np.asarray(c), a, atol=2e-4, rtol=0)
+
+
+class TestGammatoneThreeWay:
+    def test_cpp_bank_matches_numpy(self):
+        """THREE independent gammatone/ERB constructions agree: the C++
+        double bank vs matrices.mel_filterbank's gammatone branch (which
+        also feeds reference/cpu.py's float64 GFCC/PNCC chains)."""
+        from tpufeat import cpp_golden, matrices
+        if not cpp_golden.available():
+            pytest.skip("cpp golden unavailable")
+        got = cpp_golden.gammatone_fb_native(16000, 512, 64, 50.0, 8000.0)
+        want = matrices.mel_filterbank(16000, 512, 64, 50.0, 8000.0,
+                                       "erb", None, "gammatone")
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15)

@@ -402,3 +402,19 @@ class TestScoringCli:
         with pytest.raises(ValueError, match="want"):
             pl.main([str(bad), "-", "--plda", plda_p,
                      "--enroll", enroll_p, "--test", test_p])
+
+    def test_cli_empty_trials(self, trained, tmp_path, capsys):
+        from tpufeat import feats_io
+        model, x, *_ = trained
+        e = str(tmp_path / "e.ark")
+        t = str(tmp_path / "t.ark")
+        feats_io.write_kaldi_vec_ark(e, {"s": x[0].astype(np.float32)})
+        feats_io.write_kaldi_vec_ark(t, {"u": x[1].astype(np.float32)})
+        trials = tmp_path / "trials"
+        trials.write_text("\n")
+        scores = str(tmp_path / "scores")
+        p = str(tmp_path / "m.npz")
+        model.save(p)
+        assert pl.main([str(trials), scores, "--plda", p,
+                        "--enroll", e, "--test", t]) == 0
+        assert open(scores).read() == ""

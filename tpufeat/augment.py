@@ -133,8 +133,9 @@ def kaldi_vad(log_energy: jnp.ndarray, num_frames=None, *,
     if num_frames is None:
         valid = jnp.ones((B, T), jnp.float32)
     else:
-        valid = (jnp.arange(T)[None, :]
-                 < jnp.asarray(num_frames)[:, None]).astype(jnp.float32)
+        nf = jnp.atleast_1d(jnp.asarray(num_frames))  # scalar count for
+        valid = (jnp.arange(T)[None, :]               # a 1-D track is fine
+                 < nf[:, None]).astype(jnp.float32)
     n = jnp.maximum(valid.sum(axis=1, keepdims=True), 1.0)
     thresh = (energy_threshold
               + energy_mean_scale * (e * valid).sum(axis=1,

@@ -32,6 +32,10 @@ def _lib():
     if stale:
         subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_SO)
+    lib.tpufeat_gammatone_fb_f64.restype = None
+    lib.tpufeat_gammatone_fb_f64.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_mfcc_f64.restype = ctypes.c_long
     lib.tpufeat_mfcc_f64.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
@@ -341,3 +345,16 @@ def read_wav_batch(paths: list[str], max_samples: int,
         max_samples, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
     return arena, lengths, rates
+
+
+def gammatone_fb_native(sample_rate: int, n_fft: int, n_out: int,
+                        fmin: float, fmax: float) -> np.ndarray:
+    """C++ double gammatone/ERB |H|^2 filterbank (third independent
+    implementation of the GFCC stage math) -> [n_fft//2+1, n_out]."""
+    lib = _lib()
+    n_bins = n_fft // 2 + 1
+    out = np.zeros((n_bins, n_out), np.float64)
+    lib.tpufeat_gammatone_fb_f64(
+        int(sample_rate), int(n_fft), int(n_out), float(fmin),
+        float(fmax), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out

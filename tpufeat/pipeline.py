@@ -582,8 +582,11 @@ def main(argv=None) -> int:
                         f"{rel!r})")
                 feats = np.asarray(data.apply_transform(feats, W))
             if fmllr_ubm is not None:
+                # keep the (speaker, features) pair directly — pairing
+                # back through out.items() broke silently on duplicate
+                # keys (review finding)
                 fmllr_rows.append((spk if spk is not None else "global",
-                                   feats.shape[0]))
+                                   feats))
             out[rel] = feats
         passes.append(time.perf_counter() - t0)   # extraction wall
     if cmvn_acc is not None:
@@ -598,29 +601,34 @@ def main(argv=None) -> int:
     if fmllr_ubm is not None:
         from tpufeat import feats_io
         from tpufeat import fmllr as fmllr_mod
-        # one padded per-row dispatch per bucketed frame count (a call
-        # per utterance recompiles per distinct length and re-uploads
-        # the operands — review finding); rows then sum into speakers
+        # per-row batched dispatches, bucketed on a FRAME-domain grid
+        # (bucket_length's default minimum is 16000 SAMPLES = 1 s; fed
+        # frame counts it padded every utterance to 16000 frames and
+        # fused the whole corpus into one unbounded dispatch — review
+        # finding) and chunked to <= args.batch rows per dispatch
         by_bucket: dict = {}
-        for (spk, _nf), (rel, feats) in zip(fmllr_rows, out.items()):
-            nb = data.bucket_length(max(feats.shape[0], 1))
+        for spk, feats in fmllr_rows:
+            nb = data.bucket_length(max(feats.shape[0], 1), minimum=128)
             by_bucket.setdefault(nb, []).append((spk, feats))
         for nb, rows in by_bucket.items():
-            pad = np.zeros((len(rows), nb, cfg.feature_dim), np.float32)
-            nf = np.zeros(len(rows), np.int32)
-            for i, (_s, f) in enumerate(rows):
-                pad[i, : f.shape[0]] = f
-                nf[i] = f.shape[0]
-            bs, Ks, Gs = fmllr_mod.fmllr_stats(fmllr_ubm, pad, nf,
-                                               per_row=True)
-            for i, (spk, _f) in enumerate(rows):
-                acc = fmllr_acc.get(spk)
-                if acc is None:
-                    fmllr_acc[spk] = [bs[i], Ks[i], Gs[i]]
-                else:
-                    acc[0] += bs[i]
-                    acc[1] += Ks[i]
-                    acc[2] += Gs[i]
+            for j in range(0, len(rows), max(args.batch, 1)):
+                part = rows[j: j + max(args.batch, 1)]
+                pad = np.zeros((len(part), nb, cfg.feature_dim),
+                               np.float32)
+                nf = np.zeros(len(part), np.int32)
+                for i, (_s, f) in enumerate(part):
+                    pad[i, : f.shape[0]] = f
+                    nf[i] = f.shape[0]
+                bs, Ks, Gs = fmllr_mod.fmllr_stats(fmllr_ubm, pad, nf,
+                                                   per_row=True)
+                for i, (spk, _f) in enumerate(part):
+                    acc = fmllr_acc.get(spk)
+                    if acc is None:
+                        fmllr_acc[spk] = [bs[i], Ks[i], Gs[i]]
+                    else:
+                        acc[0] += bs[i]
+                        acc[1] += Ks[i]
+                        acc[2] += Gs[i]
         trans = {
             s: fmllr_mod.estimate_fmllr(
                 b_, K_, G_, min_count=args.fmllr_min_count

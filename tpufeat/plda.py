@@ -537,6 +537,12 @@ def main(argv=None) -> int:
                                  f"{utt!r} not in {args.test}")
             pairs.append((spk, utt))
 
+    if not pairs:
+        # empty trials: write an empty scores file, not a stack error
+        if args.scores != "-":
+            open(args.scores, "w").close()
+        print("scored 0 trials", file=sys.stderr)
+        return 0
     spks = sorted({s for s, _ in pairs})
     utts = sorted({u for _, u in pairs})
     e = np.stack([enroll[s] for s in spks]).astype(np.float64)
