@@ -111,6 +111,28 @@ def dryrun_train_step(mesh: Mesh, arch: str = "whisper") -> float:
     loss = float(loss)
     assert np.isfinite(loss), loss
     print(f"dryrun train step ({arch}, {n_dev} devices): ctc loss {loss:.3f}")
+
+    # RNN-T step on the same mesh (stateless-predictor transducer)
+    tmodel = make_transducer(dim=32, layers=1, heads=2, vocab=16,
+                             arch=arch)
+    res = features.extract_impl(audio[:1], lengths[:1], cfg)
+    tparams = tmodel.init(jax.random.PRNGKey(1), res.features, res.mask,
+                          labels[:1])
+    tstate = jax.device_put(
+        TrainState(tparams, tx.init(tparams), jnp.zeros((), jnp.int32)),
+        rep)
+    tstep = jax.jit(
+        functools.partial(transducer_train_step, model=tmodel, tx=tx,
+                          cfg=cfg),
+        in_shardings=(rep, dp, dp, dp, dp),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+    _, tloss = tstep(tstate, audio, lengths, labels, label_lengths)
+    tloss = float(tloss)
+    assert np.isfinite(tloss), tloss
+    print(f"dryrun train step ({arch}, {n_dev} devices): "
+          f"rnnt loss {tloss:.3f}")
     return loss
 
 
