@@ -135,3 +135,48 @@ class TestEstimation:
         with pytest.raises(ValueError, match="iters"):
             fm.estimate_fmllr(10.0, np.zeros((3, 4)),
                               np.zeros((3, 4, 4)), iters=0)
+
+
+class TestVtlnWarpEstimation:
+    def test_recovers_warp_direction(self):
+        """UBM trained on a speaker's true audio: the matched audio
+        estimates warp ~1.0, and speed-perturbed versions (formants
+        shifted up/down) estimate warps on opposite sides of 1."""
+        import dataclasses
+        from scipy.signal import lfilter
+        from tpufeat import augment, features
+        from tpufeat.config import MFCC13_HTK
+        r = np.random.default_rng(0)
+
+        def voice(n, seed):
+            rr = np.random.default_rng(seed)
+            x = rr.standard_normal(n)
+            for f, rad in ((500, 0.95), (1500, 0.9), (2500, 0.85)):
+                th = 2 * np.pi * f / 16000
+                x = lfilter([1.0], [1.0, -2 * rad * np.cos(th),
+                                    rad * rad], x)
+            return (x / (np.abs(x).max() + 1e-9) * 0.5).astype(np.float32)
+
+        train_audio = voice(48000, 1)
+        feats = np.asarray(features.extract(train_audio,
+                                            cfg=MFCC13_HTK).features)
+        ubm = iv.train_diag_ubm(feats, 4, iters=2, final_iters=3, seed=0)
+        test_audio = voice(32000, 2)
+        warps = np.round(np.arange(0.85, 1.1501, 0.05), 2)
+        best, scores = fm.estimate_vtln_warp(ubm, test_audio,
+                                             warps=warps)
+        assert len(scores) == len(warps)
+        assert abs(best - 1.0) <= 0.05, (best, scores)
+        up = np.asarray(augment.speed_perturb(test_audio[None], 16000, 1.1))[0]
+        down = np.asarray(augment.speed_perturb(test_audio[None], 16000, 0.9))[0]
+        b_up, _ = fm.estimate_vtln_warp(ubm, up, warps=warps)
+        b_down, _ = fm.estimate_vtln_warp(ubm, down, warps=warps)
+        assert (b_up - 1.0) * (b_down - 1.0) < 0, (b_up, b_down)
+
+    def test_validates_dim(self, ubm):
+        with pytest.raises(ValueError, match="feature_dim"):
+            import dataclasses
+            from tpufeat.config import MFCC13_HTK
+            fm.estimate_vtln_warp(
+                ubm, np.zeros(8000, np.float32),
+                cfg=dataclasses.replace(MFCC13_HTK, n_mfcc=7))

@@ -33,8 +33,8 @@ from tpufeat.ivector import (DiagUbm, IvectorExtractor, StreamingIvector,
                              train_ivector_extractor, utterance_ivector)
 from tpufeat.plda import (Plda, ivector_mean, length_normalize,
                           train_plda)
-from tpufeat.fmllr import (est_fmllr, estimate_fmllr, fmllr_objective,
-                           fmllr_stats)
+from tpufeat.fmllr import (est_fmllr, estimate_fmllr, estimate_vtln_warp,
+                           fmllr_objective, fmllr_stats)
 from tpufeat.diarization import (cluster_affinity, diarize,
                                  plda_affinity, segment_ivectors,
                                  sliding_windows)
@@ -73,6 +73,7 @@ __all__ = [
     "train_ivector_extractor", "utterance_ivector",
     "Plda", "train_plda", "length_normalize", "ivector_mean",
     "est_fmllr", "estimate_fmllr", "fmllr_stats", "fmllr_objective",
+    "estimate_vtln_warp",
     "diarize", "segment_ivectors", "sliding_windows", "plda_affinity",
     "cluster_affinity",
     "__version__",

@@ -190,3 +190,49 @@ def est_fmllr(ubm: DiagUbm, feats, mask=None, *, iters: int = 20,
     [D, D+1] (apply with ``tpufeat.data.apply_transform(feat, W)``)."""
     beta, K, G = fmllr_stats(ubm, feats, mask, min_post=min_post)
     return estimate_fmllr(beta, K, G, iters=iters, min_count=min_count)
+
+
+def estimate_vtln_warp(ubm: DiagUbm, signal, lengths=None, *,
+                       cfg=None, warps=None,
+                       min_post: float = 0.0):
+    """Per-speaker VTLN warp-factor estimation by UBM-likelihood grid
+    search (the classic Kaldi VTLN training recipe: pick the warp whose
+    warped-filterbank features the speaker-independent model likes
+    best). ``signal``: [N] or padded [B, N] (+ lengths) of ONE
+    speaker's audio; ``cfg``: the feature config whose ``vtln_warp``
+    field is swept (default MFCC13_HTK); ``warps``: candidate factors
+    (default 0.80..1.20 in 0.02 steps, Kaldi's grid).
+
+    Returns ``(best_warp, per_warp_loglikes)``. Each candidate is one
+    extract + one UBM scoring pass — the warped filterbank is just a
+    different precomputed matrix, so every candidate reuses the same
+    compiled programs except for the baked constants (first sweep pays
+    ~len(warps) compiles; later speakers reuse them all)."""
+    import dataclasses as _dc
+
+    import jax.scipy.special as jss
+
+    from tpufeat import features as _features
+    from tpufeat.config import MFCC13_HTK
+
+    cfg = MFCC13_HTK if cfg is None else cfg
+    if cfg.feature_dim != ubm.dim:
+        raise ValueError(f"cfg feature_dim {cfg.feature_dim} != UBM dim "
+                         f"{ubm.dim}")
+    if warps is None:
+        warps = np.round(np.arange(0.80, 1.2001, 0.02), 2)
+    x = np.asarray(signal, np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    if lengths is None:
+        lengths = np.full(x.shape[0], x.shape[1], np.int32)
+    scores = []
+    for w in warps:
+        c = _dc.replace(cfg, vtln_warp=float(w))
+        res = _features.extract(x, lengths, cfg=c)
+        ll = ubm.log_likes(res.features)                 # [B, F, G]
+        tot = jss.logsumexp(ll, axis=-1)                 # [B, F]
+        mask = res.mask.astype(tot.dtype)
+        scores.append(float((tot * mask).sum() / mask.sum()))
+    best = int(np.argmax(scores))
+    return float(warps[best]), dict(zip(map(float, warps), scores))
