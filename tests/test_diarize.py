@@ -276,3 +276,46 @@ class TestRttmAndCli:
         model.save(plda_p)
         with pytest.raises(ValueError, match="UBM dim"):
             dz.main([wav, "-", "--extractor", ext_p, "--plda", plda_p])
+
+
+class TestBucketedFrames:
+    """bucket_frames=True: corpus-friendly compile behavior — padded
+    length grid, identical statistics on the kept windows."""
+
+    def test_matches_exact_on_common_spans(self, spk):
+        ext, _, draw = spk
+        for T in (287, 463, 600):
+            feats = draw(0, T, 800 + T)
+            exact, spans_e = dz.segment_ivectors(ext, feats, window=100,
+                                                 period=50, min_post=0.0)
+            buck, spans_b = dz.segment_ivectors(ext, feats, window=100,
+                                                period=50, min_post=0.0,
+                                                bucket_frames=True)
+            # every exact span appears in the bucketed set with the same
+            # clamped end and (to f32 noise) the same i-vector
+            se = {tuple(s): i for i, s in enumerate(spans_e.tolist())}
+            sb = {tuple(s): i for i, s in enumerate(spans_b.tolist())}
+            assert set(se).issubset(set(sb)), (T, se, sb)
+            for s, i in se.items():
+                np.testing.assert_allclose(
+                    np.asarray(buck)[sb[s]], np.asarray(exact)[i],
+                    atol=3e-4, rtol=1e-4)
+
+    def test_one_program_per_bucket(self, spk):
+        ext, _, draw = spk
+        before = dz._segment_ivectors_jit.cache_info().currsize
+        for T in (300, 310, 320, 330):      # same sqrt(2) bucket
+            dz.segment_ivectors(ext, draw(1, T, 900 + T), window=100,
+                                period=50, bucket_frames=True)
+        added = dz._segment_ivectors_jit.cache_info().currsize - before
+        assert added <= 1, added
+
+    def test_diarize_bucketed(self, spk):
+        ext, model, draw = spk
+        feats = np.concatenate([draw(0, 300, 910), draw(1, 300, 911)])
+        labels, segs = dz.diarize(ext, model, feats, num_speakers=2,
+                                  window=150, period=75,
+                                  bucket_frames=True)
+        assert labels.shape == (600,)
+        assert segs[-1][1] == 600
+        assert labels[0] != labels[-1]

@@ -71,23 +71,52 @@ def segment_ivectors(extractor: IvectorExtractor, feats, *,
                      window: int = 150, period: int = 75,
                      min_window: int = 25, mask=None,
                      posterior_scale: float = 1.0,
-                     min_post: float = 0.025):
+                     min_post: float = 0.025,
+                     bucket_frames: bool = False):
     """One i-vector per sliding window: [T, D] features -> ([N, K]
     i-vectors, [N, 2] window spans). ``mask`` ([T], optional) zeroes
     non-speech/padding frames' contributions (VAD gating). One jitted
     program; see the module docstring for the slice-arithmetic window
-    sums."""
+    sums.
+
+    ``bucket_frames=True`` pads T up to a sqrt(2) length grid so a
+    CORPUS of varied-length recordings compiles ~2 programs per octave
+    instead of one per distinct length (each distinct T costs ~13 s of
+    XLA compile through the relay — BASELINE.md). Windows are defined on
+    the padded grid and all-padding windows are dropped; a window
+    straddling the true end gets exactly the clamped-tail statistics
+    (padding frames carry zero posterior mass). The one semantic
+    difference from the exact grid: a straddling tail window shorter
+    than ``min_window`` TRUE frames is kept (its stats are still
+    correct) rather than dropped."""
     x = jnp.asarray(feats, jnp.float32)
     if x.ndim != 2 or x.shape[1] != extractor.ubm.dim:
         raise ValueError(f"expected [T, {extractor.ubm.dim}] features, "
                          f"got {np.shape(feats)}")
     T = x.shape[0]
-    spans = sliding_windows(T, window=window, period=period,
-                            min_window=min_window)
     m = (jnp.ones((T,), jnp.float32) if mask is None
          else jnp.asarray(mask, jnp.float32))
     if m.shape != (T,):
         raise ValueError(f"mask {m.shape} vs frames {(T,)}")
+    if bucket_frames:
+        from tpufeat.data import bucket_length
+        Tp = bucket_length(T, minimum=max(window, 256))
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        m = jnp.pad(m, (0, Tp - T))
+        spans_pad = sliding_windows(Tp, window=window, period=period,
+                                    min_window=min_window)
+        keep = spans_pad[:, 0] < T
+        spans = spans_pad[keep].copy()
+        spans[:, 1] = np.minimum(spans[:, 1], T)   # true clamped ends
+        ops = _online_operands(extractor)
+        fn = _segment_ivectors_jit(Tp, int(window), int(period),
+                                   tuple(map(tuple,
+                                             spans_pad.tolist())),
+                                   float(posterior_scale),
+                                   float(min_post))
+        return fn(x, m, *ops)[np.flatnonzero(keep)], spans
+    spans = sliding_windows(T, window=window, period=period,
+                            min_window=min_window)
     ops = _online_operands(extractor)
     fn = _segment_ivectors_jit(T, int(window), int(period),
                                tuple(map(tuple, spans.tolist())),
@@ -184,7 +213,7 @@ def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
             window: int = 150, period: int = 75, min_window: int = 25,
             mask=None, num_speakers: int | None = None,
             threshold: float = 0.0, posterior_scale: float = 1.0,
-            min_post: float = 0.025):
+            min_post: float = 0.025, bucket_frames: bool = False):
     """Who-spoke-when for one recording's features [T, D] ->
     ``(frame_labels [T], segments)`` where ``segments`` is a list of
     ``(start_frame, end_frame, speaker)`` runs. Frames take the label of
@@ -193,7 +222,8 @@ def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
     ivecs, spans = segment_ivectors(
         extractor, feats, window=window, period=period,
         min_window=min_window, mask=mask,
-        posterior_scale=posterior_scale, min_post=min_post)
+        posterior_scale=posterior_scale, min_post=min_post,
+        bucket_frames=bucket_frames)
     aff = plda_affinity(plda, ivecs)
     labels = cluster_affinity(aff, num_speakers=num_speakers,
                               threshold=threshold)
