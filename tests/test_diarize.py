@@ -319,3 +319,82 @@ class TestBucketedFrames:
         assert labels.shape == (600,)
         assert segs[-1][1] == 600
         assert labels[0] != labels[-1]
+
+
+class TestStreamingDiarizer:
+    def _run(self, sd, feats, plan):
+        labs, pos = [], 0
+        for c in plan:
+            out, start = sd.process(feats[pos: pos + c])
+            assert start == sum(len(x) for x in labs)
+            labs.append(out)
+            pos += c
+        out, start = sd.flush()
+        assert start == sum(len(x) for x in labs)
+        labs.append(out)
+        got = np.concatenate(labs)
+        assert got.shape == (feats.shape[0],)
+        return got
+
+    def test_two_speakers_online(self, spk):
+        ext, model, draw = spk
+        feats = np.concatenate([draw(0, 400, 920), draw(1, 400, 921),
+                                draw(0, 400, 922)])
+        sd = dz.StreamingDiarizer(ext, model, window=150, period=75,
+                                  threshold=0.0)
+        labels = self._run(sd, feats, [160] * 7 + [80])
+        assert sd.num_speakers >= 2
+        # the A | B | A structure: first and last thirds mostly agree,
+        # middle third mostly differs
+        first = np.bincount(labels[:350]).argmax()
+        mid = np.bincount(labels[450:750]).argmax()
+        last = np.bincount(labels[850:]).argmax()
+        assert first == last != mid
+        purity = TestDiarize._purity(
+            labels, np.concatenate([np.zeros(400), np.ones(400),
+                                    np.zeros(400)]))
+        assert purity > 0.8, purity
+
+    def test_chunk_plan_invariant(self, spk):
+        ext, model, draw = spk
+        feats = np.concatenate([draw(0, 300, 930), draw(2, 300, 931)])
+        plans = [[600], [75] * 8, [37, 113, 225, 150, 75],
+                 [1] * 10 + [590]]
+        outs = []
+        for plan in plans:
+            sd = dz.StreamingDiarizer(ext, model)
+            outs.append(self._run(sd, feats, plan))
+        for o in outs[1:]:
+            np.testing.assert_array_equal(o, outs[0])
+
+    def test_max_speakers_cap(self, spk):
+        ext, model, draw = spk
+        feats = np.concatenate([draw(s, 225, 940 + s)
+                                for s in range(4)])
+        sd = dz.StreamingDiarizer(ext, model, max_speakers=2,
+                                  threshold=1e9)   # always spawn if free
+        self._run(sd, feats, [225] * 4)
+        assert sd.num_speakers == 2
+
+    def test_short_stream_flush(self, spk):
+        ext, model, draw = spk
+        feats = draw(1, 40, 950)            # shorter than one window
+        sd = dz.StreamingDiarizer(ext, model)
+        out, start = sd.process(feats)
+        assert out.size == 0
+        out, start = sd.flush()
+        assert start == 0 and out.shape == (40,)
+        assert (out == out[0]).all()
+
+    def test_reset_and_validation(self, spk):
+        ext, model, draw = spk
+        sd = dz.StreamingDiarizer(ext, model)
+        self._run(sd, draw(0, 200, 960), [200])
+        sd.reset()
+        assert sd.num_speakers == 0
+        out, start = sd.flush()
+        assert out.size == 0 and start == 0
+        with pytest.raises(ValueError, match="multiple"):
+            dz.StreamingDiarizer(ext, model, window=100, period=33)
+        with pytest.raises(ValueError, match="expected"):
+            sd.process(np.zeros((5, ext.ubm.dim + 2)))

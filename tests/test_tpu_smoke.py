@@ -1077,3 +1077,25 @@ class TestWhisper128OnChip:
         got = np.asarray(features.extract(sig, cfg=cfg).features)
         assert got.shape[1] == 128
         assert np.abs(got - gold).max() < 2e-3
+
+
+class TestStreamingDiarizerOnChip:
+    def test_online_matches_structure_on_chip(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_diarize import _speakers_fixture
+        from tpufeat import diarization as dz
+        ext, model, draw = _speakers_fixture()
+        feats = np.concatenate([draw(0, 300, 970), draw(1, 300, 971)])
+        sd = dz.StreamingDiarizer(ext, model)
+        outs = []
+        for i in range(0, 600, 150):
+            labs, _ = sd.process(feats[i: i + 150])
+            outs.append(labs)
+        labs, _ = sd.flush()
+        outs.append(labs)
+        labels = np.concatenate(outs)
+        assert labels.shape == (600,)
+        assert sd.num_speakers >= 2
+        assert (np.bincount(labels[:250]).argmax()
+                != np.bincount(labels[350:]).argmax())

@@ -36,7 +36,7 @@ from tpufeat.ivector import (IvectorExtractor, _damped_solve,
 from tpufeat.plda import Plda
 
 __all__ = ["sliding_windows", "segment_ivectors", "plda_affinity",
-           "cluster_affinity", "diarize"]
+           "cluster_affinity", "diarize", "StreamingDiarizer"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -369,3 +369,191 @@ def main(argv=None) -> int:
 if __name__ == "__main__":
     import sys
     sys.exit(main())
+
+
+# ---------------------------------------------------------------------------
+# Online diarization (streaming who-spoke-when)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _chunk_stats_jit(n: int, scale: float, min_post: float):
+    """Per-chunk device work for the streaming diarizer: [n, D] feature
+    rows -> (gamma [n, G], gamma-weighted outer [n, D, G]) — ONE small
+    dispatch per chunk; everything else (block ring, window solves,
+    PLDA scoring, clustering) is trivial host math at these sizes."""
+
+    def impl(x, gconst, a, bq):
+        post = _posteriors_jit(x, gconst, a, bq, min_post) * scale
+        outer = x[:, :, None] * post[:, None, :]            # [n, D, G]
+        return post, outer
+
+    return jax.jit(impl)
+
+
+class StreamingDiarizer:
+    """Online who-spoke-when over ONE recording's feature stream
+    (the live sibling of :func:`diarize`): greedy PLDA clustering of
+    sliding-window i-vectors as each window completes.
+
+    Mechanics per chunk: one device dispatch computes frame posteriors
+    (+ their feature outer products); the host accumulates them into
+    period-block statistics, and every completed window (every
+    ``period`` frames once ``window`` frames have arrived) solves its
+    i-vector on host (K x K Cholesky — microseconds), scores it against
+    the running speaker centroids with the float64 PLDA scorer, and
+    either joins the best cluster (LLR >= ``threshold``) or starts a
+    new one (greedy online clustering — the standard low-latency
+    alternative to offline AHC; labels are first-appearance ids and
+    never relabel retroactively).
+
+    ``process(feats [n, D])`` returns (frame_labels [m], start_frame)
+    for the frames whose nearest window center is now decided — output
+    lags input by about ``window/2 + period`` frames; ``flush()``
+    labels the tail. Labels are chunk-plan invariant (tested)."""
+
+    def __init__(self, extractor: IvectorExtractor, plda: Plda, *,
+                 window: int = 150, period: int = 75,
+                 threshold: float = 0.0,
+                 max_speakers: int | None = None,
+                 posterior_scale: float = 1.0,
+                 min_post: float = 0.025):
+        if window % period:
+            raise ValueError(f"window ({window}) must be a multiple of "
+                             f"period ({period})")
+        if plda.dim != extractor.ivector_dim:
+            raise ValueError(f"PLDA dim {plda.dim} != i-vector dim "
+                             f"{extractor.ivector_dim}")
+        self.extractor, self.plda = extractor, plda
+        self.window, self.period = int(window), int(period)
+        self.threshold = float(threshold)
+        self.max_speakers = max_speakers
+        self.scale, self.min_post = float(posterior_scale), float(min_post)
+        gconst, a, bq, P, U, q = _online_operands(extractor)
+        self._dev_ops = (gconst, a, bq)
+        self._P = np.asarray(P, np.float64)     # [G, D, K]
+        self._U = np.asarray(U, np.float64)     # [G, K, K]
+        self._q = np.asarray(q, np.float64)     # [G, K]
+        self.reset()
+
+    def reset(self) -> None:
+        G = self.extractor.ubm.num_gauss
+        D = self.extractor.ubm.dim
+        m = self.window // self.period
+        self._ring_N = np.zeros((m, G))          # completed block sums
+        self._ring_F = np.zeros((m, D, G))
+        self._cur_N = np.zeros(G)                # current partial block
+        self._cur_F = np.zeros((D, G))
+        self._n_seen = 0                         # frames consumed
+        self._n_blocks = 0                       # completed blocks
+        self._centers: list[float] = []          # window centers
+        self._wlabels: list[int] = []            # per-window labels
+        self._clusters: list[list] = []          # [sum_ivec, count]
+        self._emitted = 0                        # frames labeled so far
+
+    @property
+    def num_speakers(self) -> int:
+        return len(self._clusters)
+
+    def _window_done(self) -> None:
+        """A window of `window//period` blocks just completed."""
+        m = self.window // self.period
+        N = self._ring_N.sum(axis=0)
+        F = self._ring_F.sum(axis=0)
+        K = self.extractor.ivector_dim
+        L = np.eye(K) + np.einsum("g,gkl->kl", N, self._U)
+        # the mean-centered linear term: F-projection minus N-weighted q
+        # (same algebra as the offline block path)
+        b = (np.einsum("dg,gdk->k", F, self._P)
+             - np.einsum("g,gk->k", N, self._q))
+        w = np.linalg.solve(L, b)
+        # greedy assignment vs running centroids (f64 PLDA scorer)
+        from tpufeat.reference.cpu import plda_log_likelihood_ratio
+        if self._clusters:
+            means = np.stack([s / c for s, c in self._clusters])
+            counts = np.asarray([c for _, c in self._clusters])
+            llr = plda_log_likelihood_ratio(
+                self.plda.mean, self.plda.transform, self.plda.psi,
+                means, counts, w[None])[:, 0]
+            best = int(np.argmax(llr))
+            full = (self.max_speakers is not None
+                    and len(self._clusters) >= self.max_speakers)
+            if llr[best] >= self.threshold or full:
+                self._clusters[best][0] += w
+                self._clusters[best][1] += 1
+                lab = best
+            else:
+                self._clusters.append([w.copy(), 1])
+                lab = len(self._clusters) - 1
+        else:
+            self._clusters.append([w.copy(), 1])
+            lab = 0
+        end = self._n_blocks * self.period
+        self._centers.append((end - self.window + end) / 2.0)
+        self._wlabels.append(lab)
+
+    def _emit_upto(self, limit: int) -> tuple[np.ndarray, int]:
+        start = self._emitted
+        n = max(0, limit - start)
+        if n == 0 or not self._centers:
+            return np.zeros(0, np.int64), start
+        t = np.arange(start, start + n, dtype=np.float64)
+        c = np.asarray(self._centers)
+        hi = np.clip(np.searchsorted(c, t), 0, len(c) - 1)
+        lo = np.maximum(hi - 1, 0)
+        nearest = np.where(np.abs(t - c[lo]) <= np.abs(t - c[hi]),
+                           lo, hi)
+        self._emitted = start + n
+        return np.asarray(self._wlabels, np.int64)[nearest], start
+
+    def process(self, feats) -> tuple[np.ndarray, int]:
+        """[n, D] new feature rows -> (labels for newly-decided frames,
+        absolute start frame of those labels)."""
+        x = np.asarray(feats, np.float32)
+        if x.ndim != 2 or x.shape[1] != self.extractor.ubm.dim:
+            raise ValueError(f"expected [n, {self.extractor.ubm.dim}], "
+                             f"got {x.shape}")
+        if x.shape[0]:
+            fn = _chunk_stats_jit(x.shape[0], self.scale, self.min_post)
+            post, outer = fn(jnp.asarray(x), *self._dev_ops)
+            post = np.asarray(post, np.float64)
+            outer = np.asarray(outer, np.float64)
+            m = self.window // self.period
+            i = 0
+            while i < x.shape[0]:
+                fill = self._n_seen % self.period
+                take = min(self.period - fill, x.shape[0] - i)
+                self._cur_N += post[i: i + take].sum(axis=0)
+                self._cur_F += outer[i: i + take].sum(axis=0)
+                self._n_seen += take
+                i += take
+                if self._n_seen % self.period == 0:
+                    slot = self._n_blocks % m
+                    self._ring_N[slot] = self._cur_N
+                    self._ring_F[slot] = self._cur_F
+                    self._cur_N[:] = 0.0
+                    self._cur_F[:] = 0.0
+                    self._n_blocks += 1
+                    if self._n_blocks >= m:
+                        self._window_done()
+        # frames up to the LAST decided center are final (no future
+        # window center can be nearer)
+        limit = int(self._centers[-1]) + 1 if self._centers else 0
+        return self._emit_upto(limit)
+
+    def flush(self) -> tuple[np.ndarray, int]:
+        """End of stream: complete the final partial window (if it has
+        any frames beyond the last completed one) and label the tail."""
+        m = self.window // self.period
+        if self._n_seen % self.period or (
+                self._n_blocks and self._n_blocks < m):
+            # fold the partial block in and run a final (short) window
+            slot = self._n_blocks % m
+            self._ring_N[slot] = self._cur_N
+            self._ring_F[slot] = self._cur_F
+            self._cur_N[:] = 0.0
+            self._cur_F[:] = 0.0
+            self._n_blocks += 1
+            self._window_done()
+        elif self._n_seen and not self._centers:
+            self._window_done()
+        return self._emit_upto(self._n_seen)
