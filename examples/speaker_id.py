@@ -82,6 +82,21 @@ def main():
     labels, segments = tpufeat.diarize(ext, plda, rec_feats,
                                        num_speakers=2)
     diarization.write_rttm(sys.stdout, "demo", segments)
+
+    # --- online: live speaker labels as the stream arrives ---------------
+    # known 2-party call: cap the cluster count, spawn eagerly
+    sd = tpufeat.StreamingDiarizer(ext, plda, threshold=6.0,
+                                   max_speakers=2)
+    live = []
+    for i in range(0, rec_feats.shape[0], 100):
+        labs, _ = sd.process(rec_feats[i: i + 100])
+        live.append(labs)
+    labs, _ = sd.flush()
+    live.append(labs)
+    live_labels = np.concatenate(live)
+    print(f"online: {sd.num_speakers} speakers discovered live, "
+          f"{live_labels.size} frames labeled")
+    assert live_labels.shape[0] == rec_feats.shape[0]
     assert acc >= 0.6, acc
     assert same.mean() > diff.mean() + 3.0, (same.mean(), diff.mean())
     assert labels[0] == labels[-1] != labels[len(labels) // 2]
