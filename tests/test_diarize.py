@@ -394,7 +394,36 @@ class TestStreamingDiarizer:
         assert sd.num_speakers == 0
         out, start = sd.flush()
         assert out.size == 0 and start == 0
-        with pytest.raises(ValueError, match="multiple"):
+        sd.reset()                      # flush is terminal (lifecycle
+        with pytest.raises(ValueError, match="multiple"):  # tests cover it)
             dz.StreamingDiarizer(ext, model, window=100, period=33)
         with pytest.raises(ValueError, match="expected"):
             sd.process(np.zeros((5, ext.ubm.dim + 2)))
+
+
+class TestStreamingDiarizerLifecycle:
+    """Review-3 fixes: terminal flush, true tail-window center."""
+
+    def test_flush_is_terminal(self, spk):
+        ext, model, draw = spk
+        sd = dz.StreamingDiarizer(ext, model)
+        sd.process(draw(0, 460, 980))
+        a, _ = sd.flush()
+        n_spk = sd.num_speakers
+        n_win = len(sd._centers)
+        b, start = sd.flush()               # idempotent: nothing new
+        assert b.size == 0 and start == 460
+        assert sd.num_speakers == n_spk and len(sd._centers) == n_win
+        with pytest.raises(RuntimeError, match="flushed"):
+            sd.process(draw(0, 10, 981))
+        sd.reset()
+        sd.process(draw(0, 10, 982))        # reusable after reset
+
+    def test_tail_center_uses_true_end(self, spk):
+        ext, model, draw = spk
+        sd = dz.StreamingDiarizer(ext, model, window=150, period=75)
+        sd.process(draw(0, 160, 983))
+        sd.flush()
+        # final window covers true frames [75, 160): center ~117.5, not
+        # the padded-grid 150
+        assert abs(sd._centers[-1] - 117.5) < 1e-9, sd._centers

@@ -210,23 +210,10 @@ class TestTransducerLoss:
 
     @staticmethod
     def _brute(lp, labels, T, U, blank=0):
-        """-log sum over all monotonic alignments, tiny shapes."""
-        import functools
-        e = np.asarray(lp, np.float64)
-
-        @functools.lru_cache(maxsize=None)
-        def p(t, u):
-            if t == T - 1 and u == U:
-                return e[t, u, blank]
-            outs = []
-            if t < T - 1:
-                outs.append(e[t, u, blank] + p(t + 1, u))
-            if u < U:
-                outs.append(e[t, u, labels[u]] + p(t, u + 1))
-            m = max(outs)
-            return m + np.log(sum(np.exp(o - m) for o in outs))
-
-        return -p(0, 0)
+        """-log sum over all monotonic alignments (the float64 golden,
+        now in reference/cpu.py per the repo convention)."""
+        from tpufeat.reference import cpu
+        return cpu.transducer_loss(lp, labels, T, U, blank)
 
     def _case(self, seed, B=3, T=4, U=2, V=5):
         import jax

@@ -1099,3 +1099,35 @@ class TestStreamingDiarizerOnChip:
         assert sd.num_speakers >= 2
         assert (np.bincount(labels[:250]).argmax()
                 != np.bincount(labels[350:]).argmax())
+
+
+class TestTrainingObjectivesOnChip:
+    """Transducer loss + VTLN warp estimation on hardware."""
+
+    def test_transducer_loss_on_chip(self):
+        from tpufeat.models import train
+        r = np.random.default_rng(400)
+        B, T, U, V = 4, 12, 3, 8
+        logits = r.standard_normal((B, T, U + 1, V)).astype(np.float32)
+        labels = r.integers(1, V, (B, U)).astype(np.int32)
+        tlen = np.array([T, T - 2, T, T - 5])
+        llen = np.array([U, U, U - 1, U])
+        got = np.asarray(train.transducer_loss(logits, tlen, labels,
+                                               llen))
+        lp = np.asarray(jax.nn.log_softmax(
+            jnp.asarray(logits, jnp.float64), axis=-1))
+        for b in range(B):
+            want = cpu.transducer_loss(lp[b], labels[b], int(tlen[b]),
+                                       int(llen[b]))
+            np.testing.assert_allclose(got[b], want, rtol=1e-4)
+
+    def test_vtln_warp_on_chip(self):
+        from tpufeat import fmllr as fm, ivector as iv
+        sig = make_signal(24000, seed=401)
+        feats = np.asarray(features.extract(sig, cfg=MFCC13_HTK).features)
+        ubm = iv.train_diag_ubm(feats, 2, iters=1, final_iters=2, seed=0)
+        best, scores = fm.estimate_vtln_warp(
+            ubm, make_signal(16000, seed=402),
+            warps=np.array([0.9, 1.0, 1.1]))
+        assert best in (0.9, 1.0, 1.1)
+        assert all(np.isfinite(v) for v in scores.values())

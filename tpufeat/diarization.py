@@ -167,6 +167,15 @@ def _segment_ivectors_jit(T: int, window: int, period: int,
     return jax.jit(impl)
 
 
+def _nearest_sorted(centers: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Index of the nearest value in SORTED ``centers`` for every ``t``
+    (bisection; ties break low, matching argmin's first-occurrence)."""
+    hi = np.clip(np.searchsorted(centers, t), 0, len(centers) - 1)
+    lo = np.maximum(hi - 1, 0)
+    return np.where(np.abs(t - centers[lo]) <= np.abs(t - centers[hi]),
+                    lo, hi)
+
+
 def plda_affinity(plda: Plda, ivecs, *,
                   normalize_length: bool = True) -> np.ndarray:
     """Symmetrized PLDA log-likelihood-ratio affinity between every
@@ -232,12 +241,7 @@ def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
     # nearest center by bisection — a dense [T, N] |t - c| matrix would
     # be ~7 GB for 30 min of audio (review finding); centers are sorted
     # so two candidates suffice
-    t = np.arange(T)
-    hi = np.clip(np.searchsorted(centers, t), 0, len(centers) - 1)
-    lo = np.maximum(hi - 1, 0)
-    nearest = np.where(np.abs(t - centers[lo]) <= np.abs(t - centers[hi]),
-                       lo, hi)
-    frame_labels = labels[nearest]
+    frame_labels = labels[_nearest_sorted(centers, np.arange(T))]
     if mask is not None:
         frame_labels = np.where(np.asarray(mask) > 0, frame_labels, -1)
     segments = []
@@ -449,13 +453,15 @@ class StreamingDiarizer:
         self._wlabels: list[int] = []            # per-window labels
         self._clusters: list[list] = []          # [sum_ivec, count]
         self._emitted = 0                        # frames labeled so far
+        self._flushed = False
 
     @property
     def num_speakers(self) -> int:
         return len(self._clusters)
 
-    def _window_done(self) -> None:
-        """A window of `window//period` blocks just completed."""
+    def _window_done(self, end_true: int | None = None) -> None:
+        """A window of `window//period` blocks just completed;
+        ``end_true`` caps the window's REAL data end (flush tail)."""
         m = self.window // self.period
         N = self._ring_N.sum(axis=0)
         F = self._ring_F.sum(axis=0)
@@ -488,7 +494,10 @@ class StreamingDiarizer:
             self._clusters.append([w.copy(), 1])
             lab = 0
         end = self._n_blocks * self.period
-        self._centers.append((end - self.window + end) / 2.0)
+        start = max(0, end - self.window)
+        if end_true is not None:
+            end = min(end, end_true)
+        self._centers.append((start + end) / 2.0)
         self._wlabels.append(lab)
 
     def _emit_upto(self, limit: int) -> tuple[np.ndarray, int]:
@@ -497,17 +506,16 @@ class StreamingDiarizer:
         if n == 0 or not self._centers:
             return np.zeros(0, np.int64), start
         t = np.arange(start, start + n, dtype=np.float64)
-        c = np.asarray(self._centers)
-        hi = np.clip(np.searchsorted(c, t), 0, len(c) - 1)
-        lo = np.maximum(hi - 1, 0)
-        nearest = np.where(np.abs(t - c[lo]) <= np.abs(t - c[hi]),
-                           lo, hi)
+        nearest = _nearest_sorted(np.asarray(self._centers), t)
         self._emitted = start + n
         return np.asarray(self._wlabels, np.int64)[nearest], start
 
     def process(self, feats) -> tuple[np.ndarray, int]:
         """[n, D] new feature rows -> (labels for newly-decided frames,
         absolute start frame of those labels)."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed; call reset() "
+                               "before reusing this diarizer")
         x = np.asarray(feats, np.float32)
         if x.ndim != 2 or x.shape[1] != self.extractor.ubm.dim:
             raise ValueError(f"expected [n, {self.extractor.ubm.dim}], "
@@ -541,19 +549,23 @@ class StreamingDiarizer:
         return self._emit_upto(limit)
 
     def flush(self) -> tuple[np.ndarray, int]:
-        """End of stream: complete the final partial window (if it has
-        any frames beyond the last completed one) and label the tail."""
+        """End of stream: complete the final partial window (if any
+        frames arrived past the last completed one) and label the tail.
+        Terminal: a second flush() emits nothing; process() after
+        flush() raises (reset() starts a new stream)."""
+        if self._flushed:
+            return self._emit_upto(self._n_seen)
+        self._flushed = True
         m = self.window // self.period
         if self._n_seen % self.period or (
                 self._n_blocks and self._n_blocks < m):
-            # fold the partial block in and run a final (short) window
+            # fold the partial block in and run a final (short) window;
+            # its center uses the TRUE data end, not the padded grid
             slot = self._n_blocks % m
             self._ring_N[slot] = self._cur_N
             self._ring_F[slot] = self._cur_F
             self._cur_N[:] = 0.0
             self._cur_F[:] = 0.0
             self._n_blocks += 1
-            self._window_done()
-        elif self._n_seen and not self._centers:
-            self._window_done()
+            self._window_done(end_true=self._n_seen)
         return self._emit_upto(self._n_seen)

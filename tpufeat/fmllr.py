@@ -193,8 +193,7 @@ def est_fmllr(ubm: DiagUbm, feats, mask=None, *, iters: int = 20,
 
 
 def estimate_vtln_warp(ubm: DiagUbm, signal, lengths=None, *,
-                       cfg=None, warps=None,
-                       min_post: float = 0.0):
+                       cfg=None, warps=None):
     """Per-speaker VTLN warp-factor estimation by UBM-likelihood grid
     search (the classic Kaldi VTLN training recipe: pick the warp whose
     warped-filterbank features the speaker-independent model likes
@@ -226,6 +225,9 @@ def estimate_vtln_warp(ubm: DiagUbm, signal, lengths=None, *,
         x = x[None]
     if lengths is None:
         lengths = np.full(x.shape[0], x.shape[1], np.int32)
+    if cfg.num_frames(int(np.max(lengths))) <= 0:
+        raise ValueError("no valid frames: every utterance is shorter "
+                         f"than one {cfg.frame_length}-sample frame")
     scores = []
     for w in warps:
         c = _dc.replace(cfg, vtln_warp=float(w))

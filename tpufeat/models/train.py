@@ -112,10 +112,10 @@ def dryrun_train_step(mesh: Mesh, arch: str = "whisper") -> float:
     assert np.isfinite(loss), loss
     print(f"dryrun train step ({arch}, {n_dev} devices): ctc loss {loss:.3f}")
 
-    # RNN-T step on the same mesh (stateless-predictor transducer)
+    # RNN-T step on the same mesh (stateless-predictor transducer);
+    # `res` from the CTC init above has identical inputs — reuse it
     tmodel = make_transducer(dim=32, layers=1, heads=2, vocab=16,
                              arch=arch)
-    res = features.extract_impl(audio[:1], lengths[:1], cfg)
     tparams = tmodel.init(jax.random.PRNGKey(1), res.features, res.mask,
                           labels[:1])
     tstate = jax.device_put(

@@ -737,3 +737,30 @@ def fmllr_stats(x: np.ndarray, weights, means, vars_,
             K += post[t, g] * (means[g] / vars_[g])[:, None] * xe[None, :]
             G += (post[t, g] / vars_[g])[:, None, None] * outer[None]
     return float(beta), K, G
+
+
+# --- RNN-T (golden for tpufeat.models.train.transducer_loss) ---
+
+def transducer_loss(log_probs: np.ndarray, labels, T: int, U: int,
+                    blank: int = 0) -> float:
+    """Float64 golden for :func:`tpufeat.models.train.transducer_loss`
+    (single sequence): brute-force log-sum over ALL monotonic
+    alignments by memoized recursion. ``log_probs``: [T, U+1, V]
+    ALREADY log-softmaxed joint outputs."""
+    import functools
+    e = np.asarray(log_probs, np.float64)
+    lab = tuple(int(v) for v in labels)
+
+    @functools.lru_cache(maxsize=None)
+    def p(t, u):
+        if t == T - 1 and u == U:
+            return e[t, u, blank]
+        outs = []
+        if t < T - 1:
+            outs.append(e[t, u, blank] + p(t + 1, u))
+        if u < U:
+            outs.append(e[t, u, lab[u]] + p(t, u + 1))
+        m = max(outs)
+        return m + np.log(sum(np.exp(o - m) for o in outs))
+
+    return float(-p(0, 0))
