@@ -427,3 +427,44 @@ class TestStreamingDiarizerLifecycle:
         # final window covers true frames [75, 160): center ~117.5, not
         # the padded-grid 150
         assert abs(sd._centers[-1] - 117.5) < 1e-9, sd._centers
+
+
+class TestRefineLabels:
+    def test_fixes_planted_errors(self, spk):
+        """Flip some window labels; one refinement iteration must put
+        them back (and never hurt purity on the clean labels)."""
+        ext, model, draw = spk
+        feats = np.concatenate([draw(0, 600, 990), draw(1, 600, 991)])
+        ivecs, spans = dz.segment_ivectors(ext, feats)
+        aff = dz.plda_affinity(model, ivecs)
+        clean = dz.cluster_affinity(aff, num_speakers=2)
+        noisy = clean.copy()
+        r = np.random.default_rng(0)
+        flip = r.choice(len(noisy), 2, replace=False)
+        noisy[flip] = 1 - noisy[flip]
+        fixed = dz.refine_labels(model, ivecs, noisy, iters=3)
+        # label ids may permute; compare partitions
+        agree = max((fixed == clean).mean(), (fixed != clean).mean())
+        assert agree > (noisy == clean).mean()
+        assert agree == 1.0, agree
+
+    def test_idempotent_and_compact(self, spk):
+        ext, model, draw = spk
+        feats = draw(2, 600, 992)
+        ivecs, _ = dz.segment_ivectors(ext, feats)
+        labels = np.zeros(len(ivecs), np.int64)
+        labels[0] = 5                      # sparse ids get compacted
+        out = dz.refine_labels(model, ivecs, labels, iters=2)
+        assert set(out) <= {0, 1}
+        out2 = dz.refine_labels(model, ivecs, out, iters=2)
+        agree = max((out2 == out).mean(), (out2 != out).mean())
+        assert agree == 1.0
+        with pytest.raises(ValueError):
+            dz.refine_labels(model, ivecs, labels, iters=-1)
+
+    def test_diarize_kwarg(self, spk):
+        ext, model, draw = spk
+        feats = np.concatenate([draw(0, 300, 993), draw(1, 300, 994)])
+        labels, _ = dz.diarize(ext, model, feats, num_speakers=2,
+                               refine_iters=2)
+        assert set(labels) <= {0, 1}

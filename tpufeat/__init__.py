@@ -36,7 +36,7 @@ from tpufeat.plda import (Plda, ivector_mean, length_normalize,
 from tpufeat.fmllr import (est_fmllr, estimate_fmllr, estimate_vtln_warp,
                            fmllr_objective, fmllr_stats)
 from tpufeat.diarization import (StreamingDiarizer, cluster_affinity,
-                                 diarize, plda_affinity,
+                                 diarize, plda_affinity, refine_labels,
                                  segment_ivectors, sliding_windows)
 from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (OnlineCmvn, PoolRows, StreamingDeltas,
@@ -75,6 +75,6 @@ __all__ = [
     "est_fmllr", "estimate_fmllr", "fmllr_stats", "fmllr_objective",
     "estimate_vtln_warp",
     "diarize", "segment_ivectors", "sliding_windows", "plda_affinity",
-    "cluster_affinity", "StreamingDiarizer",
+    "cluster_affinity", "StreamingDiarizer", "refine_labels",
     "__version__",
 ]

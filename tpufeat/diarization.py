@@ -36,7 +36,8 @@ from tpufeat.ivector import (IvectorExtractor, _damped_solve,
 from tpufeat.plda import Plda
 
 __all__ = ["sliding_windows", "segment_ivectors", "plda_affinity",
-           "cluster_affinity", "diarize", "StreamingDiarizer"]
+           "cluster_affinity", "diarize", "refine_labels",
+           "StreamingDiarizer"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -218,11 +219,36 @@ def cluster_affinity(affinity, *, num_speakers: int | None = None,
                       np.int64)
 
 
+def refine_labels(plda: Plda, ivecs, labels, *, iters: int = 1):
+    """Resegmentation-lite: re-assign every window to the PLDA-nearest
+    cluster centroid (one scoring dispatch per iteration), as commonly
+    run after AHC. Empty clusters disappear; labels come back compacted
+    in first-appearance order. Converges when no label changes."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    iv = np.asarray(ivecs, np.float64)
+    labels = np.asarray(labels, np.int64).copy()
+    for _ in range(iters):
+        uniq = np.unique(labels)
+        means = np.stack([iv[labels == u].mean(axis=0) for u in uniq])
+        counts = np.asarray([(labels == u).sum() for u in uniq],
+                            np.float64)
+        scores = np.asarray(plda.score(means, iv, n_enroll=counts))
+        new = uniq[scores.argmax(axis=0)]
+        if (new == labels).all():
+            break
+        labels = new
+    order: dict = {}
+    return np.asarray([order.setdefault(v, len(order)) for v in labels],
+                      np.int64)
+
+
 def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
             window: int = 150, period: int = 75, min_window: int = 25,
             mask=None, num_speakers: int | None = None,
             threshold: float = 0.0, posterior_scale: float = 1.0,
-            min_post: float = 0.025, bucket_frames: bool = False):
+            min_post: float = 0.025, bucket_frames: bool = False,
+            refine_iters: int = 0):
     """Who-spoke-when for one recording's features [T, D] ->
     ``(frame_labels [T], segments)`` where ``segments`` is a list of
     ``(start_frame, end_frame, speaker)`` runs. Frames take the label of
@@ -236,6 +262,8 @@ def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
     aff = plda_affinity(plda, ivecs)
     labels = cluster_affinity(aff, num_speakers=num_speakers,
                               threshold=threshold)
+    if refine_iters:
+        labels = refine_labels(plda, ivecs, labels, iters=refine_iters)
     T = np.shape(feats)[0]
     centers = spans.mean(axis=1)                     # [N], sorted
     # nearest center by bisection — a dense [T, N] |t - c| matrix would
