@@ -341,3 +341,87 @@ class TestTransducerTraining:
             a8, NamedSharding(mesh, P("dp"))))
         np.testing.assert_allclose(float(l_shard), float(l_plain),
                                    rtol=1e-5)
+
+
+class TestBeamTransducerDecode:
+    @staticmethod
+    def _joint_table(T, U_max, V, seed):
+        """A fixed random joint over (frame index, history length)."""
+        r = np.random.default_rng(seed)
+        table = r.standard_normal((T, U_max + 1, V)) * 2.0
+        # once U_max labels are out, blank dominates — so the global
+        # argmax really lives inside the exhaustively-enumerated set
+        table[:, U_max, 0] += 12.0
+
+        def joint(frame, history):
+            u = min(len(history), U_max)
+            return table[int(frame[0]), u]
+
+        return joint, table
+
+    @staticmethod
+    def _exhaustive_best(joint, enc, T, V, max_u, blank=0):
+        """Brute force: enumerate ALL label sequences up to max_u and
+        sum alignment probabilities exactly; return the argmax."""
+        import itertools
+        import functools
+
+        def seq_logp(lab):
+            U = len(lab)
+
+            @functools.lru_cache(maxsize=None)
+            def p(t, u):
+                logits = np.asarray(joint(enc[t], list(lab[:u])),
+                                    np.float64)
+                lp = logits - np.logaddexp.reduce(logits)
+                if t == T - 1 and u == U:
+                    return lp[blank]
+                outs = []
+                if t < T - 1:
+                    outs.append(lp[blank] + p(t + 1, u))
+                if u < U:
+                    outs.append(lp[lab[u]] + p(t, u + 1))
+                return np.logaddexp.reduce(np.asarray(outs))
+
+            return p(0, 0)
+
+        best, best_lp = (), -np.inf
+        for U in range(max_u + 1):
+            for lab in itertools.product(range(1, V), repeat=U):
+                lp = seq_logp(lab)
+                if lp > best_lp:
+                    best, best_lp = lab, lp
+        return list(best)
+
+    def test_matches_exhaustive_on_tiny(self):
+        from tpufeat.models import train
+        T, V, max_u = 3, 3, 2
+        for seed in (0, 1, 2, 3):
+            joint, _ = self._joint_table(T, max_u, V, seed)
+            enc = np.arange(T, dtype=np.float32)[:, None]
+            got = train.beam_transducer_decode(joint, enc,
+                                               np.ones(T, bool),
+                                               beam=8, max_symbols=max_u)
+            want = self._exhaustive_best(joint, enc, T, V, max_u)
+            assert got == want, (seed, got, want)
+
+    def test_beats_or_matches_greedy(self):
+        """With a beam wide enough for this tiny space (16 covers it;
+        width 8 measurably prunes the optimum at seed 16), beam search
+        is exact where greedy is not."""
+        from tpufeat.models import train
+        T, V, max_u = 4, 4, 3
+        wins = 0
+        for seed in (10, 11, 12, 16, 17, 18):   # 16: greedy-divergent
+            joint, _ = self._joint_table(T, max_u, V, seed)
+            enc = np.arange(T, dtype=np.float32)[:, None]
+            b = train.beam_transducer_decode(joint, enc,
+                                             np.ones(T, bool), beam=16,
+                                             max_symbols=max_u)
+            g = train.greedy_transducer_decode(joint, enc,
+                                               np.ones(T, bool),
+                                               max_symbols=max_u)
+            want = self._exhaustive_best(joint, enc, T, V, max_u)
+            assert b == want, (seed, b, want)
+            wins += int(g != want)
+        assert wins >= 1     # beam actually corrects greedy somewhere

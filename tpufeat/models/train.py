@@ -390,3 +390,58 @@ def transducer_train_step(state: TrainState, audio, lengths, labels,
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
+
+
+def beam_transducer_decode(joint_fn, enc: jnp.ndarray, mask,
+                           beam: int = 4, max_symbols: int = 200, *,
+                           blank: int = 0):
+    """Beam-search RNN-T decoding on host (single utterance; the joint
+    is the same caller-supplied ``joint_fn(enc_frame, history) -> [V]``
+    UNNORMALIZED logits callable as :func:`greedy_transducer_decode`).
+
+    Standard time-synchronous transducer beam search: hypotheses are
+    label histories with accumulated log-probabilities; at each frame
+    every hypothesis either consumes the blank (moves to the next
+    frame) or emits a label (stays on the frame, bounded by
+    ``max_symbols`` emissions per frame); identical histories merge by
+    log-sum. Returns the best label list."""
+    import math
+
+    m = np.asarray(mask).astype(bool)
+
+    def logsumexp2(a, b):
+        hi, lo = (a, b) if a >= b else (b, a)
+        return hi + math.log1p(math.exp(lo - hi))
+
+    beams = {(): 0.0}                       # history tuple -> logp
+    for t in range(enc.shape[0]):
+        if not m[t]:
+            break
+        # expand within the frame until every hypothesis has consumed
+        # the blank (classic "A = expansions, B = blank-consumed" loop)
+        done: dict = {}
+        frontier = dict(beams)
+        for _ in range(max_symbols + 1):
+            if not frontier:
+                break
+            nxt: dict = {}
+            for hist, lp in frontier.items():
+                logits = np.asarray(joint_fn(enc[t], list(hist)),
+                                    np.float64)
+                logp = logits - np.logaddexp.reduce(logits)
+                b_lp = lp + logp[blank]
+                done[hist] = (logsumexp2(done[hist], b_lp)
+                              if hist in done else b_lp)
+                for v in np.argsort(logp)[::-1][:beam]:
+                    if v == blank:
+                        continue
+                    h2 = hist + (int(v),)
+                    l2 = lp + logp[v]
+                    nxt[h2] = (logsumexp2(nxt[h2], l2)
+                               if h2 in nxt else l2)
+            # keep the frame expansion bounded
+            frontier = dict(sorted(nxt.items(), key=lambda kv: -kv[1])
+                            [:beam])
+        beams = dict(sorted(done.items(), key=lambda kv: -kv[1])[:beam])
+    best = max(beams.items(), key=lambda kv: kv[1])[0]
+    return list(best)
