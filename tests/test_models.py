@@ -425,3 +425,39 @@ class TestBeamTransducerDecode:
             assert b == want, (seed, b, want)
             wins += int(g != want)
         assert wins >= 1     # beam actually corrects greedy somewhere
+
+
+class TestPrefixBeamCtc:
+    def test_exact_vs_exhaustive(self):
+        import itertools
+        import jax
+        from tpufeat.models import train
+        from tpufeat.reference import cpu
+        T, V = 4, 3
+        for seed in range(6):
+            r = np.random.default_rng(seed)
+            lp = np.asarray(jax.nn.log_softmax(
+                jnp.asarray(r.standard_normal((T, V)) * 2.0), axis=-1))
+            best, best_lp = [], -np.inf
+            for L in range(T + 1):
+                for seq in itertools.product(range(1, V), repeat=L):
+                    # skip impossible (CTC needs >= L + repeats frames)
+                    v = cpu.ctc_sequence_logp(lp, seq)
+                    if v > best_lp:
+                        best, best_lp = list(seq), v
+            got = train.prefix_beam_ctc_decode(lp, np.ones(T, bool),
+                                               beam=64)
+            assert got == best, (seed, got, best)
+
+    def test_collapses_repeats_and_mask(self):
+        from tpufeat.models import train
+        # [a a blank a] must decode to "a a" (repeat split by blank)
+        lp = np.log(np.full((4, 2), 1e-6))
+        lp[0, 1] = lp[1, 1] = lp[3, 1] = np.log(0.999)
+        lp[2, 0] = np.log(0.999)
+        out = train.prefix_beam_ctc_decode(lp, np.ones(4, bool), beam=8)
+        assert out == [1, 1]
+        # masked tail ignored
+        out2 = train.prefix_beam_ctc_decode(
+            lp, np.array([True, True, False, False]), beam=8)
+        assert out2 == [1]

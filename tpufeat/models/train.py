@@ -445,3 +445,58 @@ def beam_transducer_decode(joint_fn, enc: jnp.ndarray, mask,
         beams = dict(sorted(done.items(), key=lambda kv: -kv[1])[:beam])
     best = max(beams.items(), key=lambda kv: kv[1])[0]
     return list(best)
+
+
+def prefix_beam_ctc_decode(log_probs, mask, beam: int = 8, *,
+                           blank: int = 0):
+    """CTC prefix beam search on host (Hannun et al.): [T, V]
+    log-softmaxed frame posteriors (+ [T] validity mask) -> best label
+    list. Each prefix carries separate blank-ending / nonblank-ending
+    log masses so repeats collapse exactly; prefixes merge by log-sum.
+    Exact when ``beam`` covers the prefix space (tested vs exhaustive
+    sequence search)."""
+    import math
+
+    lp = np.asarray(log_probs, np.float64)
+    m = np.asarray(mask).astype(bool)
+    NEG = -np.inf
+
+    def lse(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        hi, lo = (a, b) if a >= b else (b, a)
+        return hi + math.log1p(math.exp(lo - hi))
+
+    # prefix -> (logp ending in blank, logp ending in its last symbol)
+    beams = {(): (0.0, NEG)}
+    for t in range(lp.shape[0]):
+        if not m[t]:
+            break
+        nxt: dict = {}
+
+        def add(pref, b_, nb_):
+            ob, onb = nxt.get(pref, (NEG, NEG))
+            nxt[pref] = (lse(ob, b_), lse(onb, nb_))
+
+        for pref, (pb, pnb) in beams.items():
+            total = lse(pb, pnb)
+            # blank keeps the prefix, ends in blank
+            add(pref, total + lp[t, blank], NEG)
+            if pref:
+                # repeat the last symbol: only extends the nonblank mass
+                add(pref, NEG, pnb + lp[t, pref[-1]])
+            for v in range(lp.shape[1]):
+                if v == blank:
+                    continue
+                ext = pref + (v,)
+                if pref and v == pref[-1]:
+                    # same symbol after a blank -> new occurrence
+                    add(ext, NEG, pb + lp[t, v])
+                else:
+                    add(ext, NEG, total + lp[t, v])
+        beams = dict(sorted(nxt.items(),
+                            key=lambda kv: -lse(*kv[1]))[:beam])
+    best = max(beams.items(), key=lambda kv: lse(*kv[1]))[0]
+    return list(best)

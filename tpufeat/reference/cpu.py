@@ -764,3 +764,30 @@ def transducer_loss(log_probs: np.ndarray, labels, T: int, U: int,
         return m + np.log(sum(np.exp(o - m) for o in outs))
 
     return float(-p(0, 0))
+
+
+def ctc_sequence_logp(log_probs: np.ndarray, seq, blank: int = 0) -> float:
+    """Float64 golden: log P(label sequence | CTC) by the standard
+    forward pass over the blank-interleaved expansion. ``log_probs``:
+    [T, V] ALREADY log-softmaxed."""
+    lp = np.asarray(log_probs, np.float64)
+    ext = [blank]
+    for v in seq:
+        ext += [int(v), blank]
+    S = len(ext)
+    NEG = -np.inf
+    a = np.full(S, NEG)
+    a[0] = lp[0, blank]
+    if S > 1:
+        a[1] = lp[0, ext[1]]
+    for t in range(1, lp.shape[0]):
+        b = np.full(S, NEG)
+        for s in range(S):
+            acc = a[s]
+            if s >= 1:
+                acc = np.logaddexp(acc, a[s - 1])
+            if s >= 2 and ext[s] != blank and ext[s] != ext[s - 2]:
+                acc = np.logaddexp(acc, a[s - 2])
+            b[s] = acc + lp[t, ext[s]]
+        a = b
+    return float(np.logaddexp(a[S - 1], a[S - 2] if S > 1 else NEG))
