@@ -226,6 +226,7 @@ def refine_labels(plda: Plda, ivecs, labels, *, iters: int = 1):
     in first-appearance order. Converges when no label changes."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    from tpufeat.reference.cpu import plda_log_likelihood_ratio
     iv = np.asarray(ivecs, np.float64)
     labels = np.asarray(labels, np.int64).copy()
     for _ in range(iters):
@@ -233,7 +234,11 @@ def refine_labels(plda: Plda, ivecs, labels, *, iters: int = 1):
         means = np.stack([iv[labels == u].mean(axis=0) for u in uniq])
         counts = np.asarray([(labels == u).sum() for u in uniq],
                             np.float64)
-        scores = np.asarray(plda.score(means, iv, n_enroll=counts))
+        # f64 host scorer: the [E, N] problem is tiny and E changes as
+        # clusters dissolve — device scoring would compile one program
+        # per (E, N) shape through the relay (review finding)
+        scores = plda_log_likelihood_ratio(
+            plda.mean, plda.transform, plda.psi, means, counts, iv)
         new = uniq[scores.argmax(axis=0)]
         if (new == labels).all():
             break

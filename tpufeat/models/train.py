@@ -399,49 +399,58 @@ def beam_transducer_decode(joint_fn, enc: jnp.ndarray, mask,
     is the same caller-supplied ``joint_fn(enc_frame, history) -> [V]``
     UNNORMALIZED logits callable as :func:`greedy_transducer_decode`).
 
-    Standard time-synchronous transducer beam search: hypotheses are
-    label histories with accumulated log-probabilities; at each frame
-    every hypothesis either consumes the blank (moves to the next
-    frame) or emits a label (stays on the frame, bounded by
-    ``max_symbols`` emissions per frame); identical histories merge by
-    log-sum. Returns the best label list."""
-    import math
-
+    Time-synchronous transducer beam search, expanded BY HISTORY LENGTH
+    within each frame so identical histories merge exactly once before
+    expansion (every path to a history has the same length, so one
+    pass per length suffices); blank-consumed masses accumulate in the
+    frame's done-set with -inf-safe log-adds (np.logaddexp), and the
+    frame terminates early once the best pending hypothesis can no
+    longer beat the worst retained done score (the standard A/B test —
+    emission mass strictly decreases, so this fires after a few
+    lengths instead of max_symbols joint calls). Returns the best
+    label list."""
     m = np.asarray(mask).astype(bool)
-
-    def logsumexp2(a, b):
-        hi, lo = (a, b) if a >= b else (b, a)
-        return hi + math.log1p(math.exp(lo - hi))
-
     beams = {(): 0.0}                       # history tuple -> logp
     for t in range(enc.shape[0]):
         if not m[t]:
             break
-        # expand within the frame until every hypothesis has consumed
-        # the blank (classic "A = expansions, B = blank-consumed" loop)
+        # bucket the incoming hypotheses by history length; expand
+        # shortest-first so extensions merge before their own expansion
+        pending: dict = {}
+        for hist, lp in beams.items():
+            pending.setdefault(len(hist), {})[hist] = lp
+        min_len = min(pending) if pending else 0
         done: dict = {}
-        frontier = dict(beams)
-        for _ in range(max_symbols + 1):
-            if not frontier:
-                break
-            nxt: dict = {}
-            for hist, lp in frontier.items():
+        length = min_len
+        while pending and length <= min_len + max_symbols:
+            layer = pending.pop(length, None)
+            length += 1
+            if not layer:
+                continue
+            # A/B early exit: nothing pending can beat the retained set
+            if len(done) >= beam:
+                bar = sorted(done.values(), reverse=True)[beam - 1]
+                best_pending = max(
+                    max(d.values()) for d in ([layer] +
+                                              list(pending.values())))
+                if best_pending < bar:
+                    break
+            top = sorted(layer.items(), key=lambda kv: -kv[1])[:beam]
+            for hist, lp in top:
                 logits = np.asarray(joint_fn(enc[t], list(hist)),
                                     np.float64)
                 logp = logits - np.logaddexp.reduce(logits)
                 b_lp = lp + logp[blank]
-                done[hist] = (logsumexp2(done[hist], b_lp)
+                done[hist] = (np.logaddexp(done[hist], b_lp)
                               if hist in done else b_lp)
+                nxt = pending.setdefault(len(hist) + 1, {})
                 for v in np.argsort(logp)[::-1][:beam]:
                     if v == blank:
                         continue
                     h2 = hist + (int(v),)
                     l2 = lp + logp[v]
-                    nxt[h2] = (logsumexp2(nxt[h2], l2)
+                    nxt[h2] = (np.logaddexp(nxt[h2], l2)
                                if h2 in nxt else l2)
-            # keep the frame expansion bounded
-            frontier = dict(sorted(nxt.items(), key=lambda kv: -kv[1])
-                            [:beam])
         beams = dict(sorted(done.items(), key=lambda kv: -kv[1])[:beam])
     best = max(beams.items(), key=lambda kv: kv[1])[0]
     return list(best)
