@@ -468,3 +468,48 @@ class TestRefineLabels:
         labels, _ = dz.diarize(ext, model, feats, num_speakers=2,
                                refine_iters=2)
         assert set(labels) <= {0, 1}
+
+
+class TestCliCorpusMode:
+    def test_directory_to_one_rttm(self, tmp_path, spk, capsys):
+        import json
+        from tpufeat import io, features
+        from tpufeat.config import MFCC13_HTK
+        from tpufeat import ivector as iv2
+        rng = np.random.default_rng(0)
+        d = tmp_path / "wavs"
+        d.mkdir()
+        for i, n in enumerate((16000, 24000)):
+            io.write_wav(str(d / f"r{i}.wav"),
+                         (rng.standard_normal(n) * 0.1).astype(
+                             np.float32), 16000)
+        x, _ = io.read_wav(str(d / "r0.wav"))
+        feats = np.asarray(features.extract(x, cfg=MFCC13_HTK).features)
+        ubm = iv2.train_diag_ubm(feats, 2, iters=1, final_iters=2,
+                                 seed=0)
+        ext = iv2.train_ivector_extractor(ubm, [feats], ivector_dim=4,
+                                          iters=1, seed=0)
+        r = np.random.default_rng(1)
+        ivs = np.concatenate([r.standard_normal((8, 4)) + off
+                              for off in (-2.0, 2.0)])
+        model = pl.train_plda(ivs, [0] * 8 + [1] * 8, iters=3)
+        ext_p, plda_p = str(tmp_path / "e.npz"), str(tmp_path / "p.npz")
+        ext.save(ext_p)
+        model.save(plda_p)
+        rttm = str(tmp_path / "all.rttm")
+        rc = dz.main([str(d), rttm, "--extractor", ext_p,
+                      "--plda", plda_p, "--num-speakers", "1"])
+        assert rc == 0
+        lines = [ln.split() for ln in
+                 open(rttm).read().strip().split("\n")]
+        recs = {ln[1] for ln in lines}
+        assert recs == {"r0", "r1"}
+        infos = [json.loads(ln) for ln in
+                 capsys.readouterr().err.strip().split("\n")
+                 if ln.startswith("{")]
+        assert {i["recording"] for i in infos} == {"r0", "r1"}
+        with pytest.raises(ValueError, match="no .wav"):
+            empty = tmp_path / "empty"
+            empty.mkdir()
+            dz.main([str(empty), "-", "--extractor", ext_p,
+                     "--plda", plda_p])

@@ -328,7 +328,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="tpufeat.diarization",
         description="diarize a recording: WAV in, RTTM out")
-    p.add_argument("wav")
+    p.add_argument("wav", help="a WAV file, or a DIRECTORY of WAVs "
+                               "(corpus mode: one RTTM with every "
+                               "recording, compile-bucketed lengths)")
     p.add_argument("rttm", help="output RTTM path ('-' for stdout)")
     p.add_argument("--extractor", required=True, metavar="NPZ",
                    help="IvectorExtractor.save() file trained on this "
@@ -370,36 +372,56 @@ def main(argv=None) -> int:
         raise ValueError(f"PLDA dim {model.dim} != i-vector dim "
                          f"{ext.ivector_dim}")
 
-    x, rate = io.read_wav(args.wav)
-    if rate != cfg.sample_rate:
-        raise ValueError(f"{args.wav} is {rate} Hz; resample to "
-                         f"{cfg.sample_rate} first (tpufeat.resample)")
-    feats = np.asarray(features.extract(x, cfg=cfg).features)
-    mask = None
-    if args.vad_db is not None:
-        from tpufeat.augment import energy_vad
-        v = np.asarray(energy_vad(
-            x[None], np.array([x.shape[0]]), cfg.frame_length,
-            cfg.hop_length, threshold_db=-abs(args.vad_db))[0])
-        F = feats.shape[0]
-        if v.shape[0] < F:          # centered configs frame a bit wider
-            v = np.concatenate([v, np.repeat(v[-1:], F - v.shape[0])])
-        mask = v[:F].astype(np.float32)
-
-    labels, segments = diarize(
-        ext, model, feats, window=args.window, period=args.period,
-        mask=mask, num_speakers=args.num_speakers,
-        threshold=args.threshold)
-    rec = os.path.splitext(os.path.basename(args.wav))[0]
-    shift = cfg.hop_length / cfg.sample_rate
-    if args.rttm == "-":
-        write_rttm(sys.stdout, rec, segments, frame_shift=shift)
+    if os.path.isdir(args.wav):
+        # corpus mode: every WAV under the directory into ONE RTTM
+        # (bucket_frames bounds compiles to ~2/octave of length)
+        wavs = sorted(
+            os.path.join(root, n)
+            for root, _, files in os.walk(args.wav)
+            for n in files if n.lower().endswith(".wav"))
+        if not wavs:
+            raise ValueError(f"no .wav files under {args.wav}")
+        bucket = True
     else:
-        write_rttm(args.rttm, rec, segments, frame_shift=shift)
-    n_spk = len({lab for _, _, lab in segments})
-    print(json.dumps({"recording": rec, "frames": int(len(labels)),
-                      "speakers": n_spk, "segments": len(segments)}),
-          file=sys.stderr)
+        wavs = [args.wav]
+        bucket = False
+    out = sys.stdout if args.rttm == "-" else open(args.rttm, "w")
+    shift = cfg.hop_length / cfg.sample_rate
+    try:
+        for path in wavs:
+            x, rate = io.read_wav(path)
+            if rate != cfg.sample_rate:
+                raise ValueError(f"{path} is {rate} Hz; resample to "
+                                 f"{cfg.sample_rate} first "
+                                 "(tpufeat.resample)")
+            feats = np.asarray(features.extract(x, cfg=cfg).features)
+            mask = None
+            if args.vad_db is not None:
+                from tpufeat.augment import energy_vad
+                v = np.asarray(energy_vad(
+                    x[None], np.array([x.shape[0]]), cfg.frame_length,
+                    cfg.hop_length,
+                    threshold_db=-abs(args.vad_db))[0])
+                F = feats.shape[0]
+                if v.shape[0] < F:   # centered configs frame wider
+                    v = np.concatenate(
+                        [v, np.repeat(v[-1:], F - v.shape[0])])
+                mask = v[:F].astype(np.float32)
+            labels, segments = diarize(
+                ext, model, feats, window=args.window,
+                period=args.period, mask=mask,
+                num_speakers=args.num_speakers,
+                threshold=args.threshold, bucket_frames=bucket)
+            rec = os.path.splitext(os.path.basename(path))[0]
+            write_rttm(out, rec, segments, frame_shift=shift)
+            n_spk = len({lab for _, _, lab in segments})
+            print(json.dumps(
+                {"recording": rec, "frames": int(len(labels)),
+                 "speakers": n_spk, "segments": len(segments)}),
+                file=sys.stderr)
+    finally:
+        if out is not sys.stdout:
+            out.close()
     return 0
 
 
