@@ -151,3 +151,81 @@ class TestSlidingCmvnProperties:
         assert got.shape[0] == T
         np.testing.assert_allclose(got, np.asarray(want), atol=1e-5,
                                    rtol=0)
+
+
+class TestSpeakerBackendProperties:
+    """Hypothesis properties for the round-3 statistical modules."""
+
+    @given(seed=st.integers(0, 2**31 - 1),
+           dim=st.integers(2, 12),
+           n_spk=st.integers(4, 12),
+           n_per=st.integers(3, 6))
+    @settings(max_examples=10, deadline=None)
+    def test_plda_diagonalization_invariants(self, seed, dim, n_spk,
+                                             n_per):
+        """For ANY labeled training set: the trained transform
+        simultaneously diagonalizes its own implied covariances, psi is
+        sorted non-negative, and scoring is finite."""
+        from tpufeat import plda as pl
+        r = np.random.default_rng(seed)
+        spk = r.standard_normal((n_spk, dim)) * 2.0
+        x = (np.repeat(spk, n_per, axis=0)
+             + r.standard_normal((n_spk * n_per, dim)))
+        ids = np.repeat(np.arange(n_spk), n_per)
+        model = pl.train_plda(x, ids, iters=3)
+        Ainv = np.linalg.inv(model.transform)
+        W = model.transform @ (Ainv @ Ainv.T) @ model.transform.T
+        np.testing.assert_allclose(W, np.eye(dim), atol=1e-7)
+        assert (model.psi >= 0).all()
+        assert (np.diff(model.psi) <= 1e-9).all()
+        s = np.asarray(model.score(x[:3], x[3:6]))
+        assert np.isfinite(s).all()
+
+    @given(seed=st.integers(0, 2**31 - 1),
+           scale=st.floats(0.5, 4.0),
+           shift=st.floats(-2.0, 2.0))
+    @settings(max_examples=10, deadline=None)
+    def test_fmllr_likelihood_never_decreases(self, seed, scale, shift):
+        """For ANY diagonal-affine distortion, the estimated transform's
+        Jacobian-corrected likelihood is at least the unadapted one."""
+        from tpufeat import fmllr as fm
+        from tpufeat import ivector as iv
+        from tpufeat.data import apply_transform
+        r = np.random.default_rng(seed)
+        centers = r.standard_normal((3, 4)) * 2.0
+        frames = np.concatenate(
+            [c + r.standard_normal((150, 4)) for c in centers]
+        ).astype(np.float32)
+        ubm = iv.train_diag_ubm(frames, 3, iters=1, final_iters=2,
+                                seed=0)
+        xd = (frames * scale + shift).astype(np.float32)
+        W = fm.est_fmllr(ubm, xd, iters=10, min_count=1.0)
+        adapted = np.asarray(apply_transform(xd, W))
+        gain = (iv.avg_log_like(ubm, adapted)
+                + np.linalg.slogdet(W[:, :-1])[1]
+                - iv.avg_log_like(ubm, xd))
+        assert gain > -1e-3, gain
+
+    @given(seed=st.integers(0, 2**31 - 1),
+           T=st.integers(30, 400),
+           window=st.sampled_from([50, 100, 150]),
+           period=st.sampled_from([25, 50]))
+    @settings(max_examples=10, deadline=None)
+    def test_diarization_window_grid_covers(self, seed, T, window,
+                                            period):
+        """For ANY frame count and grid: spans tile [0, T] (first starts
+        at 0, last ends at T unless dropped short, starts step by
+        period, ends clamp to T)."""
+        from tpufeat.diarization import sliding_windows
+        if window % period:
+            window = (window // period) * period or period
+        spans = sliding_windows(T, window=window, period=period)
+        assert spans[0][0] == 0
+        assert (np.diff(spans[:, 0]) == period).all()
+        assert (spans[:, 1] <= T).all()
+        assert (spans[:, 1] - spans[:, 0] <= window).all()
+        # coverage: every frame lies inside at least one span
+        covered = np.zeros(T, bool)
+        for s, e in spans:
+            covered[s:e] = True
+        assert covered.all() or len(spans) == 1
