@@ -295,3 +295,38 @@ class TestBatchTimeShardedNoRetrace:
         assert sharding._make_batch_time_sharded_fn(
             cfg, n // 2, mesh, "dp", "time") is fn
         assert fn._cache_size() == before == 1
+
+
+class TestRound3FamiliesSharded:
+    """The round-3 feature families ride the sharded paths unchanged
+    (they are new precomputed matrices / config flags through the same
+    kernels): GFCC over the time-sharded halo path, GFCC/PNCC over the
+    dp path."""
+
+    def test_gfcc_time_sharded_matches_oneshot(self):
+        from tpufeat.config import GFCC13
+        n = sharding.shardable_length(6 * 16000, GFCC13, N_DEV)
+        sig = make_signal(n, seed=95)
+        got = np.asarray(sharding.extract_time_sharded(sig, GFCC13))
+        assert_close(got, one_shot(sig, GFCC13))
+
+    def test_gfcc_pncc_data_parallel(self):
+        from tpufeat.config import GFCC13, PNCC13
+        sigs = np.stack([make_signal(16000, seed=96 + i)
+                         for i in range(N_DEV)])
+        lengths = np.full(N_DEV, 16000, np.int32)
+        for cfg in (GFCC13, PNCC13):
+            res = sharding.extract_data_parallel(sigs, lengths, cfg)
+            want = np.asarray(features.extract(sigs, lengths,
+                                               cfg=cfg).features)
+            np.testing.assert_allclose(np.asarray(res.features), want,
+                                       atol=2e-5)
+
+    def test_pncc_time_sharding_rejected(self):
+        """PNCC recursions are utterance-global: the time-sharded path
+        must refuse loudly (an unpacking crash was the old behavior)."""
+        from tpufeat.config import PNCC13
+        sig = make_signal(sharding.shardable_length(
+            2 * 16000, PNCC13, N_DEV), seed=98)
+        with pytest.raises(ValueError, match="PNCC"):
+            sharding.extract_time_sharded(sig, PNCC13)

@@ -139,6 +139,12 @@ def _check_time_shardable(cfg: FeatureConfig) -> None:
             "convention); use extract()/extract_data_parallel for "
             f"center=True with preemphasis={cfg.preemphasis}, "
             f"drop_last_frame={cfg.drop_last_frame}")
+    if cfg.pncc:
+        raise ValueError(
+            "PNCC's noise-floor/peak/power-mean recursions carry state "
+            "across the WHOLE utterance — time shards cannot compute "
+            "them locally; use extract()/extract_data_parallel "
+            "(dp shards are whole utterances and compose fine)")
     if cfg.cmvn.startswith("sliding"):
         raise ValueError(
             "time sharding implements utterance-global CMVN (one psum); "
