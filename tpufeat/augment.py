@@ -103,10 +103,7 @@ def spec_augment(feats: jnp.ndarray, num_frames: jnp.ndarray,
     return jnp.where(masked, fill_val, feats)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("energy_threshold",
-                                    "energy_mean_scale", "frames_context",
-                                    "proportion_threshold"))
+@functools.partial(jax.jit, static_argnames=("frames_context",))
 def kaldi_vad(log_energy: jnp.ndarray, num_frames=None, *,
               energy_threshold: float = 5.0,
               energy_mean_scale: float = 0.5,

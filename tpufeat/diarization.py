@@ -364,10 +364,7 @@ def main(argv=None) -> int:
     if ext.ubm.dim != cfg.feature_dim:
         raise ValueError(f"extractor UBM dim {ext.ubm.dim} != preset "
                          f"feature dim {cfg.feature_dim}")
-    try:
-        model = Plda.load(args.plda)
-    except Exception:
-        model = Plda.load_kaldi(args.plda)
+    model = Plda.load_auto(args.plda)
     if model.dim != ext.ivector_dim:
         raise ValueError(f"PLDA dim {model.dim} != i-vector dim "
                          f"{ext.ivector_dim}")

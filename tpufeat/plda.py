@@ -257,6 +257,23 @@ class Plda:
         with open(path, "rb") as f:
             return cls.from_kaldi_bytes(f.read())
 
+    @classmethod
+    def load_auto(cls, path: str) -> "Plda":
+        """Load either container, dispatching on the file's magic bytes
+        (npz is a zip: ``PK``; Kaldi binary objects start ``\\0B``) —
+        NOT on exceptions, so a corrupted npz surfaces as the real
+        np.load failure instead of a confusing 'bad <Plda> object'
+        error (round-3 advisor finding)."""
+        import os
+        p = path
+        if not os.path.exists(p) and os.path.exists(p + ".npz"):
+            p += ".npz"
+        with open(p, "rb") as f:
+            magic = f.read(2)
+        if magic == b"\0B":
+            return cls.load_kaldi(p)
+        return cls.load(p)
+
 
 @jax.jit
 def _llr_jit(u, n, v, psi):
@@ -500,10 +517,7 @@ def main(argv=None) -> int:
                    help="skip the transform-time length normalization")
     args = p.parse_args(argv)
 
-    try:
-        model = Plda.load(args.plda)
-    except Exception:
-        model = Plda.load_kaldi(args.plda)
+    model = Plda.load_auto(args.plda)
     enroll = feats_io.read_kaldi_vec_ark(args.enroll)
     test = feats_io.read_kaldi_vec_ark(args.test)
 

@@ -10,7 +10,9 @@ log compression with the published noise-suppression stack:
   gammatone power P[m, l]                          (C7, log="none")
     -> medium-time power Q: mask-aware 5-frame mean        (eq. M=2)
     -> asymmetric noise floor Qle (lambda_a=0.999/lambda_b=0.5 lowpass,
-       fast-attack slow-release), half-wave Q0 = max(Q - Qle, 0)
+       slow-attack fast-release: the floor RISES slowly toward power
+       bursts and drops fast after them — the lower-envelope behavior
+       Kim & Stern intend), half-wave Q0 = max(Q - Qle, 0)
     -> temporal masking: peak tracker Qp (lambda_t=0.85), suppression
        mu_t=0.2; second asymmetric filter on Q0 gives the noise floor Qf
     -> excitation switch: R = Qtm where Q >= c*Qle (c=2) else Qf
