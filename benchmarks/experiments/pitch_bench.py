@@ -24,9 +24,12 @@ def main() -> int:
 
     from tpufeat import pitch
 
-    cfg = pitch.PitchConfig()
+    cfg = pitch.PitchConfig()                     # resampled lag grid
     cfg_fft = pitch.PitchConfig(nccf_method="fft")
-    print(f"backend={jax.default_backend()}", file=sys.stderr)
+    cfg_native = pitch.PitchConfig(lag_rate=0)    # round-1..3 audit twin
+    print(f"backend={jax.default_backend()}  lag grid: "
+          f"{cfg.inner().sample_rate} Hz, L={cfg.inner().n_lags} "
+          f"(native twin L={cfg_native.n_lags})", file=sys.stderr)
 
     @jax.jit
     def cks(t):
@@ -42,6 +45,8 @@ def main() -> int:
         nccf_fn = jax.jit(lambda a, b: pitch.nccf(a, b, cfg)[0])
         nccf_fft_fn = jax.jit(lambda a, b: pitch.nccf(a, b, cfg_fft)[0])
         track_fn = jax.jit(lambda a, b: pitch._track_impl(a, b, cfg)[:2])
+        native_fn = jax.jit(
+            lambda a, b: pitch._track_impl(a, b, cfg_native)[:2])
 
         def timeit(fn, chain=4, iters=5):
             float(np.asarray(cks(fn(x, lens))))
@@ -58,15 +63,20 @@ def main() -> int:
         t_nccf = timeit(nccf_fn)
         t_fft = timeit(nccf_fft_fn)
         t_full = timeit(track_fn)
+        t_native = timeit(native_fn)
         out[f"B{B}x{sec}s"] = {
             "nccf_gemm_ms": round(t_nccf * 1e3, 2),
             "nccf_fft_ms": round(t_fft * 1e3, 2),
             "full_ms": round(t_full * 1e3, 2),
             "rtfx": round(B * sec / t_full),
+            "native_full_ms": round(t_native * 1e3, 2),
+            "native_rtfx": round(B * sec / t_native),
         }
         print(f"B={B} {sec}s: nccf gemm {t_nccf*1e3:.2f} ms / fft "
-              f"{t_fft*1e3:.2f} ms, full {t_full*1e3:.2f} ms, "
-              f"RTFx {B*sec/t_full:,.0f}", file=sys.stderr)
+              f"{t_fft*1e3:.2f} ms, full {t_full*1e3:.2f} ms "
+              f"(RTFx {B*sec/t_full:,.0f}); native twin "
+              f"{t_native*1e3:.2f} ms ({B*sec/t_native:,.0f})",
+              file=sys.stderr)
     print(json.dumps(out))
     return 0
 

@@ -181,10 +181,11 @@ class TestCenterAndConfigFor:
         assert abs(got - f0) <= max(1.5 * f0 * f0 / sr, 0.5), got
 
     def test_center_equals_explicit_pad(self):
-        """center=True is DEFINED as zero-padding wext//2 each side;
+        """center=True is DEFINED as zero-padding wext//2 each side (of
+        the lag-grid signal — native grid here so the pad is explicit);
         with ballast=0 (no RMS dependence) the two must be bit-equal."""
-        cfg_c = pitch.PitchConfig(center=True, ballast=0.0)
-        cfg_u = pitch.PitchConfig(center=False, ballast=0.0)
+        cfg_c = pitch.PitchConfig(center=True, ballast=0.0, lag_rate=0)
+        cfg_u = pitch.PitchConfig(center=False, ballast=0.0, lag_rate=0)
         sig = tone(150.0, n=9600)
         pad = cfg_c.wext // 2
         padded = np.pad(sig, (pad, pad))
@@ -259,20 +260,26 @@ class TestStreamingPitch:
         np.testing.assert_allclose(got, np.asarray(want_hz)[:F], rtol=1e-6)
 
     def test_emission_counting(self):
-        """Emissions lag input by exactly `lookahead` frames and flush
-        drains exactly the pending tail, over an uneven chunk plan."""
+        """Every frame is emitted exactly once over an uneven chunk
+        plan: process() emissions lag input by `lookahead` frames, and
+        flush() drains the polyphase tail plus the pending Viterbi
+        lookahead — process + flush together must emit exactly
+        num_frames(total)."""
         cfg = pitch.PitchConfig()
         sig = self._tone(n=14000)
-        F = cfg.num_frames(len(sig))
         K = 7
         sp = pitch.StreamingPitch(cfg, batch_size=1, lookahead=K)
-        total = 0
+        total = emitted = 0
         for c in (1000, 3000, 750, 4250, 5000):
             hz, _ = sp.process(sig[None, total: total + c])
+            emitted += hz.shape[1]
             total += c
         hz_f, _ = sp.flush()
         seen = cfg.num_frames(total)
-        assert hz_f.shape[1] == min(seen, K)
+        assert emitted + hz_f.shape[1] == seen
+        # the Viterbi drain itself is exactly min(seen, K); the rest of
+        # the flush rows come from the resampler tail
+        assert hz_f.shape[1] >= min(seen, K)
 
     def test_center_full_lookahead_equals_offline(self):
         """Centered streaming: the pre-filled left pad + flush-fed right
@@ -362,3 +369,110 @@ class TestStreamingPitch:
             loaded = st.load_state(p, sp.state)
         for a, b in zip(sp.state, loaded):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLagGrid:
+    """Round-4: the resampled lag grid (Kaldi's resample_freq design) +
+    parabolic sub-lag refinement."""
+
+    def test_default_is_kaldi_grid(self):
+        cfg = pitch.PitchConfig()
+        assert cfg.lag_rate == 2000 and cfg.resampled and cfg.refine
+        inner = cfg.inner()
+        assert (inner.sample_rate, inner.frame_length,
+                inner.hop_length) == (2000, 50, 20)
+        assert (inner.lag_min, inner.lag_max, inner.n_lags) == (5, 40, 36)
+        assert not inner.resampled          # transplant terminates
+
+    def test_refined_accuracy_beats_native_quantization(self):
+        """The whole point: at 330 Hz the native integer grid quantizes
+        in ~6.8 Hz steps and the raw 2 kHz grid in ~54 Hz steps; the
+        refined resampled tracker must land within 1 Hz."""
+        for f0 in (95.0, 187.0, 263.0, 330.0):
+            hz, pov, valid = pitch.track(tone(f0, n=16000))
+            got = np.median(np.asarray(hz)[np.asarray(valid)])
+            assert abs(got - f0) < max(0.01 * f0, 0.5), (f0, got)
+
+    def test_native_twin_agrees(self):
+        """Resampled-grid and native-grid trackers agree on voiced audio
+        to within the coarser grid's quantization."""
+        f0 = 150.0
+        sig = tone(f0, n=12000)
+        hz_r, _, v_r = pitch.track(sig)                 # lag_rate=2000
+        hz_n, _, v_n = pitch.track(sig,
+                                   cfg=pitch.PitchConfig(lag_rate=0))
+        med_r = np.median(np.asarray(hz_r)[np.asarray(v_r)])
+        med_n = np.median(np.asarray(hz_n)[np.asarray(v_n)])
+        assert abs(med_r - med_n) < 3.0, (med_r, med_n)
+
+    def test_refine_lag_recovers_parabola_vertex(self):
+        import jax.numpy as jnp
+        true_delta = 0.3125
+        lags = np.arange(9, dtype=np.float64)
+        scores = (1.0 - (lags - (4 + true_delta)) ** 2 * 0.2)[None, :]
+        idx = jnp.asarray([4], jnp.int32)
+        d = np.asarray(pitch.refine_lag(jnp.asarray(scores, jnp.float32),
+                                        idx))
+        np.testing.assert_allclose(d, [true_delta], atol=1e-5)
+
+    def test_refine_lag_gates_edges_and_flat_peaks(self):
+        import jax.numpy as jnp
+        flat = jnp.ones((3, 5), jnp.float32)            # zero curvature
+        idx = jnp.asarray([0, 2, 4], jnp.int32)         # edge, mid, edge
+        d = np.asarray(pitch.refine_lag(flat, idx))
+        np.testing.assert_array_equal(d, np.zeros(3))
+
+    def test_indivisible_rate_falls_back_to_native(self):
+        import dataclasses
+        from tpufeat.config import MFCC13_HTK
+        cfg_odd = dataclasses.replace(MFCC13_HTK, sample_rate=22050,
+                                      frame_length=551, hop_length=221,
+                                      n_fft=1024)
+        pc = pitch.config_for(cfg_odd)
+        assert pc.lag_rate == 0             # silently native, not raise
+        with pytest.raises(ValueError):
+            pitch.PitchConfig(sample_rate=22050, frame_length=551,
+                              hop_length=221).inner()
+
+    def test_num_frames_matches_output(self):
+        cfg = pitch.PitchConfig()
+        for n in (7200, 14000, 16001):
+            hz, pov, valid = pitch.track(tone(150.0, n=n))
+            assert np.asarray(hz).shape[0] == cfg.num_frames(n)
+
+    def test_mask_invariance_through_the_resampler(self):
+        """Garbage past an utterance's length must not leak through the
+        polyphase filter into its pitch (the pre-filter zero-mask)."""
+        sig = tone(150.0, n=9600)
+        hz1, pov1, v1 = pitch.track(sig)
+        padded = np.concatenate(
+            [sig, (10 * np.random.default_rng(3).standard_normal(6400))
+             .astype(np.float32)])
+        hz2, pov2, v2 = pitch.track(padded[None],
+                                    lengths=np.array([9600], np.int32))
+        F = int(np.asarray(v1).sum())
+        np.testing.assert_array_equal(np.asarray(hz1)[:F],
+                                      np.asarray(hz2)[0, :F])
+
+    def test_streaming_features_state_roundtrip_with_resampler(self):
+        """Checkpoint/resume through StreamingPitchFeatures.state()
+        includes the polyphase carry: resume mid-stream and the
+        remaining rows must match an uninterrupted run exactly."""
+        cfg = pitch.PitchConfig(ballast=0.0)
+        sig = tone(170.0, n=12000, seed=21)
+        a = pitch.StreamingPitchFeatures(cfg, batch_size=1, lookahead=9)
+        rows = [a.process(sig[None, :7000])]
+        st = a.state()
+        rows.append(a.process(sig[None, 7000:]))
+        rows.append(a.flush())
+        want = np.concatenate([np.asarray(r) for r in rows if r.shape[1]],
+                              axis=1)
+
+        b = pitch.StreamingPitchFeatures(cfg, batch_size=1, lookahead=9)
+        b.process(sig[None, :7000])
+        b.set_state(st)
+        rows2 = [np.asarray(want[:, :rows[0].shape[1]]),
+                 np.asarray(b.process(sig[None, 7000:])),
+                 np.asarray(b.flush())]
+        got = np.concatenate([r for r in rows2 if r.shape[1]], axis=1)
+        np.testing.assert_array_equal(got, want)

@@ -371,7 +371,9 @@ class TestAuxOnChip:
         ghz, _ = cpu_ref.pitch(sig.astype(np.float64),
                                pitchmod.PitchConfig())
         F = int(v.sum())
-        np.testing.assert_allclose(np.asarray(hz)[:F], ghz[:F], rtol=1e-6)
+        # rtol 1e-5 >> the >=2% lag-grid spacing => identical Viterbi
+        # decisions; the slack absorbs f32-vs-f64 parabolic deltas
+        np.testing.assert_allclose(np.asarray(hz)[:F], ghz[:F], rtol=1e-5)
 
     def test_streaming_pitch_on_chip(self):
         """Online lookahead-K pitch on hardware: full-lookahead flush ==

@@ -19,11 +19,26 @@ TPU-first formulation (all static shapes, one jitted program):
     exactly on the last VALID frame's best path (mask-invariance is
     property-tested).
 
-Deviations from Kaldi (documented, deliberate): integer lags at the
-native sample rate (no 2 kHz lag resampling), offline whole-utterance
-Viterbi (no online lattice pruning), and a per-utterance RMS ballast.
-Golden twin: ``tpufeat.reference.cpu.pitch`` (float64, direct correlation
-loops + plain-Python Viterbi).
+Like Kaldi, the NCCF/Viterbi lag grid lives at a RESAMPLED rate
+(``lag_rate``, default 2 kHz = Kaldi's ``resample_freq``): the signal is
+decimated with the MXU polyphase resampler (tpufeat/resampling.py, the
+same windowed-sinc scipy designs) and integer lags are scored at that
+rate — 36 lags instead of 281 at 16 kHz, which shrinks the Viterbi's
+dominating [B, L, L] broadcast-max ~60x (BASELINE.md pitch rows mapped
+the native-grid tracker to 20,379x RTFx with the [B, 281, 281] max as
+the measured floor). Sub-lag resolution is restored by parabolic
+interpolation of the NCCF around the decided lag (``refine``, standard
+RAPT/getf0 practice); ``lag_rate=0`` keeps the full native-rate grid as
+the audit twin.
+
+Deviations from Kaldi (documented, deliberate): integer lags at
+``lag_rate`` with parabolic refinement instead of Kaldi's log-spaced
+interpolated lag set (~400 Viterbi states — the smaller integer grid is
+the TPU-shaped formulation; the refined pitch resolution is comparable),
+offline whole-utterance Viterbi (no online lattice pruning), and a
+per-utterance RMS ballast. Golden twin: ``tpufeat.reference.cpu.pitch``
+(float64, scipy resample_poly + direct correlation loops +
+plain-Python Viterbi).
 """
 
 from __future__ import annotations
@@ -74,7 +89,56 @@ class PitchConfig:
     #                                  center=True spectral configs
     #                                  (whisper80); frame t is valid iff
     #                                  t*hop <= length, matching
-    #                                  framing.num_frames_dynamic.
+    #                                  framing.num_frames_dynamic. For
+    #                                  resampled configs the pad is
+    #                                  applied at the LAG GRID (the
+    #                                  resampled signal), not the native
+    #                                  one — frame centers land on the
+    #                                  same t*10 ms instants either way.
+    lag_rate: int = 2000             # NCCF/Viterbi lag-grid sample rate
+    #                                  (Kaldi resample_freq): the signal
+    #                                  is polyphase-resampled here before
+    #                                  scoring, shrinking the lag set
+    #                                  ~sr/lag_rate-fold. 0 = score
+    #                                  integer lags at the native rate
+    #                                  (the audit twin / round-1..3
+    #                                  behavior).
+    refine: bool = True              # parabolic sub-lag interpolation of
+    #                                  the reported pitch around the
+    #                                  Viterbi-decided lag (POV and the
+    #                                  decisions themselves stay on the
+    #                                  integer grid).
+
+    @property
+    def resampled(self) -> bool:
+        """True when the lag grid lives at ``lag_rate`` != native."""
+        return bool(self.lag_rate) and self.lag_rate != self.sample_rate
+
+    def inner(self) -> "PitchConfig":
+        """The native-grid config the NCCF/Viterbi machinery runs at:
+        self when not resampled, else the same tracker transplanted to
+        ``lag_rate`` (frame/hop scaled exactly — the rates must divide)."""
+        if not self.resampled:
+            return self
+        r, sr = self.lag_rate, self.sample_rate
+        if (self.frame_length * r) % sr or (self.hop_length * r) % sr:
+            raise ValueError(
+                f"lag_rate {r} does not divide the frame grid "
+                f"(frame_length={self.frame_length}, hop_length="
+                f"{self.hop_length} at {sr} Hz); pick a lag_rate that "
+                f"keeps both integral, or lag_rate=0 for the native grid")
+        return dataclasses.replace(
+            self, sample_rate=r, frame_length=self.frame_length * r // sr,
+            hop_length=self.hop_length * r // sr, lag_rate=0)
+
+    def lag_grid_length(self, n_samples: int) -> int:
+        """Native sample count -> lag-grid sample count (scipy
+        resample_poly's ceil(n*p/q); identity when not resampled)."""
+        if not self.resampled:
+            return n_samples
+        from tpufeat.resampling import _rational, output_length
+        p, q = _rational(self.sample_rate, self.lag_rate)
+        return output_length(n_samples, p, q)
 
     @property
     def lag_min(self) -> int:
@@ -95,7 +159,10 @@ class PitchConfig:
 
     def num_frames(self, n_samples: int) -> int:
         """Frames over the EXTENDED window (frame + lag_max); centered
-        configs see the zero-padded length (wext//2 each side)."""
+        configs see the zero-padded length (wext//2 each side). For
+        resampled configs the count is defined on the lag grid."""
+        if self.resampled:
+            return self.inner().num_frames(self.lag_grid_length(n_samples))
         w = self.wext
         if self.center:
             n_samples = n_samples + 2 * (w // 2)
@@ -116,7 +183,14 @@ def config_for(feature_cfg, **overrides) -> "PitchConfig":
               frame_length=int(round(0.025 * feature_cfg.sample_rate)),
               center=feature_cfg.center)
     kw.update(overrides)
-    return PitchConfig(**kw)
+    cfg = PitchConfig(**kw)
+    if cfg.resampled and "lag_rate" not in overrides:
+        # default lag grid must divide the feature grid; fall back to the
+        # native grid for exotic rates (22.05 kHz etc.) rather than raise
+        r, sr = cfg.lag_rate, cfg.sample_rate
+        if (cfg.frame_length * r) % sr or (cfg.hop_length * r) % sr:
+            cfg = dataclasses.replace(cfg, lag_rate=0)
+    return cfg
 
 
 @functools.lru_cache(maxsize=None)
@@ -181,11 +255,41 @@ def _nccf_from_frames(frames: jnp.ndarray, ballast: jnp.ndarray,
     return num / den
 
 
+def to_lag_grid(x: jnp.ndarray, lengths: jnp.ndarray,
+                cfg: PitchConfig):
+    """(signal, lengths, cfg) -> the same triple on the LAG GRID:
+    polyphase-resample to ``cfg.lag_rate`` (one MXU matmul,
+    tpufeat/resampling.py) and swap in the transplanted inner config.
+    Identity for native-grid configs. Zero padding commutes with the
+    resampler (its virtual right padding IS zeros), so padded batch rows
+    resample to exactly what each row would alone."""
+    if not cfg.resampled:
+        return x, lengths, cfg
+    from tpufeat import resampling
+    p, q = resampling._rational(cfg.sample_rate, cfg.lag_rate)
+    # zero the padding BEFORE the filter: the polyphase window straddles
+    # the length boundary, so un-masked padding garbage would bleed into
+    # the last ~half-filter of valid lag-grid samples (and through the
+    # utterance-global ballast RMS, into every NCCF denominator) —
+    # zeroing is exact because the resampler's own virtual padding IS
+    # zeros (mask-invariance property-tested)
+    x = x * (jnp.arange(x.shape[-1]) < lengths[..., None]).astype(x.dtype)
+    y = resampling.resample(x, cfg.sample_rate, cfg.lag_rate)
+    # ceil(n*p/q) in int32 without n*p overflow (n can be hours of audio)
+    ly = lengths // q * p + (lengths % q * p + q - 1) // q
+    return y, ly.astype(jnp.int32), cfg.inner()
+
+
 def nccf(signal: jnp.ndarray, lengths: jnp.ndarray,
          cfg: PitchConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched NCCF: [B, N] -> (nccf [B, F, L], frame validity [B, F]),
     with ballast = cfg.ballast * (frame_length * rms^2)^2 from the
-    per-utterance masked RMS (zero-signal frames score ~0, not 0/0)."""
+    per-utterance masked RMS (zero-signal frames score ~0, not 0/0).
+
+    Resampled configs are moved to their lag grid first
+    (:func:`to_lag_grid`), so the returned frame axis lives on the
+    inner grid — the same count :meth:`PitchConfig.num_frames` reports."""
+    signal, lengths, cfg = to_lag_grid(signal, lengths, cfg)
     W, hop = cfg.frame_length, cfg.hop_length
     wext = cfg.wext
     B, N = signal.shape
@@ -285,7 +389,28 @@ def track(signal, lengths=None, cfg: PitchConfig = PitchConfig(),
     return pitch, pov, valid
 
 
+def refine_lag(scores: jnp.ndarray, idx: jnp.ndarray,
+               curvature_floor: float = 1e-2) -> jnp.ndarray:
+    """Parabolic sub-lag offset in [-0.5, 0.5] from the raw NCCF around
+    the decided lag: [..., F, L] scores + [..., F] indices -> [..., F]
+    delta. Zero at grid edges and wherever the local curvature is below
+    ``curvature_floor`` (flat/unvoiced peaks: the parabola vertex there
+    is noise amplification, and the gate keeps f32 vs f64 deltas from
+    diverging where the denominator ~ roundoff)."""
+    L = scores.shape[-1]
+    im = jnp.clip(idx - 1, 0, L - 1)
+    ip = jnp.clip(idx + 1, 0, L - 1)
+    take = lambda j: jnp.take_along_axis(scores, j[..., None],
+                                         axis=-1)[..., 0]
+    ym, y0, yp = take(im), take(idx), take(ip)
+    denom = ym - 2.0 * y0 + yp                      # 2x the curvature
+    delta = 0.5 * (ym - yp) / jnp.where(denom == 0, 1.0, denom)
+    ok = ((idx > 0) & (idx < L - 1) & (denom < -curvature_floor))
+    return jnp.where(ok, jnp.clip(delta, -0.5, 0.5), 0.0)
+
+
 def _track_impl(x: jnp.ndarray, lengths: jnp.ndarray, cfg: PitchConfig):
+    x, lengths, cfg = to_lag_grid(x, lengths, cfg)
     scores, valid = nccf(x, lengths, cfg)
     if scores.shape[1] == 0:        # audio shorter than frame+lag window
         z = jnp.zeros(valid.shape, jnp.float32)
@@ -295,6 +420,8 @@ def _track_impl(x: jnp.ndarray, lengths: jnp.ndarray, cfg: PitchConfig):
     shaped = scores - cfg.lag_bias * jnp.log(lags / cfg.lag_min)
     idx = jax.vmap(lambda s, v: _viterbi(s, v, trans))(shaped, valid)
     lags = (cfg.lag_min + idx).astype(jnp.float32)
+    if cfg.refine:
+        lags = lags + refine_lag(scores, idx)
     pitch = cfg.sample_rate / lags
     pov = jnp.take_along_axis(scores, idx[..., None], axis=-1)[..., 0]
     return pitch, pov, valid
@@ -380,9 +507,11 @@ def init_pitch_state(batch_size: int, cfg: PitchConfig,
 def pitch_chunk_static(state: PitchStreamState, chunk: jnp.ndarray,
                        pos0, *, cfg: PitchConfig, lookahead: int,
                        fill: int):
-    """One online step: ([B, C] raw samples at static buffer ``fill``,
-    TRACED frame counter ``pos0``) -> (state', lag_idx [B, n_new],
-    pov [B, n_new]). ``pos0`` only seeds the scan carry (ring slots and
+    """One online step: ([B, C] LAG-GRID samples at static buffer
+    ``fill``, TRACED frame counter ``pos0``) -> (state', lag_idx
+    [B, n_new], pov [B, n_new], sub-lag delta [B, n_new]; the caller
+    owns any resampling). ``pos0`` only seeds the scan carry (ring
+    slots and
     the first-frame test are computed from the traced counter), so one
     compiled program serves every position of a chunk schedule — baking
     it into the jit key would compile per chunk (~13 s each through the
@@ -421,7 +550,7 @@ def pitch_chunk_static(state: PitchStreamState, chunk: jnp.ndarray,
     if n_new == 0:
         st = state._replace(buf=new_buf, sumsq=sumsq, count=count)
         z = jnp.zeros((B, 0), jnp.float32)
-        return st, z.astype(jnp.int32), z
+        return st, z.astype(jnp.int32), z, z
 
     from tpufeat import framing
     frames = framing.frames_from_buffer(data, n_new, wext, hop)
@@ -456,42 +585,46 @@ def pitch_chunk_static(state: PitchStreamState, chunk: jnp.ndarray,
         raw_e = jax.lax.dynamic_index_in_dim(
             raw, (pos - K) % (K + 1), axis=1, keepdims=False)
         pov = jnp.take_along_axis(raw_e, lag[:, None], axis=-1)[:, 0]
-        return (v_new, ptrs, raw, pos + 1), (lag, pov)
+        dlt = (refine_lag(raw_e, lag) if cfg.refine
+               else jnp.zeros_like(pov))
+        return (v_new, ptrs, raw, pos + 1), (lag, pov, dlt)
 
-    (v, ptrs, raw, _), (lags, povs) = jax.lax.scan(
+    (v, ptrs, raw, _), (lags, povs, dlts) = jax.lax.scan(
         frame_step, (state.v, state.ptrs, state.raw,
                      jnp.asarray(pos0, jnp.int32)),
         jnp.moveaxis(sraw, 1, 0))
     st = PitchStreamState(buf=new_buf, v=v, ptrs=ptrs, raw=raw,
                           sumsq=sumsq, count=count)
-    return st, jnp.moveaxis(lags, 0, 1), jnp.moveaxis(povs, 0, 1)
+    return (st, jnp.moveaxis(lags, 0, 1), jnp.moveaxis(povs, 0, 1),
+            jnp.moveaxis(dlts, 0, 1))
 
 
 def pitch_flush(state: PitchStreamState, *, cfg: PitchConfig,
                 lookahead: int, pos: int):
     """Drain the pending min(pos, lookahead) frames: full backtrace from
-    the final forward maximum through the ring.
+    the final forward maximum through the ring -> (lag_idx, pov, delta).
 
     One jitted dispatch: the ``n``-step backtrace unrolls inside a
-    compiled program keyed on (lookahead, n) with ``pos`` TRACED — the
-    eager formulation cost ~3 ops x n frames of per-dispatch relay floor
-    (~2 ms each, BASELINE.md) at every stream end."""
+    compiled program keyed on (lookahead, n, refine) with ``pos``
+    TRACED — the eager formulation cost ~3 ops x n frames of
+    per-dispatch relay floor (~2 ms each, BASELINE.md) at every
+    stream end."""
     n = min(pos, lookahead)
     B = state.v.shape[0]
     if n == 0:
         z = jnp.zeros((B, 0), jnp.float32)
-        return z.astype(jnp.int32), z
-    return _pitch_flush_jit(lookahead, n)(state, jnp.asarray(pos,
-                                                             jnp.int32))
+        return z.astype(jnp.int32), z, z
+    return _pitch_flush_jit(lookahead, n, cfg.refine)(
+        state, jnp.asarray(pos, jnp.int32))
 
 
 @functools.lru_cache(maxsize=None)
-def _pitch_flush_jit(lookahead: int, n: int):
+def _pitch_flush_jit(lookahead: int, n: int, refine: bool):
     K = lookahead
 
     def impl(state: PitchStreamState, pos: jnp.ndarray):
         lag = jnp.argmax(state.v, axis=-1).astype(jnp.int32)
-        lags, povs = [], []
+        lags, povs, dlts = [], [], []
         for k in range(n):                # frame pos-1-k, newest first
             slot = (pos - 1 - k) % (K + 1)
             raw_k = jax.lax.dynamic_index_in_dim(state.raw, slot, axis=1,
@@ -499,6 +632,8 @@ def _pitch_flush_jit(lookahead: int, n: int):
             lags.append(lag)
             povs.append(jnp.take_along_axis(raw_k, lag[:, None],
                                             axis=-1)[:, 0])
+            dlts.append(refine_lag(raw_k, lag) if refine
+                        else jnp.zeros_like(povs[-1]))
             if k < n - 1:
                 ptr_k = jax.lax.dynamic_index_in_dim(state.ptrs, slot,
                                                      axis=1,
@@ -506,7 +641,8 @@ def _pitch_flush_jit(lookahead: int, n: int):
                 lag = jnp.take_along_axis(ptr_k, lag[:, None],
                                           axis=-1)[:, 0]
         return (jnp.stack(lags[::-1], axis=1),
-                jnp.stack(povs[::-1], axis=1))
+                jnp.stack(povs[::-1], axis=1),
+                jnp.stack(dlts[::-1], axis=1))
 
     return jax.jit(impl)
 
@@ -523,27 +659,35 @@ class StreamingPitch:
 
     def __init__(self, cfg: PitchConfig = PitchConfig(),
                  batch_size: int = 1, lookahead: int = 15):
-        self.cfg = cfg
+        self.outer_cfg = cfg
+        # all sample-level machinery runs on the LAG GRID: resampled
+        # configs put a StreamingResampler in front (bit-exact vs the
+        # offline polyphase for the 16k->2k small-filter family), and
+        # self.cfg is the transplanted inner config
+        self.cfg = cfg.inner()
+        self._resampler = None
+        if cfg.resampled:
+            from tpufeat.resampling import StreamingResampler
+            self._resampler = StreamingResampler(
+                cfg.sample_rate, cfg.lag_rate, batch_size)
         self.lookahead = lookahead
-        self.state = init_pitch_state(batch_size, cfg, lookahead)
-        # center=True: the offline tracker zero-pads wext//2 each side so
-        # windows are centered on t*hop. The state buffer is born zeroed,
-        # so the LEFT pad is just a pre-filled carry; flush() feeds the
-        # right pad before draining.
-        self._fill = cfg.wext // 2 if cfg.center else 0
+        self.state = init_pitch_state(batch_size, self.cfg, lookahead)
+        # center=True: the offline tracker zero-pads wext//2 each side
+        # (of the LAG-GRID signal) so windows are centered on t*hop. The
+        # state buffer is born zeroed, so the LEFT pad is just a
+        # pre-filled carry; flush() feeds the right pad before draining.
+        self._fill = self.cfg.wext // 2 if self.cfg.center else 0
         self._pos = 0
         self._tail_padded = False
 
-    def _hz(self, lag_idx):
-        return self.cfg.sample_rate / (self.cfg.lag_min
+    def _hz(self, lag_idx, dlt):
+        return self.cfg.sample_rate / (self.cfg.lag_min + dlt
                                        + lag_idx.astype(jnp.float32))
 
-    def process(self, chunk):
-        chunk = jnp.asarray(chunk, jnp.float32)
-        if chunk.ndim == 1:
-            chunk = chunk[None]
+    def _feed(self, chunk):
+        """Advance the tracker by a LAG-GRID chunk (post-resampler)."""
         fn = _pitch_step_jit(self.cfg, self.lookahead, self._fill)
-        self.state, lags, povs = fn(self.state, chunk, self._pos)
+        self.state, lags, povs, dlts = fn(self.state, chunk, self._pos)
         n_new = lags.shape[1]
         # rows for frames < lookahead are warmup garbage: slice them off
         skip = max(0, min(self.lookahead - self._pos, n_new))
@@ -552,37 +696,53 @@ class StreamingPitch:
         total = self._fill + chunk.shape[1]
         assert n_new == max(0, 1 + (total - wext) // self.cfg.hop_length)
         self._fill = total - n_new * self.cfg.hop_length
-        return self._hz(lags[:, skip:]), povs[:, skip:]
+        return self._hz(lags[:, skip:], dlts[:, skip:]), povs[:, skip:]
+
+    def process(self, chunk):
+        chunk = jnp.asarray(chunk, jnp.float32)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        if self._resampler is not None:
+            chunk = self._resampler.process(chunk)
+        return self._feed(chunk)
 
     def reset_rows(self, rows) -> None:
-        """Slot recycle: zero the rows' sample carry, Viterbi scores,
-        backpointer/NCCF rings, and running ballast stats (the shared
-        fill/pos clock keeps running). The init state is all-zeros
-        (init_pitch_state), so the slot restarts from the tracker's
-        initial condition; its decisions are warmup garbage for the next
-        ``lookahead`` emitted frames (same as stream start), then final.
-        Other rows are bit-unchanged."""
+        """Slot recycle: zero the rows' sample carry, resampler carry,
+        Viterbi scores, backpointer/NCCF rings, and running ballast
+        stats (the shared fill/pos clock keeps running). The init state
+        is all-zeros (init_pitch_state), so the slot restarts from the
+        tracker's initial condition; its decisions are warmup garbage
+        for the next ``lookahead`` emitted frames (same as stream
+        start), then final. Other rows are bit-unchanged."""
         from tpufeat.streaming import zero_rows
+        if self._resampler is not None:
+            self._resampler.reset_rows(rows)
         self.state = PitchStreamState(
             *(zero_rows(leaf, rows) for leaf in self.state))
 
     def flush(self):
+        parts = []
+        if self._resampler is not None and not self._tail_padded:
+            # drain the polyphase tail so the tracker has seen exactly
+            # resample(whole stream), like the offline path
+            tail = self._resampler.flush()
+            if tail.shape[1]:
+                parts.append(self._feed(tail))
         if self.cfg.center and not self._tail_padded:
-            # the offline centered tracker sees wext//2 trailing zeros;
-            # feed them so the final centered frames exist, then drain
-            self._tail_padded = True
+            # the offline centered tracker sees wext//2 trailing zeros
+            # on the lag grid; feed them so the final centered frames
+            # exist, then drain
             B = self.state.v.shape[0]
-            hz0, pov0 = self.process(
-                jnp.zeros((B, self.cfg.wext // 2), jnp.float32))
-        else:
-            hz0 = pov0 = None
-        lags, povs = pitch_flush(self.state, cfg=self.cfg,
-                                 lookahead=self.lookahead, pos=self._pos)
-        hz, povs = self._hz(lags), povs
-        if hz0 is not None and hz0.shape[1]:
-            hz = jnp.concatenate([hz0, hz], axis=1)
-            povs = jnp.concatenate([pov0, povs], axis=1)
-        return hz, povs
+            parts.append(self._feed(
+                jnp.zeros((B, self.cfg.wext // 2), jnp.float32)))
+        self._tail_padded = True
+        lags, povs, dlts = pitch_flush(self.state, cfg=self.cfg,
+                                       lookahead=self.lookahead,
+                                       pos=self._pos)
+        parts.append((self._hz(lags, dlts), povs))
+        hz = jnp.concatenate([p[0] for p in parts], axis=1)
+        pov = jnp.concatenate([p[1] for p in parts], axis=1)
+        return hz, pov
 
 
 @functools.lru_cache(maxsize=None)
@@ -663,13 +823,16 @@ class StreamingPitchFeatures:
         """Full state as one pytree (host counters included) — feed to
         :func:`tpufeat.streaming.save_state` for checkpoint/resume."""
         t = self.tracker
-        return {
+        s = {
             "tracker": t.state, "fill": t._fill, "pos": t._pos,
             "tail_padded": t._tail_padded,
             "deltas": (self._deltas.carry, self._deltas.n_seen),
             "pov_fifo": self._pov_fifo, "lp_fifo": self._lp_fifo,
             "lp_sum": self._lp_sum, "n": self._n,
         }
+        if t._resampler is not None:
+            s["resampler"] = t._resampler.state()
+        return s
 
     def reset_rows(self, rows) -> None:
         """Slot recycle: reset the rows' tracker state, delta carry,
@@ -692,6 +855,8 @@ class StreamingPitchFeatures:
         t.state = s["tracker"]
         t._fill, t._pos = int(s["fill"]), int(s["pos"])
         t._tail_padded = bool(s["tail_padded"])
+        if t._resampler is not None:
+            t._resampler.set_state(s["resampler"])
         self._deltas.carry = s["deltas"][0]
         self._deltas.n_seen = int(s["deltas"][1])
         self._pov_fifo = jnp.asarray(s["pov_fifo"])

@@ -266,10 +266,19 @@ def plp(x: np.ndarray, cfg: FeatureConfig,
 def pitch(x: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray]:
     """Golden pitch tracker -> (pitch_hz [F], pov [F]).
 
-    Independent of tpufeat/pitch.py by construction: direct per-lag
-    correlation loops (no FFT) and a plain-Python Viterbi with explicit
-    backtrace. ``cfg`` is a tpufeat.pitch.PitchConfig."""
+    Independent of tpufeat/pitch.py by construction: scipy
+    ``resample_poly`` for the lag-grid decimation (the production MXU
+    polyphase resampler is parity-tested against exactly this), direct
+    per-lag correlation loops (no FFT), a plain-Python Viterbi with
+    explicit backtrace, and inline parabolic refinement. ``cfg`` is a
+    tpufeat.pitch.PitchConfig."""
     x = np.asarray(x, dtype=np.float64)
+    if getattr(cfg, "resampled", False):
+        import math
+        from scipy.signal import resample_poly
+        g = math.gcd(cfg.sample_rate, cfg.lag_rate)
+        x = resample_poly(x, cfg.lag_rate // g, cfg.sample_rate // g)
+        cfg = cfg.inner()
     W, hop = cfg.frame_length, cfg.hop_length
     L0, L1 = cfg.lag_min, cfg.lag_max
     wext = W + L1
@@ -304,7 +313,20 @@ def pitch(x: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray]:
         path[-1] = int(np.argmax(v))
         for t in range(F - 2, -1, -1):
             path[t] = ptrs[t][path[t + 1]]
-    hz = cfg.sample_rate / lags[path]
+    delta = np.zeros(F)
+    if getattr(cfg, "refine", False):
+        # parabolic sub-lag refinement on the raw NCCF (tpufeat.pitch.
+        # refine_lag twin): vertex of the parabola through the decided
+        # lag and its neighbors, gated on real curvature, clipped to
+        # half a lag step
+        for t in range(F):
+            j = path[t]
+            if 0 < j < L - 1:
+                ym, y0, yp = scores[t, j - 1], scores[t, j], scores[t, j + 1]
+                den = ym - 2.0 * y0 + yp
+                if den < -1e-2:
+                    delta[t] = min(0.5, max(-0.5, 0.5 * (ym - yp) / den))
+    hz = cfg.sample_rate / (lags[path] + delta)
     pov = scores[np.arange(F), path]
     return hz, pov
 
