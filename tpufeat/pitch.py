@@ -274,7 +274,11 @@ def to_lag_grid(x: jnp.ndarray, lengths: jnp.ndarray,
     # zeroing is exact because the resampler's own virtual padding IS
     # zeros (mask-invariance property-tested)
     x = x * (jnp.arange(x.shape[-1]) < lengths[..., None]).astype(x.dtype)
-    y = resampling.resample(x, cfg.sample_rate, cfg.lag_rate)
+    # block=64: the base polyphase formulation frames with hop q << L, a
+    # 21x HBM expansion measured at 8.1 ms of the 19.1 ms tracker
+    # (B=128x10 s); stacking 64 blocks per matmul row cuts it to ~1.3x
+    # with identical taps (resampling.resample_matrix_blocked)
+    y = resampling.resample(x, cfg.sample_rate, cfg.lag_rate, block=64)
     # ceil(n*p/q) in int32 without n*p overflow (n can be hours of audio)
     ly = lengths // q * p + (lengths % q * p + q - 1) // q
     return y, ly.astype(jnp.int32), cfg.inner()
