@@ -406,6 +406,73 @@ long tpufeat_plp_f64(const double* signal, long n, int sample_rate,
   return n_frames;
 }
 
+// Polyphase resampler golden (scipy.signal.resample_poly twin), double
+// precision: the same default filter scipy designs — windowed sinc,
+// half length 10*max(p,q), Kaiser(beta=5), unity DC gain, scaled by p —
+// evaluated as a direct upfirdn sum y[m] = sum_t x[t] h[m*q + D - t*p]
+// (D = group delay), zeros outside the signal. The third independent
+// implementation beside tpufeat/resampling.py (MXU block matmul) and
+// scipy itself (which reference/cpu.py's pitch golden calls). Output
+// length ceil(n*p/q); `out` must hold that many doubles.
+namespace {
+double bessel_i0(double x) {
+  // I0(x) power series: sum_k ((x/2)^k / k!)^2 — monotone terms,
+  // plenty of precision for the Kaiser-5 window's x in [0, 5]
+  double sum = 1.0, term = 1.0;
+  const double hx = 0.5 * x;
+  for (int k = 1; k < 64; ++k) {
+    term *= hx / k;
+    const double t2 = term * term;
+    sum += t2;
+    if (t2 < sum * 1e-18) break;
+  }
+  return sum;
+}
+}  // namespace
+
+long tpufeat_resample_len(long n, int p, int q) {
+  return (n * p + q - 1) / q;
+}
+
+long tpufeat_resample_poly_f64(const double* x, long n, int p, int q,
+                               double* out) {
+  const int max_rate = p > q ? p : q;
+  const long half = 10L * max_rate;
+  const long lh = 2 * half + 1;
+  const double fc = 1.0 / max_rate;  // cutoff in Nyquist units (fs = 2)
+  const double beta = 5.0;
+  const double i0b = bessel_i0(beta);
+  std::vector<double> h(lh);
+  double s = 0.0;
+  for (long i = 0; i < lh; ++i) {
+    const double m = static_cast<double>(i - half);
+    const double a = kPi * fc * m;
+    const double sinc = (m == 0.0) ? 1.0 : std::sin(a) / a;
+    const double r = 2.0 * static_cast<double>(i) / (lh - 1) - 1.0;
+    const double w =
+        bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / i0b;
+    h[i] = fc * sinc * w;
+    s += h[i];
+  }
+  const double g = static_cast<double>(p) / s;  // unity DC gain, x p
+  for (long i = 0; i < lh; ++i) h[i] *= g;
+
+  const long n_out = (n * p + q - 1) / q;
+  for (long m = 0; m < n_out; ++m) {
+    const long k0 = m * static_cast<long>(q) + half;
+    // x[t] contributes iff 0 <= k0 - t*p < lh (and t inside the signal)
+    const long a = k0 - lh + 1;
+    long t_lo = (a >= 0) ? (a + p - 1) / p : a / p;  // ceil(a/p): C++
+    if (t_lo < 0) t_lo = 0;   // division truncates toward zero, which
+    long t_hi = k0 / p;       // IS ceil for negative numerators
+    if (t_hi > n - 1) t_hi = n - 1;
+    double acc = 0.0;
+    for (long t = t_lo; t <= t_hi; ++t) acc += x[t] * h[k0 - t * p];
+    out[m] = acc;
+  }
+  return n_out;
+}
+
 // Pitch tracker golden (NCCF + Viterbi), double precision: direct per-lag
 // correlation loops and an explicit O(F*L^2) Viterbi — the third
 // independent implementation beside tpufeat/pitch.py (JAX f32, NCCF as
@@ -427,7 +494,8 @@ long tpufeat_pitch_num_frames(long n, int frame_len, int hop, int lag_max,
 long tpufeat_pitch_f64(const double* signal, long n, int sample_rate,
                        int frame_len, int hop, int lag_min, int lag_max,
                        double penalty, double ballast_w, double lag_bias,
-                       int center, double* out_hz, double* out_pov) {
+                       int center, int refine, double* out_hz,
+                       double* out_pov) {
   const int W = frame_len;
   const long wext = W + lag_max;
   const int L = lag_max - lag_min + 1;
@@ -501,8 +569,24 @@ long tpufeat_pitch_f64(const double* signal, long n, int sample_rate,
     path[t] = cur;
   }
   for (long t = 0; t < F; ++t) {
-    out_hz[t] = static_cast<double>(sample_rate) / (lag_min + path[t]);
-    out_pov[t] = scores[static_cast<size_t>(t) * L + path[t]];
+    const int j = path[t];
+    double delta = 0.0;
+    if (refine && j > 0 && j < L - 1) {
+      // parabolic sub-lag refinement on the raw NCCF (tpufeat.pitch.
+      // refine_lag twin): vertex through the decided lag and its
+      // neighbors, gated on real curvature, clipped to half a step
+      const double ym = scores[static_cast<size_t>(t) * L + j - 1];
+      const double y0 = scores[static_cast<size_t>(t) * L + j];
+      const double yp = scores[static_cast<size_t>(t) * L + j + 1];
+      const double den = ym - 2.0 * y0 + yp;
+      if (den < -1e-2) {
+        delta = 0.5 * (ym - yp) / den;
+        if (delta > 0.5) delta = 0.5;
+        if (delta < -0.5) delta = -0.5;
+      }
+    }
+    out_hz[t] = static_cast<double>(sample_rate) / (lag_min + j + delta);
+    out_pov[t] = scores[static_cast<size_t>(t) * L + j];
   }
   return F;
 }

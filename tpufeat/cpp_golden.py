@@ -74,7 +74,15 @@ def _lib():
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+    lib.tpufeat_resample_len.restype = ctypes.c_long
+    lib.tpufeat_resample_len.argtypes = [ctypes.c_long, ctypes.c_int,
+                                         ctypes.c_int]
+    lib.tpufeat_resample_poly_f64.restype = ctypes.c_long
+    lib.tpufeat_resample_poly_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
     lib.tpufeat_sliding_cmvn_f64.restype = None
     lib.tpufeat_sliding_cmvn_f64.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
@@ -217,13 +225,37 @@ def plp_native(signal: np.ndarray, cfg: FeatureConfig) -> np.ndarray:
     return out
 
 
+def resample_native(signal: np.ndarray, p: int, q: int) -> np.ndarray:
+    """C++ double polyphase resampler (scipy resample_poly's default
+    Kaiser-5 windowed-sinc design, direct upfirdn sum) — the third
+    independent implementation beside tpufeat/resampling.py's MXU
+    matmul and scipy itself."""
+    lib = _lib()
+    x = np.ascontiguousarray(signal, dtype=np.float64)
+    n_out = lib.tpufeat_resample_len(len(x), int(p), int(q))
+    out = np.zeros(max(n_out, 0), dtype=np.float64)
+    if n_out > 0:
+        got = lib.tpufeat_resample_poly_f64(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
+            int(p), int(q),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        assert got == n_out
+    return out
+
+
 def pitch_native(signal: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray]:
     """Run the C++ double-precision pitch tracker (NCCF + Viterbi) ->
     (hz [F], pov [F]). ``cfg`` is a tpufeat.pitch.PitchConfig; the third
     independent implementation (vs tpufeat/pitch.py's f32 GEMM NCCF and
-    reference/cpu.py's NumPy loops)."""
+    reference/cpu.py's NumPy loops). Resampled lag grids run the C++
+    polyphase decimator first (:func:`resample_native`)."""
     lib = _lib()
     x = np.ascontiguousarray(signal, dtype=np.float64)
+    if getattr(cfg, "resampled", False):
+        import math
+        g = math.gcd(cfg.sample_rate, cfg.lag_rate)
+        x = resample_native(x, cfg.lag_rate // g, cfg.sample_rate // g)
+        cfg = cfg.inner()
     nf = lib.tpufeat_pitch_num_frames(len(x), cfg.frame_length,
                                       cfg.hop_length, cfg.lag_max,
                                       int(cfg.center))
@@ -234,7 +266,7 @@ def pitch_native(signal: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray]:
             x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
             cfg.sample_rate, cfg.frame_length, cfg.hop_length,
             cfg.lag_min, cfg.lag_max, cfg.penalty, cfg.ballast,
-            cfg.lag_bias, int(cfg.center),
+            cfg.lag_bias, int(cfg.center), int(getattr(cfg, "refine", 0)),
             hz.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             pov.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         assert got == nf
