@@ -513,3 +513,99 @@ class TestCliCorpusMode:
             empty.mkdir()
             dz.main([str(empty), "-", "--extractor", ext_p,
                      "--plda", plda_p])
+
+
+class TestLongForm:
+    """Round-4: hours-scale two-stage clustering (per-block AHC ->
+    centroid AHC) and diarize_long."""
+
+    def _alternating(self, draw, plan, seed0=900):
+        feats = np.concatenate([draw(s, n, seed0 + i)
+                                for i, (s, n) in enumerate(plan)])
+        truth = np.concatenate([np.full(n, s) for s, n in plan])
+        return feats, truth
+
+    def test_two_stage_matches_single_stage(self, spk):
+        """On a recording whose window count forces several blocks, the
+        two-stage labels must agree with single-stage AHC (same speaker
+        structure discovered)."""
+        ext, model, draw = spk
+        plan = [(s % 3, 225) for s in range(12)]   # 3 speakers, 2700 fr
+        feats, truth = self._alternating(draw, plan)
+        ivecs, _ = dz.segment_ivectors(ext, feats, window=150, period=75)
+        iv_np = np.asarray(ivecs)
+        single = dz.cluster_affinity(dz.plda_affinity(model, iv_np),
+                                     num_speakers=3)
+        two = dz.two_stage_cluster(model, iv_np, block=8, num_speakers=3)
+        # after centroid refinement (diarize_long's default) the two
+        # partitions agree up to label permutation; raw disagreement
+        # concentrates on speaker-boundary windows, which contain mixed
+        # speakers and are genuinely ambiguous
+        two_r = dz.refine_labels(model, iv_np, two, iters=2)
+        single_r = dz.refine_labels(model, iv_np, single, iters=2)
+        agree = TestDiarize._purity(two_r, single_r)
+        assert agree > 0.9, agree
+
+    def test_small_n_degenerates_to_single_stage(self, spk):
+        ext, model, draw = spk
+        feats, _ = self._alternating(draw, [(0, 300), (1, 300)])
+        ivecs, _ = dz.segment_ivectors(ext, feats, window=150, period=75)
+        iv_np = np.asarray(ivecs)
+        a = dz.two_stage_cluster(model, iv_np, block=512, num_speakers=2)
+        b = dz.cluster_affinity(dz.plda_affinity(model, iv_np),
+                                num_speakers=2)
+        np.testing.assert_array_equal(a, b)
+
+    def test_diarize_long_end_to_end(self, spk):
+        ext, model, draw = spk
+        plan = [(s % 3, 225) for s in range(12)]
+        feats, truth = self._alternating(plan=plan, draw=draw)
+        labels, segments = dz.diarize_long(ext, model, feats,
+                                           window=150, period=75,
+                                           num_speakers=3, block=8)
+        assert len(set(labels[labels >= 0])) <= 3
+        purity = TestDiarize._purity(labels, truth)
+        single, _ = dz.diarize(ext, model, feats, window=150, period=75,
+                               num_speakers=3)
+        # within a few boundary windows of the single-stage recipe
+        assert purity > TestDiarize._purity(single, truth) - 0.05, purity
+        assert purity > 0.75, purity
+        assert segments[0][0] == 0 and segments[-1][1] == len(feats)
+
+    def test_num_speakers_exceeding_fragments_raises(self, spk):
+        ext, model, draw = spk
+        feats, _ = self._alternating(draw, [(0, 1200)])  # one speaker
+        ivecs, _ = dz.segment_ivectors(ext, feats, window=150, period=75)
+        with pytest.raises(ValueError, match="fragments"):
+            dz.two_stage_cluster(model, np.asarray(ivecs), block=8,
+                                 num_speakers=10)
+
+    def test_validation(self, spk):
+        _, model, _ = spk
+        with pytest.raises(ValueError, match="block"):
+            dz.two_stage_cluster(model, np.zeros((4, model.dim)), block=1)
+
+    def test_cli_long_mode(self, tmp_path, capsys):
+        """--long routes through diarize_long (plumbing check)."""
+        from tpufeat import io, features
+        from tpufeat.config import MFCC13_HTK
+        rng = np.random.default_rng(0)
+        sig = (rng.standard_normal(48000) * 0.1).astype(np.float32)
+        wav = str(tmp_path / "rec.wav")
+        io.write_wav(wav, sig, 16000)
+        x, _ = io.read_wav(wav)
+        feats = np.asarray(features.extract(x, cfg=MFCC13_HTK).features)
+        ubm = iv.train_diag_ubm(feats, 2, iters=1, final_iters=2, seed=0)
+        ext = iv.train_ivector_extractor(ubm, [feats[:150], feats[150:]],
+                                         ivector_dim=4, iters=2, seed=0)
+        r = np.random.default_rng(1)
+        ivs = np.concatenate([r.standard_normal((8, 4)) + off
+                              for off in (-2.0, 2.0)])
+        model = pl.train_plda(ivs, [0] * 8 + [1] * 8, iters=3)
+        ext.save(str(tmp_path / "ext.npz"))
+        model.save(str(tmp_path / "plda.npz"))
+        rc = dz.main([wav, "-", "--extractor", str(tmp_path / "ext.npz"),
+                      "--plda", str(tmp_path / "plda.npz"),
+                      "--num-speakers", "2", "--long", "--block", "4"])
+        assert rc == 0
+        assert "SPEAKER rec 1" in capsys.readouterr().out

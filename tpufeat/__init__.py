@@ -36,8 +36,9 @@ from tpufeat.plda import (Plda, ivector_mean, length_normalize,
 from tpufeat.fmllr import (est_fmllr, estimate_fmllr, estimate_vtln_warp,
                            fmllr_objective, fmllr_stats)
 from tpufeat.diarization import (StreamingDiarizer, cluster_affinity,
-                                 diarize, plda_affinity, refine_labels,
-                                 segment_ivectors, sliding_windows)
+                                 diarize, diarize_long, plda_affinity,
+                                 refine_labels, segment_ivectors,
+                                 sliding_windows, two_stage_cluster)
 from tpufeat.resampling import StreamingResampler, resample
 from tpufeat.streaming import (OnlineCmvn, PoolRows, StreamingDeltas,
                                StreamingFrontend,
@@ -74,7 +75,8 @@ __all__ = [
     "Plda", "train_plda", "length_normalize", "ivector_mean",
     "est_fmllr", "estimate_fmllr", "fmllr_stats", "fmllr_objective",
     "estimate_vtln_warp",
-    "diarize", "segment_ivectors", "sliding_windows", "plda_affinity",
+    "diarize", "diarize_long", "two_stage_cluster", "segment_ivectors",
+    "sliding_windows", "plda_affinity",
     "cluster_affinity", "StreamingDiarizer", "refine_labels",
     "__version__",
 ]

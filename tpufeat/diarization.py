@@ -36,8 +36,8 @@ from tpufeat.ivector import (IvectorExtractor, _damped_solve,
 from tpufeat.plda import Plda
 
 __all__ = ["sliding_windows", "segment_ivectors", "plda_affinity",
-           "cluster_affinity", "diarize", "refine_labels",
-           "StreamingDiarizer"]
+           "cluster_affinity", "diarize", "diarize_long",
+           "two_stage_cluster", "refine_labels", "StreamingDiarizer"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -248,6 +248,29 @@ def refine_labels(plda: Plda, ivecs, labels, *, iters: int = 1):
                       np.int64)
 
 
+def _label_frames(labels, spans, T, mask):
+    """Window labels -> per-frame labels (nearest window center) and
+    (start, end, speaker) runs; masked frames are -1 / excluded."""
+    centers = spans.mean(axis=1)                     # [N], sorted
+    # nearest center by bisection — a dense [T, N] |t - c| matrix would
+    # be ~7 GB for 30 min of audio (review finding); centers are sorted
+    # so two candidates suffice
+    frame_labels = labels[_nearest_sorted(centers, np.arange(T))]
+    if mask is not None:
+        frame_labels = np.where(np.asarray(mask) > 0, frame_labels, -1)
+    segments = []
+    t = 0
+    while t < T:
+        lab = frame_labels[t]
+        e = t + 1
+        while e < T and frame_labels[e] == lab:
+            e += 1
+        if lab >= 0:
+            segments.append((int(t), int(e), int(lab)))
+        t = e
+    return frame_labels, segments
+
+
 def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
             window: int = 150, period: int = 75, min_window: int = 25,
             mask=None, num_speakers: int | None = None,
@@ -269,25 +292,90 @@ def diarize(extractor: IvectorExtractor, plda: Plda, feats, *,
                               threshold=threshold)
     if refine_iters:
         labels = refine_labels(plda, ivecs, labels, iters=refine_iters)
-    T = np.shape(feats)[0]
-    centers = spans.mean(axis=1)                     # [N], sorted
-    # nearest center by bisection — a dense [T, N] |t - c| matrix would
-    # be ~7 GB for 30 min of audio (review finding); centers are sorted
-    # so two candidates suffice
-    frame_labels = labels[_nearest_sorted(centers, np.arange(T))]
-    if mask is not None:
-        frame_labels = np.where(np.asarray(mask) > 0, frame_labels, -1)
-    segments = []
-    t = 0
-    while t < T:
-        lab = frame_labels[t]
-        e = t + 1
-        while e < T and frame_labels[e] == lab:
-            e += 1
-        if lab >= 0:
-            segments.append((int(t), int(e), int(lab)))
-        t = e
-    return frame_labels, segments
+    return _label_frames(labels, spans, np.shape(feats)[0], mask)
+
+
+def two_stage_cluster(plda: Plda, ivecs, *, block: int = 512,
+                      num_speakers: int | None = None,
+                      threshold: float = 0.0,
+                      block_threshold: float | None = None) -> np.ndarray:
+    """Long-form clustering: per-block AHC -> centroid AHC (the
+    standard hours-scale diarization recipe) -> [N] window labels.
+
+    The single-stage path builds the FULL [N, N] affinity — ~830 MB of
+    relay readback plus O(N^2) host linkage memory at 3 h (N ~ 14.4k;
+    ``diarization.py`` module notes). Here windows are clustered within
+    consecutive ``block``-window spans first (affinity [block, block],
+    one small dispatch each); each block cluster is summarized by its
+    mean RAW i-vector and count, and a second AHC over those centroids
+    (PLDA-scored with enrollment counts, symmetrized) produces the
+    global speakers. Cost is O(N*block) affinity work and O(N) memory
+    instead of O(N^2). ``block_threshold`` (default = ``threshold``)
+    stops the within-block merging; leave it at the PLDA decision
+    boundary so blocks over-fragment rather than over-merge — stage 2
+    can join fragments but never split them."""
+    iv = np.asarray(ivecs, np.float64)
+    N = iv.shape[0]
+    if block < 2:
+        raise ValueError("block must be >= 2")
+    if N <= block:
+        aff = plda_affinity(plda, iv)
+        return cluster_affinity(aff, num_speakers=num_speakers,
+                                threshold=threshold)
+    bt = threshold if block_threshold is None else block_threshold
+    frag = np.full(N, -1, np.int64)
+    means, counts = [], []
+    for b0 in range(0, N, block):
+        sl = slice(b0, min(b0 + block, N))
+        lab = cluster_affinity(plda_affinity(plda, iv[sl]), threshold=bt)
+        for u in range(lab.max() + 1):
+            rows = np.flatnonzero(lab == u) + b0
+            frag[rows] = len(means)
+            means.append(iv[rows].mean(axis=0))
+            counts.append(len(rows))
+    means = np.stack(means)
+    counts = np.asarray(counts, np.float64)
+    s = np.asarray(plda.score(means, means, n_enroll=counts))
+    aff_c = (0.5 * (s + s.T)).astype(np.float32)
+    if num_speakers is not None and num_speakers > len(means):
+        raise ValueError(
+            f"stage 1 produced only {len(means)} fragments but "
+            f"num_speakers={num_speakers}; lower block_threshold "
+            f"(over-fragment) or use single-stage diarize()")
+    glob = cluster_affinity(aff_c, num_speakers=num_speakers,
+                            threshold=threshold)
+    labels = glob[frag]
+    order: dict = {}
+    return np.asarray([order.setdefault(v, len(order)) for v in labels],
+                      np.int64)
+
+
+def diarize_long(extractor: IvectorExtractor, plda: Plda, feats, *,
+                 window: int = 150, period: int = 75,
+                 min_window: int = 25, mask=None,
+                 num_speakers: int | None = None, threshold: float = 0.0,
+                 block: int = 512, block_threshold: float | None = None,
+                 posterior_scale: float = 1.0, min_post: float = 0.025,
+                 refine_iters: int = 1):
+    """Hours-scale :func:`diarize`: same segment-i-vector front half
+    (chip work is linear in T), :func:`two_stage_cluster` for the
+    quadratic half, plus one :func:`refine_labels` pass by default —
+    centroid re-assignment repairs fragments the block boundaries split
+    (measured: restores label agreement with single-stage AHC on
+    multi-speaker synthetics; see tests + BASELINE.md row). Returns
+    ``(frame_labels [T], segments)`` like :func:`diarize`."""
+    ivecs, spans = segment_ivectors(
+        extractor, feats, window=window, period=period,
+        min_window=min_window, mask=mask,
+        posterior_scale=posterior_scale, min_post=min_post,
+        bucket_frames=True)
+    labels = two_stage_cluster(plda, np.asarray(ivecs), block=block,
+                               num_speakers=num_speakers,
+                               threshold=threshold,
+                               block_threshold=block_threshold)
+    if refine_iters:
+        labels = refine_labels(plda, ivecs, labels, iters=refine_iters)
+    return _label_frames(labels, spans, np.shape(feats)[0], mask)
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +441,13 @@ def main(argv=None) -> int:
     p.add_argument("--vad-db", type=float, default=None,
                    help="gate frames more than this many dB below the "
                         "peak frame energy (off by default)")
+    p.add_argument("--long", dest="long_form", action="store_true",
+                   help="hours-scale recordings: two-stage clustering "
+                        "(per-block AHC -> centroid AHC) + one centroid "
+                        "refinement pass instead of the full [N, N] "
+                        "affinity (diarize_long)")
+    p.add_argument("--block", type=int, default=512,
+                   help="windows per first-stage block with --long")
     args = p.parse_args(argv)
 
     cfg = PRESETS[args.preset]
@@ -404,11 +499,18 @@ def main(argv=None) -> int:
                     v = np.concatenate(
                         [v, np.repeat(v[-1:], F - v.shape[0])])
                 mask = v[:F].astype(np.float32)
-            labels, segments = diarize(
-                ext, model, feats, window=args.window,
-                period=args.period, mask=mask,
-                num_speakers=args.num_speakers,
-                threshold=args.threshold, bucket_frames=bucket)
+            if args.long_form:
+                labels, segments = diarize_long(
+                    ext, model, feats, window=args.window,
+                    period=args.period, mask=mask,
+                    num_speakers=args.num_speakers,
+                    threshold=args.threshold, block=args.block)
+            else:
+                labels, segments = diarize(
+                    ext, model, feats, window=args.window,
+                    period=args.period, mask=mask,
+                    num_speakers=args.num_speakers,
+                    threshold=args.threshold, bucket_frames=bucket)
             rec = os.path.splitext(os.path.basename(path))[0]
             write_rttm(out, rec, segments, frame_shift=shift)
             n_spk = len({lab for _, _, lab in segments})
