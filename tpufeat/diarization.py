@@ -564,17 +564,37 @@ class StreamingDiarizer:
     alternative to offline AHC; labels are first-appearance ids and
     never relabel retroactively).
 
+    Two robustness knobs, both measured on a 6-speaker 3–15 s-turn
+    synthetic (benchmarks/experiments/diarize_long_bench.py world;
+    window agreement vs truth, offline AHC = 0.99 on the same windows):
+
+    - ``enroll_cap`` caps the enrollment count fed to the PLDA scorer.
+      Uncapped, a cluster contaminated by one speaker-boundary window
+      becomes over-CONFIDENT as its count grows (the enrollment
+      posterior sharpens around a mean that sits between speakers) and
+      absorbs everything: 0.60 uncapped -> 0.87 at the default cap 3.
+    - ``recenter`` re-assigns ALL past window i-vectors to the current
+      clusters every that-many windows and rebuilds the centroids from
+      the re-assignment — FORWARD-ONLY: emitted frame labels never
+      change, only the centroids future windows score against (an
+      online k-means-style re-centering; with the cap, 0.89 at the
+      default 25). Costs one [n_windows, n_clusters] f64 scoring pass
+      per trigger on host. ``recenter=0`` disables.
+
     ``process(feats [n, D])`` returns (frame_labels [m], start_frame)
     for the frames whose nearest window center is now decided — output
     lags input by about ``window/2 + period`` frames; ``flush()``
-    labels the tail. Labels are chunk-plan invariant (tested)."""
+    labels the tail. Labels are chunk-plan invariant (tested; both
+    knobs trigger on window counts, which no chunk plan changes)."""
 
     def __init__(self, extractor: IvectorExtractor, plda: Plda, *,
                  window: int = 150, period: int = 75,
                  threshold: float = 0.0,
                  max_speakers: int | None = None,
                  posterior_scale: float = 1.0,
-                 min_post: float = 0.025):
+                 min_post: float = 0.025,
+                 enroll_cap: float | None = 3.0,
+                 recenter: int = 25):
         if window % period:
             raise ValueError(f"window ({window}) must be a multiple of "
                              f"period ({period})")
@@ -586,6 +606,10 @@ class StreamingDiarizer:
         self.threshold = float(threshold)
         self.max_speakers = max_speakers
         self.scale, self.min_post = float(posterior_scale), float(min_post)
+        self.enroll_cap = None if enroll_cap is None else float(enroll_cap)
+        if recenter < 0:
+            raise ValueError(f"recenter must be >= 0, got {recenter}")
+        self.recenter = int(recenter)
         gconst, a, bq, P, U, q = _online_operands(extractor)
         self._dev_ops = (gconst, a, bq)
         self._P = np.asarray(P, np.float64)     # [G, D, K]
@@ -605,6 +629,7 @@ class StreamingDiarizer:
         self._n_blocks = 0                       # completed blocks
         self._centers: list[float] = []          # window centers
         self._wlabels: list[int] = []            # per-window labels
+        self._wivs: list[np.ndarray] = []        # window i-vectors
         self._clusters: list[list] = []          # [sum_ivec, count]
         self._emitted = 0                        # frames labeled so far
         self._flushed = False
@@ -630,7 +655,10 @@ class StreamingDiarizer:
         from tpufeat.reference.cpu import plda_log_likelihood_ratio
         if self._clusters:
             means = np.stack([s / c for s, c in self._clusters])
-            counts = np.asarray([c for _, c in self._clusters])
+            counts = np.asarray([c for _, c in self._clusters],
+                                np.float64)
+            if self.enroll_cap is not None:
+                counts = np.minimum(counts, self.enroll_cap)
             llr = plda_log_likelihood_ratio(
                 self.plda.mean, self.plda.transform, self.plda.psi,
                 means, counts, w[None])[:, 0]
@@ -653,6 +681,30 @@ class StreamingDiarizer:
             end = min(end, end_true)
         self._centers.append((start + end) / 2.0)
         self._wlabels.append(lab)
+        self._wivs.append(w)
+        if (self.recenter and len(self._wlabels) % self.recenter == 0
+                and len(self._clusters) > 1):
+            # forward-only re-centering: re-assign every past window
+            # i-vector to the current clusters and rebuild centroids —
+            # emitted labels are untouched, future scoring sharpens
+            H = np.stack(self._wivs)
+            means = np.stack([s / c for s, c in self._clusters])
+            counts = np.asarray([c for _, c in self._clusters],
+                                np.float64)
+            if self.enroll_cap is not None:
+                counts = np.minimum(counts, self.enroll_cap)
+            L = plda_log_likelihood_ratio(
+                self.plda.mean, self.plda.transform, self.plda.psi,
+                means, counts, H)                        # [C, n]
+            assign = L.argmax(axis=0)
+            new = []
+            for j, old in enumerate(self._clusters):
+                mem = H[assign == j]
+                # a cluster losing every member keeps its old centroid
+                # (ids are stable; it can win windows again later)
+                new.append([mem.sum(axis=0), float(len(mem))]
+                           if len(mem) else old)
+            self._clusters = new
 
     def _emit_upto(self, limit: int) -> tuple[np.ndarray, int]:
         start = self._emitted
