@@ -47,6 +47,25 @@ class TestPipeline:
         for rel in sigs:
             assert data[rel].shape[1] == 13
 
+    def test_cli_set_out_dtype_bf16(self, tmp_path):
+        """--set out_dtype=bfloat16 (the relay-readback halver,
+        BASELINE.md corpus rows): the device->host fetch is bf16, the
+        archive upcasts to f32 (np.savez / Kaldi FM can't round-trip
+        ml_dtypes) — values match the f32 run to bf16 rounding."""
+        d, sigs = _make_corpus(tmp_path, [8000, 12000])
+        out32 = tmp_path / "c32.npz"
+        out16 = tmp_path / "c16.npz"
+        assert pipeline.main([str(d), str(out32), "--batch", "2"]) == 0
+        assert pipeline.main([str(d), str(out16), "--batch", "2",
+                              "--set", "out_dtype=bfloat16"]) == 0
+        a, b = np.load(out32), np.load(out16)
+        assert set(a.files) == set(b.files)
+        for k in a.files:
+            assert b[k].dtype == np.float32
+            # bf16 has an 8-bit mantissa: rel error <= 2^-8
+            np.testing.assert_allclose(b[k], a[k], rtol=2 ** -7,
+                                       atol=0.05)
+
     def test_rate_mismatch_rejected(self, tmp_path):
         d = tmp_path / "wavs"
         d.mkdir()

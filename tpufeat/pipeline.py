@@ -491,8 +491,13 @@ def main(argv=None) -> int:
                         "per-shape XLA compiles (~13 s each through the "
                         "relay), later passes measure the steady state a "
                         "long-running production job sees")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="override a FeatureConfig field (cli.py "
+                        "semantics), e.g. --set out_dtype=bfloat16 to "
+                        "halve feature readback (repeatable)")
     args = p.parse_args(argv)
-    cfg = PRESETS[args.preset]
+    from tpufeat.cli import parse_overrides
+    cfg = parse_overrides(PRESETS[args.preset], args.set)
     if args.fused:
         cfg = dataclasses.replace(cfg, use_pallas=True, gemm_dft=True,
                                   fused_framing=True,
@@ -638,6 +643,13 @@ def main(argv=None) -> int:
             args.fmllr_ark, trans,
             scp_path=os.path.splitext(args.fmllr_ark)[0] + ".scp")
     dt = passes[-1]                    # steady-state (or only) pass
+    if cfg.out_dtype != "float32":
+        # bf16 halves the device->host feature readback (the measured
+        # corpus ceiling through the relay, BASELINE.md) but neither
+        # np.savez nor the Kaldi FM format round-trips ml_dtypes
+        # bfloat16 — upcast at the archive boundary, after the cheap
+        # fetch already happened
+        out = {k: np.asarray(v, np.float32) for k, v in out.items()}
     if args.out_npz.lower().endswith(".ark"):
         from tpufeat import feats_io
         keys = feats_io.ark_keys(list(out))
