@@ -47,6 +47,11 @@ POINTS = [                      # (B, seconds) in priority order
     (257, 30), (264, 30), (288, 30),   # upper edge (clean at 320)
     (256, 15), (256, 20),       # shortest corrupt length at B=256
     (256, 8),
+    # round-4: the guard's B=1 branch admits ANY length but was backed
+    # by one probe (1x2 h). Extend the raw single-program B=1 leg to 4 h
+    # and 8 h (230M/461M samples) so every admitted region sits <=2x
+    # from a measured point.
+    (1, 14400), (1, 28800),
 ]
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(

@@ -525,7 +525,11 @@ def _split_worthwhile(cfg: FeatureConfig, shape) -> bool:
 # probe of the same shape running clean on the pre-v5-kernel program —
 # the envelope is program-dependent, so only same-toolchain measurements
 # count):
-#   - any single row (row-splitting could not help anyway);
+#   - any single row (row-splitting could not help anyway; the raw
+#     single-program B=1 leg measured clean at 2 h, 4 h AND 8 h —
+#     460.8M samples, 3.75x the largest corrupt total — in the
+#     2026-08-19 re-probe, which also reproduced every round-3
+#     corrupt/clean point exactly);
 #   - batch <= 252 rows up to 122,880,000 total samples (252x30 s and
 #     128x60 s / 64x120 s measured clean; 256/384/512 x 30 s corrupt);
 #   - any batch up to a tiny per-dispatch total, far below the smallest
