@@ -534,16 +534,25 @@ if __name__ == "__main__":
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _chunk_stats_jit(n: int, scale: float, min_post: float):
-    """Per-chunk device work for the streaming diarizer: [n, D] feature
-    rows -> (gamma [n, G], gamma-weighted outer [n, D, G]) — ONE small
-    dispatch per chunk; everything else (block ring, window solves,
-    PLDA scoring, clustering) is trivial host math at these sizes."""
+def _block_stats_jit(k: int, period: int, scale: float, min_post: float):
+    """``k`` whole period-blocks of feature rows -> per-block
+    zeroth/first-order stats ON DEVICE ([k, G], [k, D, G]) — the
+    streaming diarizer's per-chunk dispatch. Reducing the
+    gamma-weighted outer products device-side is what makes hours-scale
+    online diarization viable through the relay: the per-frame
+    [n, D, G] fetch this replaces was ~26 MB per 10 s chunk (~27 GB
+    over 3 h) against the relay's 24–43 MB/s readback; the block stats
+    are ``period``× smaller (~350 KB). Nothing is lost — the host only
+    ever consumed the per-frame tensors by summing them into these
+    exact period blocks (ring -> window solve)."""
 
     def impl(x, gconst, a, bq):
         post = _posteriors_jit(x, gconst, a, bq, min_post) * scale
-        outer = x[:, :, None] * post[:, None, :]            # [n, D, G]
-        return post, outer
+        pb = post.reshape(k, period, -1)                    # [k, p, G]
+        xb = x.reshape(k, period, -1)                       # [k, p, D]
+        n_blk = pb.sum(axis=1)                              # [k, G]
+        f_blk = jnp.einsum("kpd,kpg->kdg", xb, pb)          # [k, D, G]
+        return n_blk, f_blk
 
     return jax.jit(impl)
 
@@ -553,10 +562,13 @@ class StreamingDiarizer:
     (the live sibling of :func:`diarize`): greedy PLDA clustering of
     sliding-window i-vectors as each window completes.
 
-    Mechanics per chunk: one device dispatch computes frame posteriors
-    (+ their feature outer products); the host accumulates them into
-    period-block statistics, and every completed window (every
-    ``period`` frames once ``window`` frames have arrived) solves its
+    Mechanics per chunk: incoming frames buffer on host (raw [n, D]
+    rows, at most one period's worth held back) until whole ``period``
+    blocks are available; ONE device dispatch then reduces them to
+    per-block zeroth/first-order statistics (`_block_stats_jit` — the
+    per-frame outer products never leave the device), and every
+    completed window (every ``period`` frames once ``window`` frames
+    have arrived) solves its
     i-vector on host (K x K Cholesky — microseconds), scores it against
     the running speaker centroids with the float64 PLDA scorer, and
     either joins the best cluster (LLR >= ``threshold``) or starts a
@@ -623,9 +635,8 @@ class StreamingDiarizer:
         m = self.window // self.period
         self._ring_N = np.zeros((m, G))          # completed block sums
         self._ring_F = np.zeros((m, D, G))
-        self._cur_N = np.zeros(G)                # current partial block
-        self._cur_F = np.zeros((D, G))
-        self._n_seen = 0                         # frames consumed
+        self._buf = np.zeros((0, D), np.float32)  # sub-period holdback
+        self._n_seen = 0                         # frames received
         self._n_blocks = 0                       # completed blocks
         self._centers: list[float] = []          # window centers
         self._wlabels: list[int] = []            # per-window labels
@@ -706,6 +717,23 @@ class StreamingDiarizer:
                            if len(mem) else old)
             self._clusters = new
 
+    def _push_blocks(self, k: int, period: int, xk) -> None:
+        """Reduce ``k`` whole period-blocks to stats on device (one
+        dispatch) and feed the ring; window solves fire as blocks
+        complete."""
+        fn = _block_stats_jit(k, period, self.scale, self.min_post)
+        n_blk, f_blk = fn(jnp.asarray(xk), *self._dev_ops)
+        n_blk = np.asarray(n_blk, np.float64)
+        f_blk = np.asarray(f_blk, np.float64)
+        m = self.window // self.period
+        for j in range(k):
+            slot = self._n_blocks % m
+            self._ring_N[slot] = n_blk[j]
+            self._ring_F[slot] = f_blk[j]
+            self._n_blocks += 1
+            if self._n_blocks >= m:
+                self._window_done()
+
     def _emit_upto(self, limit: int) -> tuple[np.ndarray, int]:
         start = self._emitted
         n = max(0, limit - start)
@@ -727,28 +755,14 @@ class StreamingDiarizer:
             raise ValueError(f"expected [n, {self.extractor.ubm.dim}], "
                              f"got {x.shape}")
         if x.shape[0]:
-            fn = _chunk_stats_jit(x.shape[0], self.scale, self.min_post)
-            post, outer = fn(jnp.asarray(x), *self._dev_ops)
-            post = np.asarray(post, np.float64)
-            outer = np.asarray(outer, np.float64)
-            m = self.window // self.period
-            i = 0
-            while i < x.shape[0]:
-                fill = self._n_seen % self.period
-                take = min(self.period - fill, x.shape[0] - i)
-                self._cur_N += post[i: i + take].sum(axis=0)
-                self._cur_F += outer[i: i + take].sum(axis=0)
-                self._n_seen += take
-                i += take
-                if self._n_seen % self.period == 0:
-                    slot = self._n_blocks % m
-                    self._ring_N[slot] = self._cur_N
-                    self._ring_F[slot] = self._cur_F
-                    self._cur_N[:] = 0.0
-                    self._cur_F[:] = 0.0
-                    self._n_blocks += 1
-                    if self._n_blocks >= m:
-                        self._window_done()
+            self._buf = x if not self._buf.shape[0] else \
+                np.concatenate([self._buf, x])
+            self._n_seen += x.shape[0]
+            k = self._buf.shape[0] // self.period
+            if k:
+                xk = self._buf[: k * self.period]
+                self._buf = self._buf[k * self.period:]
+                self._push_blocks(k, self.period, xk)
         # frames up to the LAST decided center are final (no future
         # window center can be nearer)
         limit = int(self._centers[-1]) + 1 if self._centers else 0
@@ -763,15 +777,21 @@ class StreamingDiarizer:
             return self._emit_upto(self._n_seen)
         self._flushed = True
         m = self.window // self.period
-        if self._n_seen % self.period or (
-                self._n_blocks and self._n_blocks < m):
-            # fold the partial block in and run a final (short) window;
-            # its center uses the TRUE data end, not the padded grid
+        tail, self._buf = self._buf, self._buf[:0]
+        if tail.shape[0] or (self._n_blocks and self._n_blocks < m):
+            # reduce the sub-period tail (if any) as one short block,
+            # fold it in and run a final (short) window; its center
+            # uses the TRUE data end, not the padded grid
             slot = self._n_blocks % m
-            self._ring_N[slot] = self._cur_N
-            self._ring_F[slot] = self._cur_F
-            self._cur_N[:] = 0.0
-            self._cur_F[:] = 0.0
+            if tail.shape[0]:
+                fn = _block_stats_jit(1, tail.shape[0], self.scale,
+                                      self.min_post)
+                n_blk, f_blk = fn(jnp.asarray(tail), *self._dev_ops)
+                self._ring_N[slot] = np.asarray(n_blk[0], np.float64)
+                self._ring_F[slot] = np.asarray(f_blk[0], np.float64)
+            else:
+                self._ring_N[slot] = 0.0
+                self._ring_F[slot] = 0.0
             self._n_blocks += 1
             self._window_done(end_true=self._n_seen)
         return self._emit_upto(self._n_seen)
