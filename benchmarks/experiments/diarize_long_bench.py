@@ -52,7 +52,7 @@ def agreement(a, b):
 
 
 def main(minutes: int = 180, G: int = 512, K: int = 100,
-         world: str | None = None):
+         world: str | None = None, save_world: str | None = None):
     r = np.random.default_rng(0)
     D, n_spk, P = 13, 12, 32
     phones = r.standard_normal((P, D)) * 4.0      # shared acoustic states
@@ -90,6 +90,18 @@ def main(minutes: int = 180, G: int = 512, K: int = 100,
         model = pl.train_plda(ivs, ids, iters=5)
         print(f"  world trained in {time.perf_counter() - t0:.1f} s",
               flush=True)
+        if save_world:
+            ext.save(save_world + "_ext.npz")
+            model.save(save_world + "_plda.npz")
+            S = np.asarray(model.score(ivs, ivs))
+            ids_a = np.asarray(ids)
+            same = S[ids_a[:, None] == ids_a[None, :]]
+            diff = S[ids_a[:, None] != ids_a[None, :]]
+            print(f"saved world to {save_world}_*.npz (same-med "
+                  f"{np.median(same):.1f}, diff-med {np.median(diff):.1f},"
+                  f" overlap {(diff > np.median(same)).mean():.4f})",
+                  flush=True)
+            return
 
     # --- the recording: 6 speakers, 3-15 s turns --------------------------
     hours = minutes / 60.0
@@ -164,5 +176,10 @@ if __name__ == "__main__":
     ap.add_argument("--world", default=None,
                     help="load <world>_ext.npz / <world>_plda.npz "
                          "instead of training")
+    ap.add_argument("--save-world", default=None,
+                    help="train the world, save it as <path>_ext.npz / "
+                         "<path>_plda.npz with a separation report, and "
+                         "exit (run on CPU: on-chip EM training of this "
+                         "world collapses PLDA separation — sep_probe)")
     a = ap.parse_args()
-    main(a.minutes, a.gauss, a.kdim, a.world)
+    main(a.minutes, a.gauss, a.kdim, a.world, a.save_world)
