@@ -27,6 +27,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (round-4 VERDICT item 7): the default tier skips
+    @pytest.mark.slow tests — heavyweight hypothesis fuzzers, EM loops,
+    and the largest XLA:CPU compiles, each with a cheaper default-tier
+    sibling covering the same contract. TPUFEAT_FULL=1 runs everything
+    (once per round; see CLAUDE.md)."""
+    if os.environ.get("TPUFEAT_FULL") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier — set TPUFEAT_FULL=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -20,11 +20,13 @@ BOOTSTRAP = (
 )
 
 
-@pytest.mark.parametrize("script", ["offline_corpus.py",
-                                    "online_serving.py",
-                                    "serving_pool.py",
-                                    "train_eval.py",
-                                    "speaker_id.py"])
+@pytest.mark.parametrize("script", [
+    "offline_corpus.py",
+    "online_serving.py",
+    "serving_pool.py",
+    # ~27 s (CTC+RNN-T training loops); test_models covers the steps
+    pytest.param("train_eval.py", marks=pytest.mark.slow),
+    "speaker_id.py"])
 def test_example_runs(script, tmp_path):
     args = [sys.executable, "-c", BOOTSTRAP,
             os.path.join(ROOT, "examples", script)]

@@ -138,6 +138,7 @@ class TestEstimation:
 
 
 class TestVtlnWarpEstimation:
+    @pytest.mark.slow  # ~12 s warp-grid search; TestVtln's fixed-warp parity stays in the default tier
     def test_recovers_warp_direction(self):
         """UBM trained on a speaker's true audio: the matched audio
         estimates warp ~1.0, and speed-perturbed versions (formants

@@ -293,6 +293,7 @@ class TestTransducerLoss:
 
 
 class TestTransducerTraining:
+    @pytest.mark.slow  # ~21 s EM-ish loop; the dp-sharded RNN-T step also runs in the driver dryrun, and TestTransducerLoss keeps gradient coverage
     def test_loss_decreases_and_dp_shards(self):
         """End-to-end RNN-T step: raw audio -> front-end -> encoder ->
         stateless predictor -> joint -> loss; a few steps reduce the

@@ -294,6 +294,7 @@ class TestStreamingPitch:
         # the flush rows come from the resampler tail
         assert hz_f.shape[1] >= min(seen, K)
 
+    @pytest.mark.slow  # ~17 s compile; test_full_lookahead_equals_offline keeps the contract in the default tier
     def test_center_full_lookahead_equals_offline(self):
         """Centered streaming: the pre-filled left pad + flush-fed right
         pad reproduce the offline centered tracker exactly (ballast=0)."""
@@ -325,6 +326,7 @@ class TestStreamingPitch:
         after = pitch._pitch_flush_jit.cache_info().currsize
         assert after - before <= 1, (before, after)
 
+    @pytest.mark.slow  # ~15 s compile; same contract anchored by test_full_lookahead_equals_offline
     def test_pitch_features_full_lookahead_equals_offline(self):
         """StreamingPitchFeatures with lookahead >= total frames: all
         three columns (POV, mean-subtracted log-pitch, delta-log-pitch)

@@ -2,6 +2,7 @@
 amplitudes through the jitted pipeline."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from tpufeat import features, framing
@@ -35,6 +36,7 @@ class TestFramingProperties:
             np.testing.assert_array_equal(
                 frames[t], sig[t * 160: t * 160 + 400])
 
+    @pytest.mark.slow  # ~8 s fuzz; fixed-geometry mask-invariance tests run in every feature suite
     @given(sig=signals(min_n=600, max_n=20_000),
            extra=st.integers(1, 5000))
     @settings(max_examples=15, deadline=None)
@@ -86,6 +88,7 @@ class TestFramingProperties:
 
 
 class TestSlidingCmvnProperties:
+    @pytest.mark.slow  # ~17 s fuzz; test_sliding_cmvn pins fixed geometries in the default tier
     @given(T=st.integers(1, 400), window=st.integers(1, 200),
            min_window=st.integers(1, 120), center=st.booleans(),
            seed=st.integers(0, 2**31 - 1))
@@ -124,6 +127,7 @@ class TestSlidingCmvnProperties:
             np.testing.assert_allclose(np.asarray(got_v), want_v,
                                        atol=5e-4, rtol=0)
 
+    @pytest.mark.slow  # ~26 s fuzz; test_sliding_cmvn's fixed chunk plans stay in the default tier
     @given(T=st.integers(50, 300), chunks=st.lists(
         st.integers(1, 80), min_size=1, max_size=8),
         seed=st.integers(0, 2**31 - 1))

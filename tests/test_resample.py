@@ -150,6 +150,7 @@ class TestStreamingResampler:
 class TestStreamingResamplerProperties:
     from hypothesis import given, settings, strategies as st
 
+    @pytest.mark.slow  # ~49 s fuzz; TestStreamingResampler::test_exact_vs_offline covers fixed plans in the default tier
     @given(data=st.data(),
            pair=st.sampled_from([(8000, 16000), (48000, 16000),
                                  (16000, 8000), (22050, 16000)]),

@@ -73,6 +73,7 @@ class TestEquivalence:
         chunked = stream_extract(sig, cfg, plan(8000, 480))
         assert_stream_equal(chunked, one)
 
+    @pytest.mark.slow  # ~33 s fuzz; ragged/bitwise fixed-plan siblings stay in the default tier
     @given(seed=st.integers(0, 2**31 - 1))
     @settings(max_examples=12, deadline=None)
     def test_fuzzed_chunk_plans(self, seed):
