@@ -20,7 +20,7 @@ large UBM's components and carry no mean-shift information — measured:
 blob speakers score at ~0 LLR separation, shared-state speakers at
 same-med 67 vs diff-med -1.5e6 with zero overlap at G=512/K=100). UBM /
 T-matrix / PLDA are trained with the repo's own EM at production scale.
-Recording: 6 of the 12 speakers in 3-15 s turns.
+Recording: 6 of the 24 speakers in 3-15 s turns.
 
 Timing per repo convention: the relay's block_until_ready is a no-op,
 so device work is synced via fetches the algorithms themselves perform
@@ -54,7 +54,14 @@ def agreement(a, b):
 def main(minutes: int = 180, G: int = 512, K: int = 100,
          world: str | None = None, save_world: str | None = None):
     r = np.random.default_rng(0)
-    D, n_spk, P = 13, 12, 32
+    # 24 world speakers x 40 window-length utterances: the first cut
+    # (12 x 8 = 96 i-vectors for a K=100 PLDA) separated its own
+    # training set perfectly (overlap 0) but collapsed on held-out
+    # window i-vectors (same-med -41 / diff-med -81, 32% overlap) —
+    # classic PLDA overfit with fewer examples than dimensions; both
+    # diarizers then scored ~chance vs truth while agreeing 0.998 with
+    # each other. PLDA needs utterance counts well past K.
+    D, n_spk, P = 13, 24, 32
     phones = r.standard_normal((P, D)) * 4.0      # shared acoustic states
     offs = r.standard_normal((n_spk, D)) * 1.0    # per-speaker shift
 
@@ -73,14 +80,15 @@ def main(minutes: int = 180, G: int = 512, K: int = 100,
         print(f"loaded world from {world}_*.npz "
               f"(G={ext.ubm.num_gauss}, K={ext.ivector_dim})", flush=True)
     else:
-        print(f"training world (G={G}, K={K}, 12 speakers)...", flush=True)
+        print(f"training world (G={G}, K={K}, {n_spk} speakers)...",
+              flush=True)
         t0 = time.perf_counter()
         frames = np.concatenate([draw(s, 4000, 100 + s)
                                  for s in range(n_spk)])
         ubm = iv.train_diag_ubm(frames, G, iters=2, final_iters=3, seed=0)
         utts, ids = [], []
         for s in range(n_spk):
-            for u in range(8):
+            for u in range(40):
                 utts.append(draw(s, 150, 200 + 10 * s + u))
                 ids.append(s)
         ext = iv.train_ivector_extractor(ubm, utts, ivector_dim=K,
