@@ -151,6 +151,26 @@ class TestScoring:
             model.mean, model.transform, model.psi, enroll, 3, test)
         np.testing.assert_allclose(got3, want3, atol=5e-3, rtol=1e-4)
 
+    def test_score_host_vs_golden(self, trained):
+        """The f64 host twin (score_host — the streaming diarizer's
+        per-decision scorer) must match the naive golden loop to f64
+        roundoff, including per-enrollment counts and both length-norm
+        modes."""
+        model, *_ = trained
+        r = np.random.default_rng(13)
+        enroll = r.standard_normal((6, model.dim)) * 2.0
+        test = r.standard_normal((11, model.dim)) * 2.0
+        n = np.array([1, 2, 3, 5, 8, 13])
+        for nl in (True, False):
+            got = model.score_host(enroll, test, n_enroll=n,
+                                   normalize_length=nl)
+            want = golden.plda_log_likelihood_ratio(
+                model.mean, model.transform, model.psi, enroll, n,
+                test, normalize_length=nl)
+            np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-12)
+        with pytest.raises(ValueError, match="n_enroll"):
+            model.score_host(enroll, test, n_enroll=0)
+
     def test_separates_speakers(self, trained):
         """End-to-end verification quality on held-out draws from the
         same generative model: same-speaker trials must score above

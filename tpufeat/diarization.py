@@ -226,7 +226,6 @@ def refine_labels(plda: Plda, ivecs, labels, *, iters: int = 1):
     in first-appearance order. Converges when no label changes."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    from tpufeat.reference.cpu import plda_log_likelihood_ratio
     iv = np.asarray(ivecs, np.float64)
     labels = np.asarray(labels, np.int64).copy()
     for _ in range(iters):
@@ -237,8 +236,7 @@ def refine_labels(plda: Plda, ivecs, labels, *, iters: int = 1):
         # f64 host scorer: the [E, N] problem is tiny and E changes as
         # clusters dissolve — device scoring would compile one program
         # per (E, N) shape through the relay (review finding)
-        scores = plda_log_likelihood_ratio(
-            plda.mean, plda.transform, plda.psi, means, counts, iv)
+        scores = plda.score_host(means, iv, counts)
         new = uniq[scores.argmax(axis=0)]
         if (new == labels).all():
             break
@@ -535,24 +533,39 @@ if __name__ == "__main__":
 
 @functools.lru_cache(maxsize=None)
 def _block_stats_jit(k: int, period: int, scale: float, min_post: float):
-    """``k`` whole period-blocks of feature rows -> per-block
-    zeroth/first-order stats ON DEVICE ([k, G], [k, D, G]) — the
-    streaming diarizer's per-chunk dispatch. Reducing the
-    gamma-weighted outer products device-side is what makes hours-scale
-    online diarization viable through the relay: the per-frame
-    [n, D, G] fetch this replaces was ~26 MB per 10 s chunk (~27 GB
-    over 3 h) against the relay's 24–43 MB/s readback; the block stats
-    are ``period``× smaller (~350 KB). Nothing is lost — the host only
-    ever consumed the per-frame tensors by summing them into these
-    exact period blocks (ring -> window solve)."""
+    """``k`` whole period-blocks of feature rows -> per-block PROJECTED
+    i-vector solve statistics ON DEVICE — the streaming diarizer's
+    per-chunk dispatch: ``L_blk`` [k, K, K] (= Σ_g N_g U_g, the
+    precision contribution) and ``b_blk`` [k, K] (= F-projection − N@q,
+    the mean-centered linear term). Two relay pathologies die here:
 
-    def impl(x, gconst, a, bq):
+    - the per-frame gamma-weighted outer products ([n, D, G] ≈ 26 MB
+      per 10 s chunk, ~27 GB over 3 h against 24–43 MB/s readback)
+      never leave the device — measured 18 min of pure readback for a
+      3 h stream before this;
+    - the per-window host projection N @ U ([G, K·K], a 41 MB f64
+      GEMV per window — 6.1 s of a 10 s 30-min pass) moves onto the
+      MXU batched per chunk, against the extractor's cached device
+      operands (`ivector._online_operands`).
+
+    The host window solve is now eye + a ring sum + one K×K Cholesky.
+    Same algebra as the offline `_segment_ivectors_jit` block path, at
+    the same f32-with-HIGHEST-matmul precision."""
+
+    def impl(x, gconst, a, bq, P, U, q):
+        G, K = q.shape
         post = _posteriors_jit(x, gconst, a, bq, min_post) * scale
         pb = post.reshape(k, period, -1)                    # [k, p, G]
         xb = x.reshape(k, period, -1)                       # [k, p, D]
         n_blk = pb.sum(axis=1)                              # [k, G]
-        f_blk = jnp.einsum("kpd,kpg->kdg", xb, pb)          # [k, D, G]
-        return n_blk, f_blk
+        f_blk = jnp.einsum("kpd,kpg->kdg", xb, pb,
+                           precision=_HI)                   # [k, D, G]
+        l_blk = jnp.matmul(n_blk, U.reshape(G, K * K),
+                           precision=_HI).reshape(k, K, K)
+        fb = jnp.swapaxes(f_blk, 1, 2).reshape(k, -1)       # [k, G*D]
+        b_blk = (jnp.matmul(fb, P.reshape(-1, K), precision=_HI)
+                 - jnp.matmul(n_blk, q, precision=_HI))     # [k, K]
+        return l_blk, b_blk
 
     return jax.jit(impl)
 
@@ -565,11 +578,12 @@ class StreamingDiarizer:
     Mechanics per chunk: incoming frames buffer on host (raw [n, D]
     rows, at most one period's worth held back) until whole ``period``
     blocks are available; ONE device dispatch then reduces them to
-    per-block zeroth/first-order statistics (`_block_stats_jit` — the
-    per-frame outer products never leave the device), and every
-    completed window (every ``period`` frames once ``window`` frames
-    have arrived) solves its
-    i-vector on host (K x K Cholesky — microseconds), scores it against
+    per-block PROJECTED i-vector solve statistics ([K, K] precision +
+    [K] linear term per block — `_block_stats_jit`; neither the
+    per-frame outer products nor the [G, K·K] projection operands ever
+    touch the host), and every completed window (every ``period``
+    frames once ``window`` frames have arrived) solves its i-vector on
+    host (ring sum + one K x K solve — microseconds), scores it against
     the running speaker centroids with the float64 PLDA scorer, and
     either joins the best cluster (LLR >= ``threshold``) or starts a
     new one (greedy online clustering — the standard low-latency
@@ -622,19 +636,17 @@ class StreamingDiarizer:
         if recenter < 0:
             raise ValueError(f"recenter must be >= 0, got {recenter}")
         self.recenter = int(recenter)
-        gconst, a, bq, P, U, q = _online_operands(extractor)
-        self._dev_ops = (gconst, a, bq)
-        self._P = np.asarray(P, np.float64)     # [G, D, K]
-        self._U = np.asarray(U, np.float64)     # [G, K, K]
-        self._q = np.asarray(q, np.float64)     # [G, K]
+        # the extractor's cached DEVICE operands (incl. P/U/q for the
+        # on-device block projections — ivector._online_operands)
+        self._dev_ops = _online_operands(extractor)
         self.reset()
 
     def reset(self) -> None:
-        G = self.extractor.ubm.num_gauss
         D = self.extractor.ubm.dim
+        K = self.extractor.ivector_dim
         m = self.window // self.period
-        self._ring_N = np.zeros((m, G))          # completed block sums
-        self._ring_F = np.zeros((m, D, G))
+        self._ring_L = np.zeros((m, K, K))       # projected block stats
+        self._ring_b = np.zeros((m, K))
         self._buf = np.zeros((0, D), np.float32)  # sub-period holdback
         self._n_seen = 0                         # frames received
         self._n_blocks = 0                       # completed blocks
@@ -652,27 +664,20 @@ class StreamingDiarizer:
     def _window_done(self, end_true: int | None = None) -> None:
         """A window of `window//period` blocks just completed;
         ``end_true`` caps the window's REAL data end (flush tail)."""
-        m = self.window // self.period
-        N = self._ring_N.sum(axis=0)
-        F = self._ring_F.sum(axis=0)
         K = self.extractor.ivector_dim
-        L = np.eye(K) + np.einsum("g,gkl->kl", N, self._U)
-        # the mean-centered linear term: F-projection minus N-weighted q
-        # (same algebra as the offline block path)
-        b = (np.einsum("dg,gdk->k", F, self._P)
-             - np.einsum("g,gk->k", N, self._q))
+        # the blocks arrive PROJECTED from the device (_block_stats_jit)
+        # — the window solve is an eye + ring sum + one K x K solve
+        L = np.eye(K) + self._ring_L.sum(axis=0)
+        b = self._ring_b.sum(axis=0)
         w = np.linalg.solve(L, b)
         # greedy assignment vs running centroids (f64 PLDA scorer)
-        from tpufeat.reference.cpu import plda_log_likelihood_ratio
         if self._clusters:
             means = np.stack([s / c for s, c in self._clusters])
             counts = np.asarray([c for _, c in self._clusters],
                                 np.float64)
             if self.enroll_cap is not None:
                 counts = np.minimum(counts, self.enroll_cap)
-            llr = plda_log_likelihood_ratio(
-                self.plda.mean, self.plda.transform, self.plda.psi,
-                means, counts, w[None])[:, 0]
+            llr = self.plda.score_host(means, w[None], counts)[:, 0]
             best = int(np.argmax(llr))
             full = (self.max_speakers is not None
                     and len(self._clusters) >= self.max_speakers)
@@ -704,9 +709,7 @@ class StreamingDiarizer:
                                 np.float64)
             if self.enroll_cap is not None:
                 counts = np.minimum(counts, self.enroll_cap)
-            L = plda_log_likelihood_ratio(
-                self.plda.mean, self.plda.transform, self.plda.psi,
-                means, counts, H)                        # [C, n]
+            L = self.plda.score_host(means, H, counts)   # [C, n]
             assign = L.argmax(axis=0)
             new = []
             for j, old in enumerate(self._clusters):
@@ -722,14 +725,14 @@ class StreamingDiarizer:
         dispatch) and feed the ring; window solves fire as blocks
         complete."""
         fn = _block_stats_jit(k, period, self.scale, self.min_post)
-        n_blk, f_blk = fn(jnp.asarray(xk), *self._dev_ops)
-        n_blk = np.asarray(n_blk, np.float64)
-        f_blk = np.asarray(f_blk, np.float64)
+        l_blk, b_blk = fn(jnp.asarray(xk), *self._dev_ops)
+        l_blk = np.asarray(l_blk, np.float64)
+        b_blk = np.asarray(b_blk, np.float64)
         m = self.window // self.period
         for j in range(k):
             slot = self._n_blocks % m
-            self._ring_N[slot] = n_blk[j]
-            self._ring_F[slot] = f_blk[j]
+            self._ring_L[slot] = l_blk[j]
+            self._ring_b[slot] = b_blk[j]
             self._n_blocks += 1
             if self._n_blocks >= m:
                 self._window_done()
@@ -786,12 +789,12 @@ class StreamingDiarizer:
             if tail.shape[0]:
                 fn = _block_stats_jit(1, tail.shape[0], self.scale,
                                       self.min_post)
-                n_blk, f_blk = fn(jnp.asarray(tail), *self._dev_ops)
-                self._ring_N[slot] = np.asarray(n_blk[0], np.float64)
-                self._ring_F[slot] = np.asarray(f_blk[0], np.float64)
+                l_blk, b_blk = fn(jnp.asarray(tail), *self._dev_ops)
+                self._ring_L[slot] = np.asarray(l_blk[0], np.float64)
+                self._ring_b[slot] = np.asarray(b_blk[0], np.float64)
             else:
-                self._ring_N[slot] = 0.0
-                self._ring_F[slot] = 0.0
+                self._ring_L[slot] = 0.0
+                self._ring_b[slot] = 0.0
             self._n_blocks += 1
             self._window_done(end_true=self._n_seen)
         return self._emit_upto(self._n_seen)

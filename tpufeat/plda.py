@@ -157,6 +157,41 @@ class Plda:
                                    normalize_length=normalize_length),
             n_enroll)
 
+    def score_host(self, enroll, test, n_enroll=1, *,
+                   normalize_length: bool = True) -> np.ndarray:
+        """Float64 HOST twin of :meth:`score` (same transform + GEMM
+        factorization as `_llr_jit`, pure NumPy/BLAS): for
+        latency-bound callers that score small [E, T] problems per
+        DECISION — the streaming diarizer's greedy assignment and
+        `refine_labels`' shrinking cluster set — where a device
+        dispatch per call (plus one compile per new (E, T) shape
+        through the relay) would dominate, and where the naive golden
+        loop's per-pair Python cost did dominate (measured 14 s of a
+        31 s 30-min streaming-diarizer pass). Parity with the golden
+        loop is tested."""
+        psi = np.asarray(self.psi, np.float64)
+        n = np.broadcast_to(np.asarray(n_enroll, np.float64),
+                            (np.shape(enroll)[0],))
+        if (n < 1).any():
+            raise ValueError("n_enroll must be >= 1")
+        from tpufeat.reference.cpu import plda_transform_ivector
+        u = plda_transform_ivector(self.mean, self.transform, psi,
+                                   enroll, n,
+                                   normalize_length=normalize_length)
+        v = plda_transform_ivector(self.mean, self.transform, psi,
+                                   test,
+                                   normalize_length=normalize_length)
+        npsi = n[:, None] * psi[None, :]                    # [E, K]
+        m = npsi / (npsi + 1.0) * u                         # [E, K]
+        vg = 1.0 + psi[None, :] / (npsi + 1.0)              # [E, K]
+        c_e = -0.5 * (np.log(2.0 * np.pi * vg) + m * m / vg).sum(-1)
+        given = (c_e[:, None] + (m / vg) @ v.T
+                 - 0.5 * (1.0 / vg) @ (v * v).T)            # [E, T]
+        vn = 1.0 + psi
+        without = -0.5 * (np.log(2.0 * np.pi * vn)[None, :]
+                          + (v * v) / vn[None, :]).sum(-1)  # [T]
+        return given - without[None, :]
+
     def smooth_within_class_covariance(self, factor: float) -> "Plda":
         """Kaldi ``Plda::SmoothWithinClassCovariance``: add ``factor``
         times the between-class variance to the within-class variance
