@@ -397,6 +397,27 @@ class TestStreamingDiarizer:
         for o in outs[1:]:
             np.testing.assert_array_equal(o, outs[0])
 
+    def test_window_ivectors_match_offline_segments(self, spk):
+        """Cross-contract with the OFFLINE path: the streaming
+        diarizer's per-window i-vectors (device-projected block stats +
+        host ring solve) must match segment_ivectors' full windows on
+        the same grid to f32 roundoff — same algebra
+        (`ivector._damped_solve` with max_count=0), different
+        execution split."""
+        ext, model, draw = spk
+        feats = np.concatenate([draw(0, 400, 970), draw(1, 350, 971)])
+        sd = dz.StreamingDiarizer(ext, model)       # window 150/period 75
+        pos = 0
+        for c in [130, 260, 80, 280]:               # 750 = 10 periods
+            sd.process(feats[pos: pos + c])
+            pos += c
+        got = np.stack(sd._wivs)                    # full windows only
+        ivs_off, spans = dz.segment_ivectors(ext, feats)
+        full = (spans[:, 1] - spans[:, 0]) == 150
+        want = np.asarray(ivs_off, np.float64)[full]
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
+
     def test_max_speakers_cap(self, spk):
         ext, model, draw = spk
         feats = np.concatenate([draw(s, 225, 940 + s)
