@@ -74,11 +74,27 @@ def main():
               f"(39 spectral | 3 pitch | {ext.ivector_dim} ivector)",
               flush=True)
 
-        def tick(k, turnover):
+        @jax.jit
+        def pack(flags, out):
+            # Bundle every host-bound scalar of the tick into ONE fetch:
+            # [B] VAD flags + the feature checksum. Through the relay each
+            # fetch pays the ~30 ms sync floor (readback_bw.py), so the
+            # two-fetch tick carries one avoidable floor; on an attached
+            # host both variants are equal to within µs.
+            return jnp.concatenate(
+                [flags.reshape(-1).astype(jnp.float32), jnp.sum(out)[None]])
+
+        def tick(k, turnover, fused_fetch):
             rows = pool.process_batch(chunks[k % 4])
             out, _ = rows.block()
             flags = vad.process(chunks[k % 4])
-            host_flags = np.asarray(flags)          # host sync #1
+            if fused_fetch:
+                host = np.asarray(pack(flags, out))  # the tick's ONE sync
+                host_flags = host[:-1].reshape(B, -1) > 0.5
+                c = float(host[-1])
+            else:
+                host_flags = np.asarray(flags)      # host sync #1
+                c = None
             done = ep.update(host_flags)
             s = int(k % B)
             if turnover:
@@ -86,25 +102,29 @@ def main():
                 vad.reset_rows([s])
                 ep.reset_rows([s])
                 assert pool.attach() == s
-            c = float(cks(out))                     # host sync #2
+            if not fused_fetch:
+                c = float(cks(out))                 # host sync #2
             return done, c
 
-        for k in range(6):                          # warmup + compiles
-            tick(k, turnover=k == 3)
-        n = 30
-        t_dev = []
-        t0 = time.perf_counter()
-        for k in range(n):
-            tk0 = time.perf_counter()
-            tick(k, turnover=(k % 10) == 9)
-            t_dev.append(time.perf_counter() - tk0)
-        wall = (time.perf_counter() - t0) / n
-        med = float(np.median(t_dev))
-        est_host = med - 2 * 0.030
-        print(f"B={B:6d}  full-chain tick median {med*1e3:7.2f} ms  "
-              f"mean {wall*1e3:7.2f} ms  "
-              f"(~{max(est_host, 0)*1e3:6.2f} ms net of 2x ~30 ms relay "
-              f"sync floor)  budget 100 ms", flush=True)
+        for fused_fetch in (False, True):
+            for k in range(6):                      # warmup + compiles
+                tick(k, turnover=k == 3, fused_fetch=fused_fetch)
+            n = 30
+            t_dev = []
+            t0 = time.perf_counter()
+            for k in range(n):
+                tk0 = time.perf_counter()
+                tick(k, turnover=(k % 10) == 9, fused_fetch=fused_fetch)
+                t_dev.append(time.perf_counter() - tk0)
+            wall = (time.perf_counter() - t0) / n
+            med = float(np.median(t_dev))
+            nsync = 1 if fused_fetch else 2
+            est_host = med - nsync * 0.030
+            print(f"B={B:6d}  {'one-fetch' if fused_fetch else 'two-fetch'}"
+                  f" full-chain tick median {med*1e3:7.2f} ms  "
+                  f"mean {wall*1e3:7.2f} ms  "
+                  f"(~{max(est_host, 0)*1e3:6.2f} ms net of {nsync}x ~30 ms "
+                  f"relay sync floor)  budget 100 ms", flush=True)
 
 
 if __name__ == "__main__":
