@@ -54,7 +54,8 @@ def main():
     cfg = dataclasses.replace(KALDI39, cmvn="none")
     ext = fake_extractor(512, 13, 100)
     C = 1600
-    for B in (1024, 8192):
+    bs = tuple(int(a) for a in sys.argv[1:]) or (1024, 8192)
+    for B in bs:
         rng = np.random.default_rng(0)
         t = np.arange(C) / 16000.0
         f0 = rng.uniform(100.0, 280.0, (B, 1))
