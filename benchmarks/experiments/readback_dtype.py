@@ -34,7 +34,7 @@ def main():
             ts = []
             for it in range(3):
                 out = gen(100 + it * 7 + rows + idx, rows)[idx]
-                out.block_until_ready  # no-op on relay; fetch is the sync
+                out.block_until_ready()  # no-op on relay; fetch is the sync
                 t0 = time.perf_counter()
                 host = np.asarray(out)
                 ts.append(time.perf_counter() - t0)

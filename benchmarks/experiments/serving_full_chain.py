@@ -97,14 +97,17 @@ def main():
                 host_flags = np.asarray(flags)      # host sync #1
                 c = None
             done = ep.update(host_flags)
+            if not fused_fetch:
+                # host sync #2 — BEFORE the turnover block so both
+                # variants sync at the same point in the tick (the
+                # one-fetch variant's sync is also pre-turnover)
+                c = float(cks(out))
             s = int(k % B)
             if turnover:
                 pool.detach(s)
                 vad.reset_rows([s])
                 ep.reset_rows([s])
                 assert pool.attach() == s
-            if not fused_fetch:
-                c = float(cks(out))                 # host sync #2
             return done, c
 
         for fused_fetch in (False, True):
