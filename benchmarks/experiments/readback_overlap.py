@@ -76,6 +76,25 @@ def main():
           f"{nbytes/MB/min(ts):6.1f} MB/s  (all {[round(t,2) for t in ts]})",
           flush=True)
 
+    # --- 1b. int16 upload of the SAME element count (does halving the
+    # bytes halve the time? PCM16 corpora can upload int16 arenas and
+    # promote on device — features._prep already does) ---
+    @jax.jit
+    def cks16(t):
+        return jnp.sum(t.astype(jnp.float32))
+
+    def upload_i16():
+        x = (rng.standard_normal((5120, 4096)) * 1e4).astype(np.int16)
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        float(cks16(d))
+        return time.perf_counter() - t0
+
+    ts = [upload_i16() for _ in range(3)]
+    print(f"upload {nbytes/2/MB:.0f} MB int16 (same elems): best "
+          f"{min(ts)*1e3:8.1f} ms  {nbytes/2/MB/min(ts):6.1f} MB/s  "
+          f"(all {[round(t,2) for t in ts]})", flush=True)
+
     # --- 2. concurrent fetches: serial vs 2 threads ---
     def fetch_pair(parallel):
         x1, x2 = gen(seed_box[0]), gen(seed_box[0] + 1)

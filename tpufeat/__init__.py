@@ -10,6 +10,21 @@ out — designed TPU-first per SURVEY.md. Public API:
     feats = extract(samples, cfg=WHISPER80).features
 """
 
+import os as _os
+
+if _os.environ.get("TPUFEAT_COMPILE_CACHE"):
+    # Persistent XLA compilation cache, opt-in by env var: every cold
+    # number in BASELINE.md is dominated by ~13 s/program compiles, so a
+    # production host that keeps a cache volume collapses cross-process
+    # recompiles of already-seen programs to a disk read (measured:
+    # benchmarks/experiments/compile_cache.py; DEPLOY.md "cold starts").
+    # Must be configured before the first compilation — hence at import.
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["TPUFEAT_COMPILE_CACHE"])
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 from tpufeat.augment import (DEFAULT_ENDPOINT_RULES, EndpointRule,
                              StreamingEndpointer, StreamingEnergyVAD,
                              add_noise, add_reverb, energy_vad, kaldi_vad,
