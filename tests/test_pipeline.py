@@ -36,6 +36,21 @@ class TestPipeline:
             want = np.asarray(features.extract(x, cfg=MFCC13_HTK).features)
             np.testing.assert_allclose(got[rel], want, atol=2e-5)
 
+    def test_overlap_fetch_matches_serial(self, tmp_path):
+        """The one-deep fetch pipeline (round-5: the warm corpus pass is
+        transfer-bound; batch k's readback overlaps batch k+1's
+        upload/dispatch) must yield bitwise-identical rows in identical
+        order vs the strictly serial path."""
+        d, _sigs = _make_corpus(tmp_path, [16000, 7000, 23999, 16000,
+                                           4000, 9000, 31000])
+        runs = {}
+        for overlap in (False, True):
+            runs[overlap] = list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK, batch_size=2, overlap_fetch=overlap))
+        assert [k for k, _ in runs[False]] == [k for k, _ in runs[True]]
+        for (_, a), (_, b) in zip(runs[False], runs[True]):
+            np.testing.assert_array_equal(a, b)
+
     def test_cli_main(self, tmp_path, capsys):
         d, sigs = _make_corpus(tmp_path, [8000, 8000, 12000])
         out = tmp_path / "corpus.npz"
