@@ -51,6 +51,32 @@ class TestPipeline:
         for (_, a), (_, b) in zip(runs[False], runs[True]):
             np.testing.assert_array_equal(a, b)
 
+    def test_compact_upload_matches_f32(self, tmp_path):
+        """PCM16-sourced corpora upload int16 arenas (half the bytes of
+        the transfer-bound warm pass); the device promotes back to f32
+        first, so features must match the f32-upload path to f32
+        roundoff (the promoted VALUES are identical; XLA fuses the extra
+        convert into its neighbors, which reassociates a few downstream
+        f32 ops — measured ~5e-6)."""
+        d, _sigs = _make_corpus(tmp_path, [16000, 7000, 23999, 4000])
+        runs = {}
+        for compact in (False, True):
+            runs[compact] = list(pipeline.extract_corpus(
+                str(d), MFCC13_HTK, batch_size=2, compact_upload=compact))
+        assert [k for k, _ in runs[False]] == [k for k, _ in runs[True]]
+        for (_, a), (_, b) in zip(runs[False], runs[True]):
+            np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_compact_arena_gates_on_exactness(self):
+        """Float-valued audio that does not round-trip through int16 must
+        keep its f32 arena — silently lossy uploads are never an option."""
+        pcm = (np.arange(-5, 6, dtype=np.float32) / 32768.0)[None]
+        assert pipeline._compact_arena(pcm).dtype == np.int16
+        fl = np.array([[0.1, -0.25, 1e-6]], np.float32)   # not PCM16 grid
+        assert pipeline._compact_arena(fl).dtype == np.float32
+        loud = np.array([[1.5, -2.0]], np.float32)        # out of range
+        assert pipeline._compact_arena(loud).dtype == np.float32
+
     def test_cli_main(self, tmp_path, capsys):
         d, sigs = _make_corpus(tmp_path, [8000, 8000, 12000])
         out = tmp_path / "corpus.npz"

@@ -417,6 +417,12 @@ def features_impl(x: jnp.ndarray, lengths: jnp.ndarray,
     (BASELINE.md). :func:`extract_impl` still builds the single fused
     program for jit-composability (sharding, scan, custom training steps).
     """
+    if x.dtype == jnp.int16:
+        # PCM16 promotion ON DEVICE (same rule as _prep): callers may
+        # upload int16 arenas — through the relay the corpus warm pass is
+        # upload-bound, and PCM16 sources round-trip exactly at half the
+        # bytes (pipeline.extract_corpus compact upload)
+        x = x.astype(jnp.float32) / 32768.0
     if cfg.dither > 0:
         if rng is None:
             raise ValueError("cfg.dither > 0 requires a PRNG key: "

@@ -93,6 +93,27 @@ class _JoinedThread:
         pass
 
 
+def _compact_arena(arena: np.ndarray) -> np.ndarray:
+    """Return an int16 view of a decoded f32 arena when the conversion is
+    EXACT (PCM16 sources decode as s/32768, so the round trip loses
+    nothing), else the arena unchanged.
+
+    Through the relay the warm corpus pass is upload-bound (BASELINE.md:
+    ~1.4 GB of arenas vs ~0.1 GB of features at 24-43 MB/s), so halving
+    the upload bytes halves the dominant term; the device promotes int16
+    back to f32 as its first op (features_impl), so every downstream
+    number is identical. Float-sourced corpora fail the exactness check
+    and keep f32 — silently lossy uploads are never an option. Runs in
+    the decode prefetch thread (host is otherwise idle there)."""
+    q = np.round(arena * 32768.0)
+    if (np.abs(q) > 32767).any():       # true f32 in [-1, 1) never trips
+        return arena
+    q16 = q.astype(np.int16)
+    if (q16.astype(np.float32) / 32768.0 == arena).all():
+        return q16
+    return arena
+
+
 #: extract-segments-style end-time forgiveness: segment specs are usually
 #: written against rounded durations, so an end that overshoots the file
 #: by up to this many seconds is clamped; beyond it the line is an error.
@@ -216,6 +237,7 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
                    segments: str | None = None,
                    ivector=None, ivectors: dict | None = None,
                    overlap_fetch: bool = True,
+                   compact_upload: bool = True,
                    ) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (wav_path, features [F, D]) for every WAV under ``wav_dir``.
 
@@ -251,6 +273,12 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
     a marginal GEMM on top of extraction) into the ``ivectors`` dict
     (``{utt_id: [K] float32}``; the ``ivector-extract`` flow, writable
     with :func:`tpufeat.feats_io.write_kaldi_vec_ark`).
+
+    ``compact_upload=True`` (default) uploads each batch arena as int16
+    whenever the conversion round-trips EXACTLY (PCM16 sources always
+    do; the device promotes back to f32 as its first op) — halving the
+    upload bytes that dominate the relay-bound warm pass. Float-sourced
+    audio keeps f32 automatically (see ``_compact_arena``).
 
     ``overlap_fetch=True`` (default) pipelines the device->host feature
     fetch one batch deep: batch k's ``np.asarray`` runs on a worker
@@ -313,7 +341,12 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
     def decode(i):
         batch_entries, width, rows, rate = plans[i]
         try:
-            result[i] = _decode_batch(batch_entries, width, rate, rows)
+            arena, lens_ = _decode_batch(batch_entries, width, rate, rows)
+            if compact_upload and not dp:
+                # dp uploads f32 regardless (sharding.py converts before
+                # device_put), so compaction would only burn host cycles
+                arena = _compact_arena(arena)
+            result[i] = (arena, lens_)
         except Exception as e:          # surfaced at the consuming pop —
             result[i] = e               # thread exceptions must not vanish
 
