@@ -29,36 +29,44 @@ def main():
     base = dataclasses.replace(
         PRESETS["mfcc13"], use_pallas=True, gemm_dft=True,
         fused_framing=True, matmul_precision="bf16x3")
-    cfgs = {
-        "f32": base,
-        "bf16": dataclasses.replace(base, out_dtype="bfloat16"),
+    # legs: the round-3/4 measurement baseline (serial fetch, f32
+    # arenas), the bf16-out variant of it, and the round-5 production
+    # path (overlapped fetch + int16 arena upload) — interleaved so
+    # relay weather averages out of every comparison
+    legs = {
+        "f32-serial": (base, dict(overlap_fetch=False,
+                                  compact_upload=False)),
+        "bf16-serial": (dataclasses.replace(base, out_dtype="bfloat16"),
+                        dict(overlap_fetch=False, compact_upload=False)),
+        "f32-pipelined": (base, dict(overlap_fetch=True,
+                                     compact_upload=True)),
     }
 
-    def one_pass(cfg):
+    def one_pass(cfg, kw):
         stats = {}
         t0 = time.perf_counter()
         n = 0
         for _key, feats in pipeline.extract_corpus(CORPUS, cfg,
                                                    batch_size=128,
-                                                   stats=stats):
+                                                   stats=stats, **kw):
             n += feats.shape[0]
         wall = time.perf_counter() - t0
         return wall, stats, n
 
-    # pass 0 of each config pays the compiles; then 3 interleaved warm
-    # rounds A/B/A/B/A/B
-    results = {"f32": [], "bf16": []}
-    for name in ("f32", "bf16"):
-        wall, stats, _ = one_pass(cfgs[name])
-        print(f"cold  {name:5s}: {wall:7.1f} s  "
+    # pass 0 of each leg pays the compiles; then 3 interleaved warm
+    # rounds A/B/C/A/B/C/A/B/C
+    results = {name: [] for name in legs}
+    for name, (cfg, kw) in legs.items():
+        wall, stats, _ = one_pass(cfg, kw)
+        print(f"cold  {name:14s}: {wall:7.1f} s  "
               f"(rtfx {stats['audio_s']/wall:6.0f}, "
               f"programs {stats['n_programs']})", flush=True)
     audio_s = stats["audio_s"]
     for rnd in range(3):
-        for name in ("f32", "bf16"):
-            wall, stats, _ = one_pass(cfgs[name])
+        for name, (cfg, kw) in legs.items():
+            wall, stats, _ = one_pass(cfg, kw)
             results[name].append(wall)
-            print(f"warm{rnd} {name:5s}: {wall:7.1f} s  "
+            print(f"warm{rnd} {name:14s}: {wall:7.1f} s  "
                   f"(rtfx {audio_s/wall:6.0f})", flush=True)
     summary = {
         name: {"walls_s": [round(w, 1) for w in ws],
