@@ -383,22 +383,22 @@ class TestStreamingPipelinePitch:
 
 
 class TestSlidingCmvnPitchComposition:
-    @isolated
-    def test_sliding_cmvn_with_pitch(self):
+    def _body(self, n, window, min_window, chunks):
         """cmvn='sliding' + pitch=True compose: spectral columns match the
         offline sliding-CMVN extract truncated to the pitch grid (CMVN
         covers spectral columns only, like the offline CLI), pitch
         columns match the pitch-only composition."""
         from tpufeat import pitch as pm
         cfg = dataclasses.replace(KALDI39, cmvn="sliding",
-                                  cmvn_window=60, cmvn_min_window=20)
-        b, n = 2, 24000
+                                  cmvn_window=window,
+                                  cmvn_min_window=min_window)
+        b = 2
         x = _voiced(b, n, 99)
         pcfg = pm.config_for(cfg, ballast=0.0)
         Fp = pcfg.num_frames(n)
         pipe = streaming.StreamingPipeline(cfg, batch_size=b, pitch=pcfg,
                                            pitch_lookahead=Fp + 4)
-        got = _run(pipe, x, [4800] * 5)
+        got = _run(pipe, x, [n // chunks] * chunks)
         main = np.asarray(features.extract(x, cfg=cfg).features)
         pf, _ = pm.pitch_features(x, cfg=pcfg)
         assert got.shape == (b, Fp, 42)
@@ -406,6 +406,21 @@ class TestSlidingCmvnPitchComposition:
                                    rtol=0, atol=1e-4)
         np.testing.assert_allclose(got[..., 39:], np.asarray(pf)[:, :Fp],
                                    rtol=0, atol=2e-5)
+
+    @isolated
+    def test_sliding_cmvn_with_pitch_small(self):
+        """Default-tier anchor (n=8000, window < the 46-frame pitch
+        grid so the sliding path is really exercised): the full-
+        lookahead flush program's XLA:CPU compile scales with lookahead
+        depth — the n=24000 original costs ~220 s of LLVM and runs in
+        the slow tier (same treatment as
+        test_full_lookahead_matches_offline_composition)."""
+        self._body(8000, window=30, min_window=10, chunks=5)
+
+    @pytest.mark.slow  # ~220 s XLA:CPU compile; _small keeps the contract
+    @isolated
+    def test_sliding_cmvn_with_pitch(self):
+        self._body(24000, window=60, min_window=20, chunks=5)
 
 
 class TestOnlineCmvnComposition:
