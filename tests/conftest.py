@@ -22,6 +22,23 @@ if os.environ.get("TPUFEAT_TEST_TPU") != "1":
     # the env var — override it back after import, before backend init.
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compilation cache for the suite (round-5 item 7):
+    # the suite is compile-bound on this 1-core box, and the per-module
+    # jax.clear_caches() below forces cross-module recompiles of shared
+    # configs. Cache HITS deserialize executables from disk and skip
+    # backend_compile (LLVM) entirely, so this composes with — and does
+    # not weaken — the segfault mitigation (the crash lives in LLVM
+    # compile state, which hits never touch). First run populates
+    # (~5% write overhead); repeat runs collapse most compile time.
+    # Keyed by program+toolchain, so a jax bump invalidates cleanly.
+    # TPUFEAT_TEST_NO_CACHE=1 disables (for timing true cold compiles).
+    if os.environ.get("TPUFEAT_TEST_NO_CACHE") != "1":
+        _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".xla_test_cache")
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
