@@ -65,9 +65,20 @@ def main():
     @jax.jit
     def mfcc(x):
         x = jnp.concatenate([x[:, :1], x[:, 1:] - 0.97 * x[:, :-1]], axis=1)
-        # gather-free framing: FRAME strided slices, one per in-frame offset
-        cols = [x[:, off:off + n_frames * HOP:HOP] for off in range(FRAME)]
-        frames = jnp.stack(cols, axis=-1)[:, :n_frames] * win
+        # gather-free framing in the production formulation (mirrors
+        # tpufeat.framing.frames_from_buffer: reshape to hop rows, then
+        # k+1 shifted slices — the erratum is program-structure-
+        # dependent, so the repro must frame the way the pipeline does)
+        B_, M = x.shape
+        k, r = divmod(FRAME, HOP)
+        rows = n_frames + k + (1 if r else 0)
+        need = rows * HOP
+        x = jnp.pad(x, ((0, 0), (0, max(0, need - M))))[:, :need]
+        x2d = x.reshape(B_, rows, HOP)
+        parts = [x2d[:, j: j + n_frames] for j in range(k)]
+        if r:
+            parts.append(x2d[:, k: k + n_frames, :r])
+        frames = jnp.concatenate(parts, axis=-1) * win
         spec = jnp.fft.rfft(frames, NFFT)
         power = (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
         logmel = jnp.log(jnp.maximum(power @ mel, 1e-10))

@@ -274,11 +274,13 @@ def to_lag_grid(x: jnp.ndarray, lengths: jnp.ndarray,
     # zeroing is exact because the resampler's own virtual padding IS
     # zeros (mask-invariance property-tested)
     x = x * (jnp.arange(x.shape[-1]) < lengths[..., None]).astype(x.dtype)
-    # block=64: the base polyphase formulation frames with hop q << L, a
-    # 21x HBM expansion measured at 8.1 ms of the 19.1 ms tracker
-    # (B=128x10 s); stacking 64 blocks per matmul row cuts it to ~1.3x
-    # with identical taps (resampling.resample_matrix_blocked)
-    y = resampling.resample(x, cfg.sample_rate, cfg.lag_rate, block=64)
+    # block=256: the base polyphase formulation frames with hop q << L,
+    # a 21x HBM expansion (8.1 ms of the round-4 19.1 ms tracker at
+    # B=128x10 s); stacking blocks per matmul row cuts it to ~1.05x with
+    # identical taps (resampling.resample_matrix_blocked). 256 measured
+    # fastest of {64, 128, 256} at HIGHEST precision with 3e-8 max
+    # difference vs the base path (pitch_fuse.py, round 5)
+    y = resampling.resample(x, cfg.sample_rate, cfg.lag_rate, block=256)
     # ceil(n*p/q) in int32 without n*p overflow (n can be hours of audio)
     ly = lengths // q * p + (lengths % q * p + q - 1) // q
     return y, ly.astype(jnp.int32), cfg.inner()
