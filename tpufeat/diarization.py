@@ -354,14 +354,20 @@ def diarize_long(extractor: IvectorExtractor, plda: Plda, feats, *,
                  num_speakers: int | None = None, threshold: float = 0.0,
                  block: int = 512, block_threshold: float | None = None,
                  posterior_scale: float = 1.0, min_post: float = 0.025,
-                 refine_iters: int = 1):
+                 refine_iters: int = 2):
     """Hours-scale :func:`diarize`: same segment-i-vector front half
     (chip work is linear in T), :func:`two_stage_cluster` for the
-    quadratic half, plus one :func:`refine_labels` pass by default —
-    centroid re-assignment repairs fragments the block boundaries split
-    (measured: restores label agreement with single-stage AHC on
-    multi-speaker synthetics; see tests + BASELINE.md row). Returns
-    ``(frame_labels [T], segments)`` like :func:`diarize`."""
+    quadratic half, plus :func:`refine_labels` passes — centroid
+    re-assignment repairs fragments the block boundaries split. The
+    round-5 frontier sweep (BASELINE.md; diarize_frontier.py) measured
+    the SECOND refine pass as the big accuracy lever on the 3 h world
+    (0.920 -> 0.932 agreement at equal-or-better wall — the first
+    pass's reassignments improve the centroids, so a second pass
+    converges them; passes beyond 2 measured no further gain), hence
+    ``refine_iters=2`` default. ``block=1024, refine_iters=2`` reached
+    0.949 there at ~35% more wall; threshold offsets and overlapping
+    blocks measured strictly worse. Returns ``(frame_labels [T],
+    segments)`` like :func:`diarize`."""
     ivecs, spans = segment_ivectors(
         extractor, feats, window=window, period=period,
         min_window=min_window, mask=mask,
