@@ -1,24 +1,36 @@
-"""Minimized jnp-only reproducer for the B=256 XLA:TPU miscompilation.
+"""Standalone reproducer for the upstream XLA:TPU large-program miscompile.
 
-Self-contained (no tpufeat imports): a plain MFCC-shaped pipeline —
-pre-emphasis, gather-free framing, Hamming window, rFFT, power, mel
-matmul, log, DCT matmul — compiled as ONE program over a [256, 480000]
-f32 batch, compared against the SAME jitted function dispatched in
-64-row chunks (exact split: no cross-row coupling anywhere in the math,
-so any difference is a compiler/runtime defect, not roundoff).
+Self-contained jnp-only MFCC pipeline over a [256, 480000] f32 batch,
+compiled as ONE program and compared against the SAME jitted function
+dispatched in 64-row chunks (exact split — no cross-row coupling
+anywhere, so any difference is a compiler/runtime defect).
 
-On the affected toolchain (axon relay TPU v5e, observed 2026-08-16 →
-re-probed stable 2026-08-19) the single-program output corrupts ~8% of
-frames in a strict ~33-frame periodic pattern with max|Δ| ≈ 5.0; the
-64-row dispatches are clean. Clean/corrupt envelope: BASELINE.md
-"Large-batch erratum". Production guard: `features._single_program_safe`.
-Tracked: tests/test_tpu_smoke.py::TestLargeBatchErratum (xfail).
+THE TRIGGER (bisected over three rounds, 2026-08-20 — erratum_bisect*.py;
+every other ingredient ruled out one at a time): writing the signal-level
+pre-emphasis as **shift-then-subtract**
 
-Run (ONE TPU client at a time; ~2 compiles ≈ 30 s + ~1 min work):
+    x - alpha * concat([zeros[B, 1], x[:, :-1]])        # CORRUPTS
 
-    python -m benchmarks.experiments.erratum_repro [B] [seconds]
+ahead of the hop-reshape framing + rFFT + two HIGHEST-precision matmuls.
+The algebraically identical **compute-then-concat** form
 
-Prints the corrupt-frame count and max|Δ|; exit code 1 if corrupt.
+    concat([x[:, :1], x[:, 1:] - alpha * x[:, :-1]])    # clean
+
+produces bitwise-identical values and runs clean at every probed shape.
+On the affected toolchain (axon-relayed TPU v5e) this script reports
+~69k corrupt frames (9%) with max|delta| ~= 4.5 in a ~33-frame periodic
+pattern; corruption is deterministic across reruns. tpufeat itself no
+longer contains the trigger (framing.preemphasize uses the clean form;
+the previously-corrupt envelope re-measured max|delta| = 0.0 at all 14
+points — BASELINE.md "Large-batch erratum"), so this file exists for the
+toolchain owner: one command, no tpufeat imports.
+
+Run (ONE TPU client at a time; ~2 compiles + ~1 min of relay transfer):
+
+    python -m benchmarks.experiments.erratum_repro [B] [seconds] [form]
+
+``form`` is ``trigger`` (default) or ``clean`` (the A/B). Exit code 1
+iff corrupt.
 """
 import sys
 
@@ -26,7 +38,8 @@ import numpy as np
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 SECS = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-SR, FRAME, HOP, NFFT, NMEL, NCEP = 16000, 400, 160, 512, 23, 13
+FORM = sys.argv[3] if len(sys.argv) > 3 else "trigger"
+SR, FRAME, HOP, NFFT, NMEL, NCEP = 16000, 400, 160, 512, 26, 13
 
 
 def mel_matrix():
@@ -38,9 +51,8 @@ def mel_matrix():
     m = np.zeros((NFFT // 2 + 1, NMEL), np.float32)
     for j in range(NMEL):
         lo, c, hi = hz[j], hz[j + 1], hz[j + 2]
-        up = (bins - lo) / (c - lo)
-        dn = (hi - bins) / (hi - c)
-        m[:, j] = np.clip(np.minimum(up, dn), 0.0, None)
+        m[:, j] = np.clip(np.minimum((bins - lo) / (c - lo),
+                                     (hi - bins) / (hi - c)), 0.0, None)
     return m
 
 
@@ -61,14 +73,19 @@ def main():
     win = jnp.asarray(np.hamming(FRAME).astype(np.float32))
     mel = jnp.asarray(mel_matrix())
     dct = jnp.asarray(dct_matrix())
+    HI = jax.lax.Precision.HIGHEST
 
     @jax.jit
-    def mfcc(x):
-        x = jnp.concatenate([x[:, :1], x[:, 1:] - 0.97 * x[:, :-1]], axis=1)
-        # gather-free framing in the production formulation (mirrors
-        # tpufeat.framing.frames_from_buffer: reshape to hop rows, then
-        # k+1 shifted slices — the erratum is program-structure-
-        # dependent, so the repro must frame the way the pipeline does)
+    def mfcc(x, lengths):
+        if FORM == "trigger":
+            # the miscompile trigger: full-width shifted copy, then the
+            # broadcast subtract, feeding the framing reshape below
+            prev = jnp.zeros((x.shape[0], 1), x.dtype)
+            x = x - 0.97 * jnp.concatenate([prev, x[:, :-1]], axis=-1)
+        else:
+            # algebraically identical, bitwise-same values: clean
+            x = jnp.concatenate(
+                [x[:, :1], x[:, 1:] - 0.97 * x[:, :-1]], axis=1)
         B_, M = x.shape
         k, r = divmod(FRAME, HOP)
         rows = n_frames + k + (1 if r else 0)
@@ -80,26 +97,32 @@ def main():
             parts.append(x2d[:, k: k + n_frames, :r])
         frames = jnp.concatenate(parts, axis=-1) * win
         spec = jnp.fft.rfft(frames, NFFT)
-        power = (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
-        logmel = jnp.log(jnp.maximum(power @ mel, 1e-10))
-        return logmel @ dct
+        power = spec.real * spec.real + spec.imag * spec.imag
+        logmel = jnp.log(jnp.maximum(
+            jnp.matmul(power, mel, precision=HI), 1e-10))
+        feat = jnp.matmul(logmel, dct, precision=HI)
+        nf = jnp.maximum(0, 1 + (lengths - FRAME) // HOP)
+        fmask = jnp.arange(n_frames)[None, :] < nf[:, None]
+        return feat, fmask, nf.astype(jnp.int32)
 
     @jax.jit
     def cks(t):
-        return jnp.sum(jnp.abs(t))
+        return sum(jnp.sum(jnp.abs(jnp.asarray(v, jnp.float32)))
+                   for v in jax.tree_util.tree_leaves(t))
 
     rng = np.random.default_rng(0)
     x = jax.device_put(jnp.asarray(
         (rng.standard_normal((B, n)) * 0.1).astype(np.float32)))
-    full = mfcc(x)
+    lens = jnp.full((B,), n, jnp.int32)
+    full = mfcc(x, lens)
     float(cks(full))            # force completion (relay: b_u_r is a no-op)
-    chunks = [mfcc(x[i:i + 64]) for i in range(0, B, 64)]
-    oracle = jnp.concatenate(chunks, axis=0)
-    diff = jnp.abs(full - oracle)
+    chunks = [mfcc(x[i:i + 64], lens[i:i + 64]) for i in range(0, B, 64)]
+    diff = jnp.abs(full[0] - jnp.concatenate([c[0] for c in chunks],
+                                             axis=0))
     max_d = float(jnp.max(diff))
     bad = int(jnp.sum(jnp.any(diff > 1e-4, axis=-1)))
     total = B * n_frames
-    print(f"B={B} x {SECS}s ({B * n / 1e6:.1f}M samples): "
+    print(f"form={FORM} B={B} x {SECS}s ({B * n / 1e6:.1f}M samples): "
           f"max|delta|={max_d:.3g}, corrupt frames {bad}/{total} "
           f"({100.0 * bad / total:.2f}%)", flush=True)
     print("VERDICT:", "CORRUPT" if bad else "clean", flush=True)

@@ -237,16 +237,18 @@ class TestStreamingOnChip:
 
 
 class TestLargeBatchErratum:
-    """Tracks the upstream XLA:TPU miscompilation documented in BASELINE.md:
-    [256, 480000]-shaped pipelines compute corrupted features (periodic
-    ~21 KB read corruption; every sub-stage validates clean in isolation,
-    and B=240/248 and B=448/512@15 s are clean). strict=False xfail: when
-    a toolchain update fixes it, this test starts passing and the erratum
-    can be retired."""
+    """Regression guard for the upstream XLA:TPU miscompilation
+    (BASELINE.md): [256, 480000]-shaped pipelines corrupted ~8% of
+    frames until round 5 bisected the trigger to the shift-then-subtract
+    pre-emphasis op structure and rewrote framing.preemphasize in the
+    clean compute-then-concat form (bitwise-identical values; every
+    previously-corrupt envelope point re-measured clean at max|d|=0).
+    This is now a HARD pass: a failure means either an upstream
+    regression or a tpufeat restructure reintroduced the trigger —
+    both must be caught loudly, not xfail-muted. The standalone
+    upstream reproducer (trigger formulation) lives in
+    benchmarks/experiments/erratum_repro.py."""
 
-    @pytest.mark.xfail(strict=False,
-                       reason="upstream XLA:TPU miscompile at B=256 x 30 s"
-                              " (BASELINE.md large-batch erratum)")
     def test_b256_30s_integrity(self):
         rng = np.random.default_rng(0)
         n = 30 * 16000

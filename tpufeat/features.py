@@ -517,36 +517,35 @@ def _split_worthwhile(cfg: FeatureConfig, shape) -> bool:
 
 
 # --- large-batch erratum guard (BASELINE.md "Large-batch erratum") ---
-# The current XLA:TPU toolchain miscompiles sufficiently large single
-# programs: [256, 480000] and [384, 480000] pipelines silently corrupt
-# ~8% of frames while every sub-stage validates clean in isolation. The
-# public API must never return wrong numbers without an error, so
-# extract()/make_extractor() auto-route any batch whose single dispatch
-# would leave the measured-clean region through exact row-splitting (the
-# pipeline has no cross-utterance coupling). The clean region, mapped on
-# chip by benchmarks/experiments/erratum_envelope.py (full table in
-# BASELINE.md — corruption is NOT a simple sample-count threshold:
-# 256x24 s corrupts at 98M samples while 320x30 s ran clean at 154M, and
-# NOT confined to long rows: 512x15 s corrupts too, despite a round-2
-# probe of the same shape running clean on the pre-v5-kernel program —
-# the envelope is program-dependent, so only same-toolchain measurements
-# count):
-#   - any single row (row-splitting could not help anyway; the raw
-#     single-program B=1 leg measured clean at 2 h, 4 h AND 8 h —
-#     460.8M samples, 3.75x the largest corrupt total — in the
-#     2026-08-19 re-probe, which also reproduced every round-3
-#     corrupt/clean point exactly);
-#   - batch <= 252 rows up to 122,880,000 total samples (252x30 s and
-#     128x60 s / 64x120 s measured clean; 256/384/512 x 30 s corrupt);
-#   - any batch up to a tiny per-dispatch total, far below the smallest
-#     corrupt point (98.3M) — keeps small many-stream calls single-shot.
+# Rounds 2-4 fought an upstream XLA:TPU miscompilation: [256, 480000]-
+# class single programs silently corrupted ~8% of frames while every
+# sub-stage validated clean in isolation. ROUND 5 BISECTED THE TRIGGER
+# to one op structure — signal-level pre-emphasis written as
+# shift-then-subtract (x - a*concat([prev, x[:-1]])); rewritten as
+# compute-then-concat (framing.preemphasize, bitwise-identical values),
+# EVERY previously-corrupt envelope point re-measured clean at
+# max|d| = 0.0 (254/255/256/384/512 x 30 s, 512 x 15 s,
+# 256 x {15,20,24,60} s — .bench/erratum_envelope_fixedpre.jsonl,
+# 2026-08-20; three-round bisect in benchmarks/experiments/
+# erratum_bisect*.py; standalone upstream reproducer kept in
+# erratum_repro.py). The guard below therefore now admits the full
+# re-measured region; it is RETAINED (not deleted) as defense in depth
+# for shapes beyond anything probed, because the envelope was
+# program-dependent across toolchains:
+#   - any single row (B=1 measured clean at 2/4/8 h raw — 460.8M);
+#   - batch <= 512 rows up to 245,760,000 total samples (512 x 30 s and
+#     256 x 60 s measured clean with the fixed formulation);
+#   - any batch up to a tiny per-dispatch total (small many-stream
+#     calls stay single-shot without consulting the table).
 # The region is downward-closed in B, so balanced row-splitting with
 # per-dispatch shapes inside it is always safe. Re-probe after toolchain
-# updates (tests/test_tpu_smoke.py::TestLargeBatchErratum flips to pass).
-ERRATUM_MAX_ROWS = 252               # largest measured-clean batch extent
-ERRATUM_MAX_TOTAL = 122_880_000      # 128 x 60 s == 64 x 120 s
-ERRATUM_TINY_TOTAL = 16_000_000      # ~1000 s of audio; 6x under the
-#                                      smallest corrupt point measured
+# updates (tests/test_tpu_smoke.py::TestLargeBatchErratum is now a HARD
+# pass — it would catch both an upstream regression and any tpufeat op
+# restructure that reintroduces the trigger).
+ERRATUM_MAX_ROWS = 512               # largest re-measured-clean batch
+ERRATUM_MAX_TOTAL = 245_760_000      # 512 x 30 s == 256 x 60 s
+ERRATUM_TINY_TOTAL = 16_000_000      # ~1000 s of audio; far below any
+#                                      historically-corrupt total
 
 
 def _single_program_safe(shape) -> bool:

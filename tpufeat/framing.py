@@ -28,15 +28,27 @@ def preemphasize(x: jnp.ndarray, alpha: float,
     """y[t] = x[t] - alpha*x[t-1] along the last axis, x[-1] := prev.
 
     ``prev`` is 0 for one-shot extraction and the carried last raw sample in
-    streaming mode (reference C2 / config 4)."""
+    streaming mode (reference C2 / config 4).
+
+    Op-structure note (round-5, BASELINE.md "Large-batch erratum"): this
+    MUST stay in the compute-then-concat form below. The algebraically
+    identical shift-then-subtract form — ``x - alpha *
+    concat([prev, x[..., :-1]])`` — is the measured TRIGGER of the
+    upstream XLA:TPU miscompilation at [256, 480000]-class programs
+    (bisected to this single op structure with all else held fixed:
+    `benchmarks/experiments/erratum_bisect3.py`, 2026-08-20 — the
+    full-width concat feeding the broadcast-subtract feeding the framing
+    reshape corrupts ~9% of frames; this form, bitwise-identical values,
+    runs clean at every previously-corrupt envelope point)."""
     if alpha == 0.0:
         return x
     prev = jnp.asarray(prev, x.dtype)
     if prev.ndim == x.ndim - 1:       # per-stream scalar carry, e.g. [B]
         prev = prev[..., None]
     prev = jnp.broadcast_to(prev, x.shape[:-1] + (1,))
-    shifted = jnp.concatenate([prev, x[..., :-1]], axis=-1)
-    return x - alpha * shifted
+    first = x[..., :1] - alpha * prev
+    rest = x[..., 1:] - alpha * x[..., :-1]
+    return jnp.concatenate([first, rest], axis=-1)
 
 
 def num_frames_dynamic(lengths: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
