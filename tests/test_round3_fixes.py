@@ -19,10 +19,13 @@ from tpufeat.config import KALDI39, MFCC13_HTK
 
 class TestErratumGuardMechanics:
     def test_rows_per_dispatch_balanced(self):
-        # 256 x 30 s must split 128+128, not 252+4
-        assert features._rows_per_dispatch(256, 480000) == 128
-        # 512 x 30 s: three balanced dispatches under the 252-row cap
-        assert features._rows_per_dispatch(512, 480000) == 171
+        # (round-5: the clean region widened to B<=512 / 245.76M samples
+        # after the preemphasis-trigger fix; splits now engage beyond it)
+        # 1024 x 30 s must split 512+512 balanced, not 512+remainder junk
+        assert features._rows_per_dispatch(1024, 480000) == 512
+        # 2048 x 15 s: balanced dispatches under the 512-row cap
+        r = features._rows_per_dispatch(2048, 240000)
+        assert 1 <= r <= 512 and features._single_program_safe((r, 240000))
         # one row per dispatch when a single row fills the clean region
         assert features._rows_per_dispatch(
             3, features.ERRATUM_MAX_TOTAL) == 1
@@ -37,19 +40,20 @@ class TestErratumGuardMechanics:
                     assert features._single_program_safe((b % r, n))
 
     def test_safe_predicate(self):
-        # measured-clean points stay single-program
+        # round-5 region: every formerly-corrupt point re-measured clean
+        # with the fixed preemphasis and is now admitted single-program
         assert features._single_program_safe((248, 480000))
-        assert features._single_program_safe((252, 480000))
+        assert features._single_program_safe((256, 480000))
+        assert features._single_program_safe((256, 384000))  # 24 s
+        assert features._single_program_safe((384, 480000))
+        assert features._single_program_safe((512, 240000))  # 15 s
+        assert features._single_program_safe((512, 480000))
         assert features._single_program_safe((128, 960000))
-        # measured-corrupt points route to row-splitting
-        assert not features._single_program_safe((256, 480000))
-        assert not features._single_program_safe((256, 384000))  # 24 s
-        assert not features._single_program_safe((384, 480000))
-        assert not features._single_program_safe((512, 240000))  # 15 s
-        # unmeasured territory beyond the clean region splits conservatively
-        # (320 x 30 s probed clean once, but B > 252 at long N is where the
-        # corrupt points live — splitting is exact and ~free)
-        assert not features._single_program_safe((320, 480000))
+        # unprobed territory beyond the re-measured region still splits
+        # (defense in depth — the envelope was program-dependent)
+        assert not features._single_program_safe((513, 480000))
+        assert not features._single_program_safe((512, 480001))
+        assert not features._single_program_safe((1024, 480000))
         # small many-stream dispatches stay single-shot (tiny-total
         # exemption, 6x under the smallest corrupt point)
         assert features._single_program_safe((1024, 1600))
