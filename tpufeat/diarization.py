@@ -178,12 +178,23 @@ def _nearest_sorted(centers: np.ndarray, t: np.ndarray) -> np.ndarray:
 
 
 def plda_affinity(plda: Plda, ivecs, *,
-                  normalize_length: bool = True) -> np.ndarray:
+                  normalize_length: bool = True,
+                  host: bool = False) -> np.ndarray:
     """Symmetrized PLDA log-likelihood-ratio affinity between every
     window pair: [N, K] -> [N, N] float32 (one two-GEMM scoring
-    dispatch; the LLR is not exactly symmetric, so (S + S^T)/2)."""
+    dispatch; the LLR is not exactly symmetric, so (S + S^T)/2).
+
+    ``host=True`` scores with the f64 NumPy twin (``Plda.score_host``,
+    parity-tested): for many SMALL affinities — two_stage_cluster's
+    per-block stage — where each device dispatch would pay the relay's
+    per-fetch sync floor (~30-90 ms weather-dependent) against ~10 ms
+    of host BLAS per 512-window block."""
     iv = np.asarray(ivecs, np.float64)
-    s = np.asarray(plda.score(iv, iv, normalize_length=normalize_length))
+    if host:
+        s = plda.score_host(iv, iv, normalize_length=normalize_length)
+    else:
+        s = np.asarray(plda.score(iv, iv,
+                                  normalize_length=normalize_length))
     return (0.5 * (s + s.T)).astype(np.float32)
 
 
@@ -325,7 +336,11 @@ def two_stage_cluster(plda: Plda, ivecs, *, block: int = 512,
     means, counts = [], []
     for b0 in range(0, N, block):
         sl = slice(b0, min(b0 + block, N))
-        lab = cluster_affinity(plda_affinity(plda, iv[sl]), threshold=bt)
+        # host-scored block affinities: ~29 blocks of a 3 h recording
+        # each paid a relay round-trip as device dispatches (round-5
+        # frontier walls); the f64 host twin is ~10 ms per block
+        lab = cluster_affinity(plda_affinity(plda, iv[sl], host=True),
+                               threshold=bt)
         for u in range(lab.max() + 1):
             rows = np.flatnonzero(lab == u) + b0
             frag[rows] = len(means)
@@ -333,7 +348,7 @@ def two_stage_cluster(plda: Plda, ivecs, *, block: int = 512,
             counts.append(len(rows))
     means = np.stack(means)
     counts = np.asarray(counts, np.float64)
-    s = np.asarray(plda.score(means, means, n_enroll=counts))
+    s = plda.score_host(means, means, counts)
     aff_c = (0.5 * (s + s.T)).astype(np.float32)
     if num_speakers is not None and num_speakers > len(means):
         raise ValueError(
@@ -361,13 +376,21 @@ def diarize_long(extractor: IvectorExtractor, plda: Plda, feats, *,
     re-assignment repairs fragments the block boundaries split. The
     round-5 frontier sweep (BASELINE.md; diarize_frontier.py) measured
     the SECOND refine pass as the big accuracy lever on the 3 h world
-    (0.920 -> 0.932 agreement at equal-or-better wall — the first
-    pass's reassignments improve the centroids, so a second pass
-    converges them; passes beyond 2 measured no further gain), hence
-    ``refine_iters=2`` default. ``block=1024, refine_iters=2`` reached
-    0.949 there at ~35% more wall; threshold offsets and overlapping
-    blocks measured strictly worse. Returns ``(frame_labels [T],
-    segments)`` like :func:`diarize`."""
+    (0.920 -> 0.932 at equal-or-better wall; the first pass's
+    reassignments improve the centroids, the second converges them;
+    passes beyond 2 measured no further gain) — hence
+    ``refine_iters=2``. Block affinities are host-scored
+    (``plda_affinity(host=True)``): the old per-block device dispatches
+    paid a relay round-trip each (~29/pass on 3 h); host f64 BLAS is
+    ~10 ms per 512-block, re-measured 4.0 s warm = 2,721x on the 3 h
+    world. ``block`` stays 512 — the ROBUST point: 1024 scored 0.949
+    on the 15-block 3 h world but COLLAPSED to 0.746 on a ~1.8k-window
+    recording with only 2 blocks (measured round 5; the block AHC
+    needs enough blocks for the centroid stage to repair) — raise it
+    only for many-block, hours-scale audio, always with
+    ``refine_iters>=2``. Threshold offsets and overlapping blocks
+    measured strictly worse. Returns ``(frame_labels [T], segments)``
+    like :func:`diarize`."""
     ivecs, spans = segment_ivectors(
         extractor, feats, window=window, period=period,
         min_window=min_window, mask=mask,
