@@ -62,3 +62,25 @@ def test_compile_cache_env_hook(tmp_path):
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0 and "OK" in out.stdout, (
         out.stdout + out.stderr)
+
+
+def test_bucket_grid_plumbs_through(tmp_path):
+    """Finer bucket grids shrink padding waste without changing outputs
+    (upload bytes are the transfer-bound warm pass's dominant term)."""
+    from tpufeat import io, pipeline
+    d = tmp_path / "wavs"
+    d.mkdir()
+    for i, n in enumerate([16500, 21000, 26000, 31000]):
+        io.write_wav(str(d / f"u{i}.wav"), make_signal(n, seed=i), 16000)
+    runs = {}
+    for grid in (2 ** 0.5, 2 ** 0.25):
+        stats = {}
+        runs[grid] = dict(pipeline.extract_corpus(
+            str(d), MFCC13_HTK, batch_size=2, stats=stats,
+            bucket_grid=grid))
+        stats_g = stats
+        runs[(grid, "waste")] = stats_g["padding_waste"]
+    assert runs[(2 ** 0.25, "waste")] < runs[(2 ** 0.5, "waste")]
+    for k in runs[2 ** 0.5]:
+        np.testing.assert_allclose(runs[2 ** 0.5][k], runs[2 ** 0.25][k],
+                                   atol=2e-5)

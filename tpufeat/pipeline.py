@@ -150,7 +150,7 @@ def _segment_entries(segments_path: str, entries, wav_dir: str):
     return out
 
 
-def _plan_batches(entries, batch_size: int
+def _plan_batches(entries, batch_size: int, grid: float = 2 ** 0.5
                   ) -> list[tuple[list, int, int, int]]:
     """Bucket by (rate, padded length) -> [(entries, padded_len,
     padded_rows, rate)]. Rates only mix when the caller resamples, but
@@ -166,7 +166,7 @@ def _plan_batches(entries, batch_size: int
     plus compute waste)."""
     buckets: dict[tuple[int, int], list] = {}
     for e in entries:
-        key = (e[2], data.bucket_length(e[1]))
+        key = (e[2], data.bucket_length(e[1], grid=grid))
         buckets.setdefault(key, []).append(e)
     plans = []
     for rate, width in sorted(buckets):
@@ -238,6 +238,7 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
                    ivector=None, ivectors: dict | None = None,
                    overlap_fetch: bool = True,
                    compact_upload: bool = True,
+                   bucket_grid: float = 2 ** 0.5,
                    ) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (wav_path, features [F, D]) for every WAV under ``wav_dir``.
 
@@ -273,6 +274,13 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
     a marginal GEMM on top of extraction) into the ``ivectors`` dict
     (``{utt_id: [K] float32}``; the ``ivector-extract`` flow, writable
     with :func:`tpufeat.feats_io.write_kaldi_vec_ark`).
+
+    ``bucket_grid`` sets the geometric length-bucket step (default
+    sqrt(2) = ~2 programs/octave, <=41% worst-case padding). With a warm
+    `TPUFEAT_COMPILE_CACHE` the extra programs of a finer grid are disk
+    reads, and padding is pure UPLOAD waste on the transfer-bound warm
+    pass — ``2**0.25`` (4/octave, <=19% worst-case) is the measured
+    choice for repeated corpus jobs (BASELINE.md round-5).
 
     ``compact_upload=True`` (default) uploads each batch arena as int16
     whenever the conversion round-trips EXACTLY (PCM16 sources always
@@ -313,7 +321,7 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
                 f"ivector UBM dim {ivector.ubm.dim} != cfg.feature_dim "
                 f"{cfg.feature_dim} (train the extractor on this "
                 "config's features)")
-    plans = _plan_batches(entries, batch_size)
+    plans = _plan_batches(entries, batch_size, bucket_grid)
     fn = features.make_extractor(cfg)
     ndev = 1
     if dp:
@@ -576,6 +584,11 @@ def main(argv=None) -> int:
                         "transforms to every utterance (transform-feats "
                         "analogue; speakers via --utt2spk, or the "
                         "'global' entry)")
+    p.add_argument("--bucket-grid", type=float, default=2 ** 0.5,
+                   help="geometric length-bucket step (default sqrt(2) = "
+                        "~2 programs/octave; 1.1892 = 4/octave halves "
+                        "padding waste — pair with TPUFEAT_COMPILE_CACHE "
+                        "so the extra programs are disk reads)")
     p.add_argument("--repeat", type=int, default=1,
                    help="extra passes over the corpus: pass 1 pays the "
                         "per-shape XLA compiles (~13 s each through the "
@@ -648,6 +661,7 @@ def main(argv=None) -> int:
         for key, feats in extract_corpus(args.wav_dir, cfg, args.batch,
                                          stats=stats,
                                          resample=args.resample,
+                                         bucket_grid=args.bucket_grid,
                                          dp=args.dp,
                                          segments=args.segments,
                                          ivector=extractor,
