@@ -72,15 +72,14 @@ def test_bucket_grid_plumbs_through(tmp_path):
     d.mkdir()
     for i, n in enumerate([16500, 21000, 26000, 31000]):
         io.write_wav(str(d / f"u{i}.wav"), make_signal(n, seed=i), 16000)
-    runs = {}
+    runs, waste = {}, {}
     for grid in (2 ** 0.5, 2 ** 0.25):
         stats = {}
         runs[grid] = dict(pipeline.extract_corpus(
             str(d), MFCC13_HTK, batch_size=2, stats=stats,
             bucket_grid=grid))
-        stats_g = stats
-        runs[(grid, "waste")] = stats_g["padding_waste"]
-    assert runs[(2 ** 0.25, "waste")] < runs[(2 ** 0.5, "waste")]
+        waste[grid] = stats["padding_waste"]
+    assert waste[2 ** 0.25] < waste[2 ** 0.5]
     for k in runs[2 ** 0.5]:
         np.testing.assert_allclose(runs[2 ** 0.5][k], runs[2 ** 0.25][k],
                                    atol=2e-5)
