@@ -276,11 +276,14 @@ def extract_corpus(wav_dir: str, cfg: FeatureConfig, batch_size: int = 64,
     with :func:`tpufeat.feats_io.write_kaldi_vec_ark`).
 
     ``bucket_grid`` sets the geometric length-bucket step (default
-    sqrt(2) = ~2 programs/octave, <=41% worst-case padding). With a warm
-    `TPUFEAT_COMPILE_CACHE` the extra programs of a finer grid are disk
-    reads, and padding is pure UPLOAD waste on the transfer-bound warm
-    pass — ``2**0.25`` (4/octave, <=19% worst-case) is the measured
-    choice for repeated corpus jobs (BASELINE.md round-5).
+    sqrt(2) = ~2 programs/octave). Padding is pure UPLOAD waste on the
+    transfer-bound warm pass, and with a warm `TPUFEAT_COMPILE_CACHE`
+    a finer grid's extra programs are disk reads — but measure before
+    changing it: on the 2,000-file benchmark corpus the A/B was a WASH
+    (BASELINE.md round-5) because waste there is REMAINDER-ROW padding
+    (rows padded to ``batch_size`` per bucket; finer buckets make more
+    remainders), not length padding. Finer grids pay off only when
+    length padding dominates (big buckets, length-skewed corpora).
 
     ``compact_upload=True`` (default) uploads each batch arena as int16
     whenever the conversion round-trips EXACTLY (PCM16 sources always
@@ -586,9 +589,10 @@ def main(argv=None) -> int:
                         "'global' entry)")
     p.add_argument("--bucket-grid", type=float, default=2 ** 0.5,
                    help="geometric length-bucket step (default sqrt(2) = "
-                        "~2 programs/octave; 1.1892 = 4/octave halves "
-                        "padding waste — pair with TPUFEAT_COMPILE_CACHE "
-                        "so the extra programs are disk reads)")
+                        "~2 programs/octave; finer grids trade programs "
+                        "for length padding — pair with "
+                        "TPUFEAT_COMPILE_CACHE and measure: remainder-"
+                        "row padding can dominate instead, BASELINE.md)")
     p.add_argument("--repeat", type=int, default=1,
                    help="extra passes over the corpus: pass 1 pays the "
                         "per-shape XLA compiles (~13 s each through the "
