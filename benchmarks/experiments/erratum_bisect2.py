@@ -1,12 +1,14 @@
 """Erratum bisect, round 2: close the last structural deltas to the
 real pure-XLA pipeline (round-1 ladder all clean; the real path corrupts).
 
-  g1 : round-1 "mask" variant but with the REAL preemphasis op structure
-       (x - a*concat([zeros, x[:-1]]) instead of concat of two pieces)
-       and NO mask-fill of the features (the real path returns them raw)
-  g2 : g1 + tpufeat's exact mel/DCT matrices (HTK bin-style triangles,
-       ortho DCT — same [257, 26]/[26, 13] shapes, real coefficients)
-  g3 : g2 but calling tpufeat's own framing/spectrum/feature helpers
+  g1 : round-1 "mask" variant with THREE deltas closed at once: the
+       REAL preemphasis op structure (x - a*concat([zeros, x[:-1]])
+       instead of concat of two pieces), NO mask-fill of the features
+       (the real path returns them raw), and tpufeat's exact mel/DCT
+       matrices (HTK bin-style triangles, ortho DCT)
+  g2 : alias of g1 (kept so the printed ladder stays stable; the
+       single-delta discrimination is bisect3)
+  g3 : g1 but calling tpufeat's own framing/spectrum/feature helpers
        (frame_signal, condition_frames, power_spectrum_rfft,
        mel_log_dct_xla) — everything but extract_impl itself
   ctl : jit(extract_impl) pure-XLA — the positive control (known corrupt)
