@@ -13,6 +13,14 @@ real pure-XLA pipeline (round-1 ladder all clean; the real path corrupts).
        mel_log_dct_xla) — everything but extract_impl itself
   ctl : jit(extract_impl) pure-XLA — the positive control (known corrupt)
 
+Measured 2026-08-20 (pre-fix): g1/g2/g3/ctl ALL corrupt with the
+identical 69,025-frame signature — which localized the trigger to g1's
+delta set and led to bisect3's single-delta discrimination. NOTE: g3 and
+ctl call framing.preemphasize, which has since been REWRITTEN in the
+clean form (the fix) — re-running this script on current tpufeat gives
+g1/g2 corrupt (they hard-code the trigger structure) and g3/ctl clean,
+which is itself the regression check.
+
 Run:  python -m benchmarks.experiments.erratum_bisect2 [B] [seconds]
 """
 import dataclasses
