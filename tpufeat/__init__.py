@@ -12,18 +12,23 @@ out — designed TPU-first per SURVEY.md. Public API:
 
 import os as _os
 
+
+def enable_compile_cache(path: str) -> None:
+    """Wire jax's persistent compilation cache at ``path`` (zero size/time
+    thresholds): compiled executables serialize to disk — measured THROUGH
+    the axon relay too — collapsing cross-process recompiles to reads
+    (cold corpus 577->104 s, diarize_long 561->69 s; BASELINE.md round 5,
+    DEPLOY.md "Cold starts"). Call before the first compilation; the
+    ``TPUFEAT_COMPILE_CACHE`` env var does this automatically at import,
+    and the pipeline/diarization CLIs expose ``--compile-cache``."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 if _os.environ.get("TPUFEAT_COMPILE_CACHE"):
-    # Persistent XLA compilation cache, opt-in by env var: every cold
-    # number in BASELINE.md is dominated by ~13 s/program compiles, so a
-    # production host that keeps a cache volume collapses cross-process
-    # recompiles of already-seen programs to a disk read (measured:
-    # benchmarks/experiments/compile_cache.py; DEPLOY.md "cold starts").
-    # Must be configured before the first compilation — hence at import.
-    import jax as _jax
-    _jax.config.update("jax_compilation_cache_dir",
-                       _os.environ["TPUFEAT_COMPILE_CACHE"])
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    enable_compile_cache(_os.environ["TPUFEAT_COMPILE_CACHE"])
 
 from tpufeat.augment import (DEFAULT_ENDPOINT_RULES, EndpointRule,
                              StreamingEndpointer, StreamingEnergyVAD,
@@ -93,5 +98,6 @@ __all__ = [
     "diarize", "diarize_long", "two_stage_cluster", "segment_ivectors",
     "sliding_windows", "plda_affinity",
     "cluster_affinity", "StreamingDiarizer", "refine_labels",
+    "enable_compile_cache",
     "__version__",
 ]

@@ -587,6 +587,11 @@ def main(argv=None) -> int:
                         "transforms to every utterance (transform-feats "
                         "analogue; speakers via --utt2spk, or the "
                         "'global' entry)")
+    p.add_argument("--compile-cache", metavar="DIR", default=None,
+                   help="persistent XLA compilation cache directory "
+                        "(tpufeat.enable_compile_cache; or set "
+                        "TPUFEAT_COMPILE_CACHE) — collapses cold-start "
+                        "compiles to disk reads, BASELINE.md round 5")
     p.add_argument("--bucket-grid", type=float, default=2 ** 0.5,
                    help="geometric length-bucket step (default sqrt(2) = "
                         "~2 programs/octave; finer grids trade programs "
@@ -603,6 +608,9 @@ def main(argv=None) -> int:
                         "semantics), e.g. --set out_dtype=bfloat16 to "
                         "halve feature readback (repeatable)")
     args = p.parse_args(argv)
+    if args.compile_cache:
+        import tpufeat
+        tpufeat.enable_compile_cache(args.compile_cache)
     from tpufeat.cli import parse_overrides
     cfg = parse_overrides(PRESETS[args.preset], args.set)
     if args.fused:
